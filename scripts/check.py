@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local dev-loop correctness check mimicking the driver's DuckDB oracle
+compare: for each result parquet dumped by graft.Verify, run the matching
+oracle SQL in DuckDB over the fixture tables and diff values.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+from pathlib import Path
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm_df(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize list/array cells to tuples for sorting/compare
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str), na_action="ignore").any():
+            try:
+                df[c] = df[c].map(lambda v: tuple(v) if not isinstance(v, str) and hasattr(v, "__iter__") else v, na_action="ignore")
+            except Exception:
+                pass
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b or str(a) == str(b)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        res_dir = Path(out_dir) / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no spark result dir")
+            failures += 1
+            continue
+        spark_df = pq.read_table(str(res_dir)).to_pandas()
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        s, d = norm_df(spark_df), norm_df(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns differ spark={list(s.columns)} duck={list(d.columns)}")
+            failures += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: row counts differ spark={len(s)} duck={len(d)}")
+            failures += 1
+            continue
+        bad = None
+        for i in range(len(s)):
+            for c in s.columns:
+                if not values_equal(s.iloc[i][c], d.iloc[i][c]):
+                    bad = (i, c, s.iloc[i][c], d.iloc[i][c])
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, sv, dv = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={sv!r} duck={dv!r}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(s)} rows, {len(s.columns)} cols")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
