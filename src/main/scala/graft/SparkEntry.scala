@@ -19,13 +19,37 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2B. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_knn_topk_cosine"  -> ((s, dir) => Knn.knnTopkCosine(s, dir)),
-    "q02_knn_top1_filtered" -> ((s, dir) => Knn.knnTop1Filtered(s, dir)),
+    "q01_knn_topk_cosine"    -> ((s, dir) => Knn.knnTopkCosine(s, dir)),
+    "q02_knn_top1_filtered"  -> ((s, dir) => Knn.knnTop1Filtered(s, dir)),
+    "q03_upsert_latest"      -> ((s, dir) => Upsert.upsertLatest(s, dir)),
+    "q04_vocab_build_minfreq" -> ((s, dir) => TextPipeline.vocabBuild(s, dir)),
+    "q05_tokenize_pad"       -> ((s, dir) => TextPipeline.tokenizePad(s, dir)),
+    "q06_split_train_val"    -> ((s, dir) => TextPipeline.splitTrainVal(s, dir)),
+    "q07_maxlen_by_lang"     -> ((s, dir) => TextPipeline.maxlenByLang(s, dir)),
+    "q08_instruction_parse"  -> ((s, dir) => TextPipeline.instructionParse(s, dir)),
+    "q09_base64_payload"     -> ((s, dir) => Payload.base64Payload(s, dir)),
+    "q10_near_dup_pairs"     -> ((s, dir) => Dedup.nearDupPairs(s, dir)),
+    "q11_label_centroids"    -> ((s, dir) => Analytics.labelCentroids(s, dir)),
+    "q12_payload_enrich_join" -> ((s, dir) => Payload.payloadEnrichJoin(s, dir)),
+    "q13_event_window_stats" -> ((s, dir) => Analytics.eventWindowStats(s, dir)),
+    "q14_text_stats"         -> ((s, dir) => TextPipeline.textStats(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
   def oracleSql: Map[String, String] = Map(
-    "q01_knn_topk_cosine"  -> Knn.q01OracleSql,
-    "q02_knn_top1_filtered" -> Knn.q02OracleSql,
+    "q01_knn_topk_cosine"    -> Knn.q01OracleSql,
+    "q02_knn_top1_filtered"  -> Knn.q02OracleSql,
+    "q03_upsert_latest"      -> Upsert.q03OracleSql,
+    "q04_vocab_build_minfreq" -> TextPipeline.q04OracleSql,
+    "q05_tokenize_pad"       -> TextPipeline.q05OracleSql,
+    "q06_split_train_val"    -> TextPipeline.q06OracleSql,
+    "q07_maxlen_by_lang"     -> TextPipeline.q07OracleSql,
+    "q08_instruction_parse"  -> TextPipeline.q08OracleSql,
+    "q09_base64_payload"     -> Payload.q09OracleSql,
+    "q10_near_dup_pairs"     -> Dedup.q10OracleSql,
+    "q11_label_centroids"    -> Analytics.q11OracleSql,
+    "q12_payload_enrich_join" -> Payload.q12OracleSql,
+    "q13_event_window_stats" -> Analytics.q13OracleSql,
+    "q14_text_stats"         -> TextPipeline.q14OracleSql,
   )
 }

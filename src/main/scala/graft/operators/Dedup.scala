@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Embedding-space near-duplicate detection — the north-star dedup operator
+  * family (BASELINE.json) generalizing the reference's cosine metric
+  * (reference: vector_db.py:23). The exact similarity self-join is blocked
+  * on the payload `label` (classic blocking/banding: candidates only form
+  * within a block, turning an O(n²) global join into Σ O(b²) per block — the
+  * same role LSH banding plays at 100 TB, where the block key becomes the
+  * MinHash band or the LSH bucket).
+  */
+object Dedup {
+
+  /** q10_near_dup_pairs — top-100 most-similar within-label pairs
+    * (a_id < b_id) by cosine. A fixed-k ranking rather than a fixed
+    * threshold so the query is meaningful at every scale factor (the
+    * synthetic fixtures top out near cosine 0.45). `orderBy + limit`
+    * compiles to TakeOrderedAndProject — a distributed per-partition top-k
+    * merge, not a single-partition global sort.
+    */
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"), col("label").cast("long").as("label"),
+        cosineSimilarity6(col("va"), col("vb")).as("score"))
+      .orderBy(col("score").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  val q10OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(a.label AS BIGINT) AS label,
+      |         round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+      |               THEN 0.0
+      |               ELSE list_dot_product(a.v, b.v)
+      |                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END, 6) AS score
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |)
+      |SELECT a_id, b_id, label, score
+      |FROM pairs
+      |ORDER BY score DESC, a_id, b_id
+      |LIMIT 100""".stripMargin
+}

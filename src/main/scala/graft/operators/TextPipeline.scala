@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text/training data-preparation operators derived from the reference's
+  * transformer scripts: word-level vocab build with min frequency
+  * (reference: transformer_sample.py:398-407), fixed-length encode with
+  * SOS/EOS/PAD framing and too-long rejection
+  * (reference: transformer_sample.py:510-541), deterministic train/val split
+  * (reference: transformer_sample.py:431-433), per-language length stats
+  * (reference: transformer_sample.py:442-448), `[INST]…[/INST]` instruction
+  * parsing (reference: transformer_training.py:300-301), and per-document
+  * text statistics (north-star text-analysis addition).
+  */
+object TextPipeline {
+
+  /** Special token ids, mirroring the reference's `[UNK],[PAD],[SOS],[EOS]`
+    * convention (reference: transformer_sample.py:402-404 special tokens).
+    */
+  val UnkId = 0L; val PadId = 1L; val SosId = 2L; val EosId = 3L
+
+  /** Fixed sequence length for q05 (reference uses seq_len=350,
+    * transformer_sample.py:652; fixtures have 10-99 tokens/doc so 64 both
+    * keeps and drops documents, exercising the too-long rejection path).
+    */
+  val SeqLen = 64
+
+  /** HF `Whitespace` pre-tokenizer fidelity: words and punctuation runs are
+    * separate tokens — `\w+|[^\w\s]+`, not a plain whitespace split
+    * (SURVEY.md §7 risk note).
+    */
+  def tokenArr(c: Column): Column =
+    regexp_extract_all(c, lit("(\\w+|[^\\w\\s]+)"), lit(1))
+
+  /** Corpus vocab (token, id, freq): freq >= 2, ids assigned 4.. by
+    * (freq desc, token asc). The post-filter vocab is dictionary-sized, so
+    * the single-partition ranking window is safe at any corpus scale — the
+    * heavy part (token counting) is a hash aggregate with map-side combine.
+    */
+  def corpusVocab(docs: DataFrame): DataFrame = {
+    val toks  = docs.select(explode(tokenArr(col("text"))).as("token"))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq")).filter(col("freq") >= 2)
+    val w     = Window.orderBy(col("freq").desc, col("token").asc)
+    freqs.withColumn("id", (row_number().over(w) + 3).cast("long"))
+  }
+
+  /** q04_vocab_build_minfreq — specials first (ids 0-3, freq 0), then corpus
+    * tokens by (freq desc, token asc).
+    */
+  def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    import spark.implicits._
+    val specials = Seq(("[UNK]", UnkId, 0L), ("[PAD]", PadId, 0L), ("[SOS]", SosId, 0L), ("[EOS]", EosId, 0L))
+      .toDF("token", "id", "freq")
+    specials
+      .unionByName(corpusVocab(docs).select(col("token"), col("id"), col("freq")))
+      .orderBy(col("id"))
+  }
+
+  val q04OracleSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token FROM documents
+      |), freqs AS (
+      |  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token HAVING COUNT(*) >= 2
+      |), corpus AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) + 3 AS BIGINT) AS id,
+      |         CAST(freq AS BIGINT) AS freq
+      |  FROM freqs
+      |), specials AS (
+      |  SELECT token, CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS freq
+      |  FROM (VALUES ('[UNK]', 0), ('[PAD]', 1), ('[SOS]', 2), ('[EOS]', 3)) AS t(token, id)
+      |)
+      |SELECT token, id, freq FROM specials
+      |UNION ALL
+      |SELECT token, id, freq FROM corpus
+      |ORDER BY id""".stripMargin
+
+  /** q05_tokenize_pad — encode each doc to a fixed-length id sequence:
+    * [SOS] + token ids (UNK for OOV) + [EOS], padded with [PAD] to SeqLen;
+    * documents longer than SeqLen-2 tokens are dropped
+    * (reference: transformer_sample.py:510-541).
+    *
+    * The vocab side is broadcast (dictionary-sized); the token explode keeps
+    * the heavy side shuffle-free until the per-doc regroup.
+    */
+  def tokenizePad(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val v    = corpusVocab(docs).select(col("token"), col("id"))
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(tokenArr(col("text"))))
+      .toDF("doc_id", "pos", "token")
+    val joined = toksPos
+      .join(broadcast(v), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(UnkId)))
+    val seqs = joined
+      .groupBy("doc_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))), s => s.getField("id"))
+          .as("ids"))
+    seqs
+      .filter(size(col("ids")) <= SeqLen - 2)
+      .select(
+        col("doc_id"),
+        concat(
+          array(lit(SosId)),
+          col("ids"),
+          array(lit(EosId)),
+          array_repeat(lit(PadId), lit(SeqLen) - size(col("ids")) - 2)
+        ).as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q05OracleSql: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS l FROM documents
+       |), freqs AS (
+       |  SELECT token, COUNT(*) AS freq
+       |  FROM (SELECT unnest(l) AS token FROM toks0) GROUP BY token HAVING COUNT(*) >= 2
+       |), vocab AS (
+       |  SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) + 3 AS BIGINT) AS id FROM freqs
+       |), toks AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS token FROM toks0
+       |), joined AS (
+       |  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+       |  FROM toks t LEFT JOIN vocab v USING (token)
+       |), seqs AS (
+       |  SELECT doc_id, list(id ORDER BY pos) AS ids FROM joined GROUP BY doc_id
+       |)
+       |SELECT doc_id,
+       |       [CAST(2 AS BIGINT)] || ids || [CAST(3 AS BIGINT)]
+       |         || list_transform(range(${SeqLen} - 2 - len(ids)), x -> CAST(1 AS BIGINT)) AS token_ids
+       |FROM seqs
+       |WHERE len(ids) <= ${SeqLen} - 2
+       |ORDER BY doc_id""".stripMargin
+
+  /** q06_split_train_val — deterministic 90/10 split, validation side
+    * (reference: transformer_sample.py:431-433 random_split, made
+    * reproducible via id arithmetic; Spark hash() differs from DuckDB's, so
+    * plain modulus is the cross-engine-checkable form).
+    */
+  def splitTrainVal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val q06OracleSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 9 ORDER BY doc_id"
+
+  /** q07_maxlen_by_lang — max/avg token count and doc count per language
+    * (reference: transformer_sample.py:442-448 max-length scan).
+    */
+  def maxlenByLang(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), size(tokenArr(col("text"))).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_tok")).cast("long").as("max_len"),
+        round(avg(col("n_tok")), 6).as("avg_len"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val q07OracleSql: String =
+    """SELECT lang,
+      |       CAST(max(len(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1))) AS BIGINT) AS max_len,
+      |       round(avg(len(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1))), 6) AS avg_len,
+      |       COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q08_instruction_parse — extract instruction/response from
+    * `[INST] … [/INST] …` framed text (reference:
+    * transformer_training.py:300-301). The fixture corpus has no markers, so
+    * the query derives a framed column from `text` first, then parses it
+    * back out with the reference's split semantics.
+    */
+  def instructionParse(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn(
+        "framed",
+        concat(lit("[INST] "), substring(col("text"), 1, 40), lit(" [/INST] "), substring(col("text"), 41, 60)))
+      .select(
+        col("doc_id"),
+        trim(regexp_extract(col("framed"), "\\[INST\\](.*?)\\[/INST\\]", 1)).as("instruction"),
+        trim(regexp_extract(col("framed"), "\\[/INST\\](.*)$", 1)).as("response"))
+      .orderBy(col("doc_id"))
+
+  val q08OracleSql: String =
+    """WITH framed AS (
+      |  SELECT doc_id,
+      |         '[INST] ' || substring(text, 1, 40) || ' [/INST] ' || substring(text, 41, 60) AS framed
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       trim(regexp_extract(framed, '\[INST\](.*?)\[/INST\]', 1)) AS instruction,
+      |       trim(regexp_extract(framed, '\[/INST\](.*)$', 1)) AS response
+      |FROM framed ORDER BY doc_id""".stripMargin
+
+  /** q14_text_stats — per-document token count, distinct-token count, and
+    * mean token length (north-star text-analysis operator; entirely
+    * array-expression based so it stays inside whole-stage codegen).
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokenArr(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(round(
+            aggregate(col("toks"), lit(0.0), (acc, t) => acc + length(t).cast("double"))
+              / size(col("toks")), 6))
+          .as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  val q14OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '(\w+|[^\w\s]+)', 1) AS toks FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |       CASE WHEN len(toks) = 0 THEN 0.0
+      |            ELSE round(list_aggregate(list_transform(toks, x -> CAST(len(x) AS DOUBLE)), 'sum') / len(toks), 6)
+      |       END AS avg_tok_len
+      |FROM t ORDER BY doc_id""".stripMargin
+}
