@@ -24,6 +24,7 @@ object Dedup {
     * merge, not a single-partition global sort.
     */
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
     val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
@@ -32,7 +33,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"), col("label").cast("long").as("label"),
-        cosineSimilarity6(col("va"), col("vb")).as("score"))
+        round(graft.functions.GraftFunctions.cosine(col("va"), col("vb")), 6).as("score"))
       .orderBy(col("score").desc, col("a_id"), col("b_id"))
       .limit(100)
   }

@@ -1,22 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.toDouble
+import graft.functions.GraftFunctions
 
 /** Exact k-NN similarity search over the `embeddings` point collection.
   *
   * Re-expresses the reference's server-side Qdrant search
   * (reference: vector_db_query.py:78-86 `client.search(..., limit=5)`,
-  * text_img.py:74-78 `limit=1`) as a Spark plan: the query set is tiny and the
-  * corpus is huge, so the right physical shape is a **broadcast nested-loop
-  * join** (broadcast the queries, stream the corpus) followed by a per-query
-  * top-k. At 100 TB the corpus side stays partition-parallel with no shuffle
-  * of corpus rows; only k rows per query per partition survive the rank
-  * filter's partial evaluation.
+  * text_img.py:74-78 `limit=1`) as a Spark plan shaped for a huge corpus and
+  * a small query set:
+  *
+  *  - **broadcast nested-loop join**: queries are broadcast, the corpus
+  *    streams partition-parallel — corpus rows never shuffle;
+  *  - **native codegen'd cosine** ([[graft.functions.CosineSimilarity]]) —
+  *    one fused loop per pair instead of the three-pass zip_with/aggregate
+  *    expression form;
+  *  - **per-group top-k via a bounded-heap Aggregator** ([[TopK]]) — partial
+  *    top-k per partition, merged per query. The naive
+  *    `row_number over (partition by qid)` window would shuffle all N×q
+  *    scored rows into q partitions; this shuffles ≤ q × partitions × k.
   */
 object Knn {
 
@@ -25,14 +31,24 @@ object Knn {
     * ties broken by ascending vec_id on the 6-dp-rounded score.
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
     val scored = corpus
       .crossJoin(broadcast(queries))
-      .withColumn("score", cosineSimilarity6(col("qvec"), col("embedding")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+      .select(
+        col("qid"),
+        col("vec_id").as("id"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
+    val tk = TopK.topKUdaf(k)
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+      .groupBy(col("qid"))
+      .agg(tk(col("id"), col("score")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .toDF("qid", "pos", "s")
+      .select(
+        col("qid"),
+        col("s.id").as("vec_id"),
+        col("s.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -71,25 +87,32 @@ object Knn {
 
   /** q02_knn_top1_filtered — top-1 neighbor per query restricted to corpus
     * points sharing the query's payload label — filtered vector search
-    * (reference: text_img.py:74-78 limit=1; payload filter is the standard
-    * Qdrant filtered-search pattern over payload fields, vector_db.py:89).
-    * Self-match (vec_id = qid) is excluded so the result is not trivially the
-    * query itself.
+    * (reference: text_img.py:74-78 limit=1; payload filtering over stored
+    * fields, vector_db.py:89). Self-match excluded. Implemented with
+    * `max_by` over a (score, -id) ordering struct: a declarative aggregate
+    * with map-side partial aggregation — no window shuffle at all.
     */
   def knnTop1Filtered(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
     val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("embedding"), col("label"))
-    val scored = corpus
+    corpus
       .join(broadcast(queries), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-      .withColumn("score", cosineSimilarity6(col("qvec"), col("embedding")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 1)
-      .select(col("qid"), col("vec_id"), col("label").cast("long").as("label"), col("score"))
+      .select(
+        col("qid"), col("vec_id"), col("label"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
+      .groupBy(col("qid"))
+      .agg(max_by(
+        struct(col("vec_id"), col("label"), col("score")),
+        struct(col("score"), (col("vec_id") * -1).as("negid"))).as("h"))
+      .select(
+        col("qid"),
+        col("h.vec_id").as("vec_id"),
+        col("h.label").cast("long").as("label"),
+        col("h.score").as("score"))
       .orderBy(col("qid"))
   }
 

@@ -1,0 +1,67 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, VectorFunctions}
+
+class CosineSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairsDf(pairs: Seq[(Array[Double], Array[Double])]) =
+    pairs.toDF("a", "b")
+
+  test("native expression matches hand-computed values") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = pairsDf(Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),   // orthogonal -> 0
+      (Array(1.0, 2.0), Array(2.0, 4.0)),   // parallel -> 1
+      (Array(1.0, 0.0), Array(-1.0, 0.0)),  // opposite -> -1
+      (Array(3.0, 4.0), Array(4.0, 3.0))    // 24/25
+    ))
+    val got = df.select(GraftFunctions.cosine($"a", $"b")).as[Double].collect()
+    val want = Seq(0.0, 1.0, -1.0, 24.0 / 25.0)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$g vs $w") }
+  }
+
+  test("zero-vector policy: score is 0.0, not NaN") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = pairsDf(Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0))
+    ))
+    assert(df.select(GraftFunctions.cosine($"a", $"b")).as[Double].collect().toSeq == Seq(0.0, 0.0))
+    assert(df.select(VectorFunctions.cosineSimilarity($"a", $"b")).as[Double].collect().toSeq == Seq(0.0, 0.0))
+  }
+
+  test("native expression is bit-identical to the zip_with/aggregate form on random vectors") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd  = new Random(42)
+    val dims = Seq(1, 2, 7, 64, 301)
+    val pairs = for { d <- dims; _ <- 1 to 20 } yield
+      (Array.fill(d)(rnd.nextGaussian()), Array.fill(d)(rnd.nextGaussian()))
+    val df = pairsDf(pairs)
+    val rows = df
+      .select(
+        GraftFunctions.cosine($"a", $"b").as("native"),
+        VectorFunctions.cosineSimilarity($"a", $"b").as("expr"))
+      .as[(Double, Double)]
+      .collect()
+    rows.foreach { case (n, e) => assert(n == e, s"native $n != expr $e") }
+  }
+
+  test("symmetry and self-similarity properties") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new Random(7)
+    val vs  = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian()))
+    val sym = pairsDf(vs.zip(vs.reverse))
+      .select(GraftFunctions.cosine($"a", $"b").as("ab"), GraftFunctions.cosine($"b", $"a").as("ba"))
+      .as[(Double, Double)].collect()
+    sym.foreach { case (ab, ba) => assert(ab == ba) }
+    val self = pairsDf(vs.zip(vs)).select(GraftFunctions.cosine($"a", $"b")).as[Double].collect()
+    self.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextPipeline
+
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenArr splits words and punctuation runs separately (HF Whitespace fidelity)") {
+    val got = Seq("hello, world!! a-b").toDF("text")
+      .select(TextPipeline.tokenArr($"text")).as[Seq[String]].head()
+    assert(got == Seq("hello", ",", "world", "!!", "a", "-", "b"))
+  }
+
+  test("vocab: specials occupy ids 0-3, corpus ids are dense from 4, ordered by freq desc then token") {
+    val v = TextPipeline.vocabBuild(spark, TestSpark.Sf0001).collect()
+    val byId = v.map { case Row(tok: String, id: Long, freq: Long) => (id, tok, freq) }.sortBy(_._1)
+    assert(byId.take(4).map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, "[UNK]"), (1L, "[PAD]"), (2L, "[SOS]"), (3L, "[EOS]")))
+    assert(byId.map(_._1).toSeq == byId.indices.map(_.toLong))
+    val corpus = byId.drop(4)
+    val resorted = corpus.sortBy(t => (-t._3, t._2))
+    assert(corpus.toSeq == resorted.toSeq, "corpus ids must follow (freq desc, token asc)")
+  }
+
+  test("tokenizePad: fixed length, SOS/EOS framing, PAD tail, too-long rejection") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select($"doc_id", size(TextPipeline.tokenArr($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val out = TextPipeline.tokenizePad(spark, TestSpark.Sf0001)
+      .as[(Long, Seq[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (docId, ids) =>
+      assert(ids.length == TextPipeline.SeqLen, s"doc $docId length ${ids.length}")
+      assert(ids.head == TextPipeline.SosId)
+      val n = docs(docId)
+      assert(ids(n + 1) == TextPipeline.EosId, s"doc $docId EOS position")
+      assert(ids.drop(n + 2).forall(_ == TextPipeline.PadId), s"doc $docId pad tail")
+      assert(ids.slice(1, n + 1).forall(id => id == TextPipeline.UnkId || id >= 4))
+    }
+    val kept = out.map(_._1).toSet
+    docs.foreach { case (docId, n) =>
+      assert(kept.contains(docId) == (n <= TextPipeline.SeqLen - 2), s"doc $docId n=$n kept=${kept.contains(docId)}")
+    }
+  }
+
+  test("instruction parse round-trips the framed prefix/suffix") {
+    val r = TextPipeline.instructionParse(spark, TestSpark.Sf0001)
+    val joined = r.join(Tables.documents(spark, TestSpark.Sf0001), Seq("doc_id"))
+      .select($"instruction", $"response", $"text").as[(String, String, String)].take(20)
+    joined.foreach { case (instr, resp, text) =>
+      assert(instr == text.substring(0, math.min(40, text.length)).trim)
+      assert(resp == text.drop(40).take(60).trim)
+    }
+  }
+}
