@@ -33,6 +33,12 @@ object SparkEntry {
     "q12_payload_enrich_join" -> ((s, dir) => Payload.payloadEnrichJoin(s, dir)),
     "q13_event_window_stats" -> ((s, dir) => Analytics.eventWindowStats(s, dir)),
     "q14_text_stats"         -> ((s, dir) => TextPipeline.textStats(s, dir)),
+    "q15_exact_dedup"        -> ((s, dir) => TextAnalysis.exactDedup(s, dir)),
+    "q20_quality_score"      -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "q21_token_count"        -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
+    "q22_doc_fingerprint"    -> ((s, dir) => TextAnalysis.docFingerprint(s, dir)),
+    "q23_normalize_embeddings" -> ((s, dir) => Ann.normalizeEmbeddings(s, dir)),
+    "q24_ann_ivf_topk"       -> ((s, dir) => Ann.annIvfTopK(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -51,5 +57,11 @@ object SparkEntry {
     "q12_payload_enrich_join" -> Payload.q12OracleSql,
     "q13_event_window_stats" -> Analytics.q13OracleSql,
     "q14_text_stats"         -> TextPipeline.q14OracleSql,
+    "q15_exact_dedup"        -> TextAnalysis.q15OracleSql,
+    "q20_quality_score"      -> TextAnalysis.q20OracleSql,
+    "q21_token_count"        -> TextAnalysis.q21OracleSql,
+    "q22_doc_fingerprint"    -> TextAnalysis.q22OracleSql,
+    "q23_normalize_embeddings" -> Ann.q23OracleSql,
+    "q24_ann_ivf_topk"       -> Ann.q24OracleSql,
   )
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor scaffolding: vector normalization (the
+  * ingest-side preprocessing an ANN index needs) and an IVF-style two-stage
+  * search — coarse quantization to per-label centroids, then exact scoring
+  * inside the probed cluster only. This is the Spark-shaped counterpart of
+  * the reference's server-side HNSW index (reference: vector_db.py:20-24 —
+  * the index is Qdrant's; the contract "top-k most similar, sublinear scan"
+  * is what we reproduce): at 100 TB the corpus is PARTITIONED BY the
+  * cluster id so a probe prunes to 1/nlist of the data at the parquet scan.
+  */
+object Ann {
+
+  /** q23_normalize_embeddings — L2-normalize each embedding; emit the norm
+    * and the normalized vector (rounded to 6 dp for the oracle compare).
+    */
+  def normalizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(
+        col("vec_id"),
+        round(l2Norm(col("v")), 6).as("norm"),
+        transform(normalize(col("v")), x => round(x, 6)).as("unit"))
+      .orderBy(col("vec_id"))
+
+  val q23OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+      |  FROM embeddings
+      |)
+      |SELECT vec_id,
+      |       round(n, 6) AS norm,
+      |       CASE WHEN n = 0 THEN list_transform(v, x -> round(x, 6))
+      |            ELSE list_transform(v, x -> round(x / n, 6)) END AS unit
+      |FROM e ORDER BY vec_id""".stripMargin
+
+  /** q24_ann_ivf_topk — IVF two-stage ANN for the first 10 vectors as
+    * queries: (1) coarse step scores each query against the per-label
+    * centroids (components rounded to 6 dp so both engines argmax the same
+    * values) and picks the nearest centroid (tie → smaller label);
+    * (2) fine step runs exact top-3 cosine INSIDE that cluster only.
+    * Approximate by construction (a true neighbor in another cluster is
+    * missed) but fully deterministic, so it oracle-checks.
+    */
+  def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+
+    val centroids = emb
+      .select(col("label"), posexplode(toDouble(col("embedding"))))
+      .toDF("label", "pos", "x")
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("a"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("a")))), s => round(s.getField("a"), 6))
+        .as("centroid"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qvec"))
+
+    val probe = queries
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("label"),
+        round(GraftFunctions.cosine(col("qvec"), col("centroid")), 6).as("cscore"))
+      .groupBy(col("qid"))
+      .agg(max_by(struct(col("qvec"), col("label"), col("cscore")),
+        struct(col("cscore"), (col("label") * -1).as("neg"))).as("p"))
+      .select(col("qid"), col("p.qvec").as("qvec"), col("p.label").as("probe_label"))
+
+    val corpus = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("embedding"))
+    val scored = corpus
+      .join(broadcast(probe), col("label") === col("probe_label"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"),
+        col("probe_label"))
+    val tk = TopK.topKUdaf(3)
+    scored
+      .groupBy(col("qid"), col("probe_label"))
+      .agg(tk(col("id"), col("score")).as("top"))
+      .select(col("qid"), col("probe_label").cast("long").as("probe_label"), posexplode(col("top")))
+      .toDF("qid", "probe_label", "pos", "s")
+      .select(col("qid"), col("probe_label"), col("s.id").as("vec_id"),
+        col("s.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q24OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), cdims AS (
+      |  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+      |), cent AS (
+      |  SELECT label, list(round(a, 6) ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(x) AS a FROM cdims GROUP BY label, pos)
+      |  GROUP BY label
+      |), q AS (
+      |  SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 10
+      |), probe AS (
+      |  SELECT qid, qvec, label AS probe_label
+      |  FROM (
+      |    SELECT q.qid, q.qvec, c.label,
+      |           row_number() OVER (PARTITION BY q.qid ORDER BY
+      |             round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.centroid, c.centroid)) = 0
+      |                   THEN 0.0
+      |                   ELSE list_dot_product(q.qvec, c.centroid)
+      |                        / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.centroid, c.centroid))) END, 6) DESC,
+      |             c.label ASC) AS rn
+      |    FROM q CROSS JOIN cent c
+      |  ) WHERE rn = 1
+      |), scored AS (
+      |  SELECT p.qid, CAST(p.probe_label AS BIGINT) AS probe_label, e.vec_id,
+      |         round(CASE WHEN sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(e.v, e.v)) = 0
+      |               THEN 0.0
+      |               ELSE list_dot_product(p.qvec, e.v)
+      |                    / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(e.v, e.v))) END, 6) AS score
+      |  FROM probe p JOIN e ON e.label = p.probe_label
+      |)
+      |SELECT qid, probe_label, vec_id, score, rank
+      |FROM (SELECT qid, probe_label, vec_id, score,
+      |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextPipeline.tokenArr
+
+/** North-star text-analysis operators for a training-data pipeline
+  * (BASELINE.json): exact dedup, heuristic language ID, quality scoring,
+  * token counting, and document fingerprinting. All pure column
+  * expressions (codegen-friendly) except where noted.
+  */
+object TextAnalysis {
+
+  /** q15_exact_dedup — exact duplicate groups over a corpus that contains
+    * duplicates: the fixture corpus unioned with re-ingested copies
+    * (doc_id % 5 == 0, shifted ids), the same re-ingest shape as the
+    * reference's re-upsert loop (reference: vector_db.py:93-106). Groups by
+    * full-text md5 fingerprint; emits groups with >1 member with the keeper
+    * (min id). Hash-groupBy with map-side combine: the canonical
+    * exact-dedup at any scale — the fingerprint is tiny regardless of
+    * document size, so the shuffle carries 16 bytes + counts per distinct
+    * document.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    docs.unionByName(copies)
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("fingerprint"), col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+  }
+
+  val q15OracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |)
+      |SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM corpus
+      |GROUP BY md5(text)
+      |HAVING COUNT(*) > 1
+      |ORDER BY keeper_id""".stripMargin
+
+  /** English stopword profile used by the quality score and language ID. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** q20_quality_score — per-document quality heuristics: token count,
+    * punctuation-token ratio, stopword ratio, mean token length, and a
+    * weighted composite — the standard pre-training corpus quality filter
+    * shape (length/punct/stopword signals).
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = EnStopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokenArr(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(expr(s"CASE WHEN tok IN $stop THEN 1 ELSE 0 END")).as("n_stop"),
+        sum(expr("CASE WHEN tok RLIKE '^[^a-z0-9]+$' THEN 1 ELSE 0 END")).as("n_punct"),
+        avg(length(col("tok"))).as("m_len"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_stop") / col("n_tokens"), 6).as("stopword_ratio"),
+        round(col("n_punct") / col("n_tokens"), 6).as("punct_ratio"),
+        round(col("m_len"), 6).as("avg_tok_len"),
+        round(
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.4
+            + (lit(1.0) - col("n_punct") / col("n_tokens")) * 0.3
+            + (col("n_stop") / col("n_tokens")) * 0.3, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q20OracleSql: String = {
+    val stop = EnStopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS tok FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         COUNT(*) AS n_tokens,
+       |         sum(CASE WHEN tok IN $stop THEN 1 ELSE 0 END) AS n_stop,
+       |         sum(CASE WHEN regexp_matches(tok, '^[^a-z0-9]+$$') THEN 1 ELSE 0 END) AS n_punct,
+       |         avg(len(tok)) AS m_len
+       |  FROM t GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens,
+       |       round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       |       round(n_punct / CAST(n_tokens AS DOUBLE), 6) AS punct_ratio,
+       |       round(m_len, 6) AS avg_tok_len,
+       |       round(least(n_tokens / 100.0, 1.0) * 0.4
+       |             + (1.0 - n_punct / CAST(n_tokens AS DOUBLE)) * 0.3
+       |             + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3, 6) AS quality
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  /** q21_token_count — token counting two ways: plain whitespace split and a
+    * BPE-ish pre-tokenizer regex (contractions, words, punctuation runs —
+    * the GPT-2 pre-tokenizer family, restricted to RE2-safe constructs so
+    * engines agree).
+    */
+  val BpeRegex = "'(?:[sdmt]|ll|ve|re)|\\w+|[^\\w\\s]+"
+
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).cast("long").as("n_bpe_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val q21OracleSql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\w+|[^\w\s]+', 0)) AS BIGINT) AS n_bpe_tokens,
+      |       n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q22_doc_fingerprint — Karp-Rabin polynomial rolling hash of the
+    * document body (h = (h*31 + byte) mod 1000003), plus duplicate-bucket
+    * size per fingerprint. The per-char fold is a pure array expression;
+    * at scale the fingerprint replaces the full text in every downstream
+    * dedup shuffle.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("fp", expr(
+        "aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
+          "0L, (h, c) -> (h * 31 + c) % 1000003)"))
+    val buckets = docs.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    docs.join(buckets, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q22OracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(text) + 1),
+      |                     i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |                     (h, c) -> (h * 31 + c) % 1000003) AS fp
+      |  FROM documents
+      |), b AS (
+      |  SELECT fp, COUNT(*) AS n_docs FROM f GROUP BY fp
+      |)
+      |SELECT f.doc_id, f.fp, b.n_docs
+      |FROM f JOIN b USING (fp)
+      |ORDER BY f.doc_id""".stripMargin
+}
