@@ -34,6 +34,10 @@ object SparkEntry {
     "q13_event_window_stats" -> ((s, dir) => Analytics.eventWindowStats(s, dir)),
     "q14_text_stats"         -> ((s, dir) => TextPipeline.textStats(s, dir)),
     "q15_exact_dedup"        -> ((s, dir) => TextAnalysis.exactDedup(s, dir)),
+    "q16_minhash_lsh_dedup"  -> ((s, dir) => DedupExtras.minhashLshDedup(s, dir)),
+    "q17_simhash_fingerprint" -> ((s, dir) => DedupExtras.simhashFingerprint(s, dir)),
+    "q18_ngram_jaccard"      -> ((s, dir) => DedupExtras.ngramJaccard(s, dir)),
+    "q19_lang_id"            -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q20_quality_score"      -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q21_token_count"        -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q22_doc_fingerprint"    -> ((s, dir) => TextAnalysis.docFingerprint(s, dir)),
@@ -58,6 +62,10 @@ object SparkEntry {
     "q13_event_window_stats" -> Analytics.q13OracleSql,
     "q14_text_stats"         -> TextPipeline.q14OracleSql,
     "q15_exact_dedup"        -> TextAnalysis.q15OracleSql,
+    "q16_minhash_lsh_dedup"  -> DedupExtras.q16OracleSql,
+    "q17_simhash_fingerprint" -> DedupExtras.q17OracleSql,
+    "q18_ngram_jaccard"      -> DedupExtras.q18OracleSql,
+    "q19_lang_id"            -> TextAnalysis.q19OracleSql,
     "q20_quality_score"      -> TextAnalysis.q20OracleSql,
     "q21_token_count"        -> TextAnalysis.q21OracleSql,
     "q22_doc_fingerprint"    -> TextAnalysis.q22OracleSql,

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate near-duplicate detection for a training-data pipeline:
+  * MinHash + LSH banding and SimHash fingerprints, plus exact n-gram
+  * Jaccard verification. These are the scale path for dedup — the exact
+  * all-pairs join (Dedup.nearDupPairs) is O(n²) per block, while banding
+  * makes candidate generation O(n · bands) with an equi-join on band keys,
+  * which Spark executes as an ordinary shuffled hash join on a tiny key.
+  *
+  * Hash functions are md5-based so the DuckDB oracle computes the identical
+  * signatures: a fixed-width lowercase hex string compares lexicographically
+  * exactly like the number it encodes, so `min(md5(...))` is a valid
+  * MinHash in both engines with no hex→int conversion.
+  */
+object DedupExtras {
+
+  val NumHashes = 8
+  val Bands     = 4 // 2 signature rows per band
+  val JaccardThreshold = 0.5
+
+  /** Distinct word-3-gram shingle set per document (docs with <3 tokens have
+    * no shingles and drop out) — the standard shingling step.
+    */
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextPipeline.tokenArr(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
+
+  /** q16_minhash_lsh_dedup — full MinHash/LSH near-dup pipeline:
+    * shingle → 8-way MinHash signature → 4 bands of 2 → band-key equi-join
+    * for candidates → exact Jaccard verification ≥ 0.5 → top-50 pairs by
+    * (jaccard desc, a, b).
+    */
+  def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleSets(spark, sfDir)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"sig$i"))
+    val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandRows = (0 until Bands).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey"))
+    }.reduce(_ unionByName _)
+
+    val a = bandRows.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+    val b = bandRows.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    candidates
+      .join(sa, Seq("a_id"))
+      .join(sb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  val q16OracleSql: String = {
+    val sigSelect = (0 until NumHashes).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sigs").mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), sigs AS (
+       |  SELECT doc_id, $sigSelect FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.a_id, c.b_id,
+       |       round(len(list_intersect(sa.sh, sb.sh))
+       |             / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+       |FROM cand c
+       |JOIN sh sa ON sa.doc_id = c.a_id
+       |JOIN sh sb ON sb.doc_id = c.b_id
+       |WHERE round(len(list_intersect(sa.sh, sb.sh))
+       |            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) >= $JaccardThreshold
+       |ORDER BY jaccard DESC, a_id, b_id
+       |LIMIT 50""".stripMargin
+  }
+
+  /** q17_simhash_fingerprint — 16-bit SimHash over token instances: each
+    * token votes ±1 on 16 bit positions taken from the first 4 hex nibbles
+    * of its md5; a bit is set when the vote sum is ≥ 0. Emits the
+    * fingerprint and the size of its duplicate bucket. Pure hash-aggregate:
+    * one shuffle on doc_id with 16 partial sums, then one tiny shuffle on
+    * the 16-bit fingerprint space.
+    */
+  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // nibble k (k=0..3) as 0..15 from hex char k of the md5
+    val withNibbles = (0 until 4).foldLeft(toks) { (df, k) =>
+      df.withColumn(s"nib$k", expr(s"instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1"))
+    }
+    // bit j of the fingerprint comes from bit (j%4) of nibble (j/4)
+    val voteCols = (0 until 16).map { j =>
+      val k = j / 4; val shift = 1 << (j % 4)
+      sum(expr(s"2 * ((nib$k div $shift) % 2) - 1")).as(s"v$j")
+    }
+    val votes = withNibbles.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val fpExpr = (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val fps = votes.select(col("doc_id"), expr(s"CAST($fpExpr AS BIGINT)").as("simhash"))
+    val buckets = fps.groupBy(col("simhash")).agg(count(lit(1)).as("bucket_size"))
+    fps.join(buckets, Seq("simhash"))
+      .select(col("doc_id"), col("simhash"), col("bucket_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q17OracleSql: String = {
+    val nibbles = (0 until 4).map(k => s"strpos('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1 AS nib$k").mkString(", ")
+    val votes = (0 until 16).map { j =>
+      val k = j / 4; val shift = 1 << (j % 4)
+      s"sum(2 * ((nib$k // $shift) % 2) - 1) AS v$j"
+    }.mkString(", ")
+    val fp = (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1))) AS h
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, $nibbles FROM t
+       |), v AS (
+       |  SELECT doc_id, $votes FROM n GROUP BY doc_id
+       |), f AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v
+       |), b AS (
+       |  SELECT simhash, COUNT(*) AS bucket_size FROM f GROUP BY simhash
+       |)
+       |SELECT f.doc_id, f.simhash, b.bucket_size
+       |FROM f JOIN b USING (simhash)
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
+  /** q18_ngram_jaccard — exact word-3-gram Jaccard over pairs blocked by
+    * (lang, source) (the metadata-blocking pattern: candidates only form
+    * inside a block), top-50 by (jaccard desc, a, b).
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), TextPipeline.tokenArr(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"), expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("sh").as("shb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("lang"), col("source"), col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb"))).cast("double"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  val q18OracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, source, regexp_extract_all(text, '(\w+|[^\w\s]+)', 1) AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |)
+      |SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+      |       round(len(list_intersect(a.sh, b.sh))
+      |             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, a_id, b_id
+      |LIMIT 50""".stripMargin
+}

@@ -50,6 +50,72 @@ object TextAnalysis {
   /** English stopword profile used by the quality score and language ID. */
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
+  /** Tiny per-language stopword profiles for the lang-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr" -> Seq("le", "les", "et", "de", "un", "est", "pour", "dans"))
+
+  /** q19_lang_id — n-gram/stopword-profile language identification: score
+    * each document against each candidate profile (fraction of token
+    * instances that hit the profile) and pick the argmax (tie → candidate
+    * language asc). The profile join is a broadcast hash join against a
+    * literal dimension table; the per-doc regroup shuffles one count per
+    * (doc, candidate).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val profiles = LangProfiles.flatMap { case (l, ts) => ts.map(t => (l, t)) }.toDF("cand_lang", "ptok")
+    val cands    = LangProfiles.map(_._1).toDF("cand_lang")
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(tokenArr(col("text"))).as("tok"))
+    val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hits = toks
+      .join(broadcast(profiles), col("tok") === col("ptok"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("n_hits"))
+    val scored = nTok
+      .crossJoin(broadcast(cands))
+      .join(hits, Seq("doc_id", "cand_lang"), "left")
+      .select(col("doc_id"), col("cand_lang"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand_lang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q19OracleSql: String = {
+    val vals = LangProfiles.flatMap { case (l, ts) => ts.map(t => s"('$l', '$t')") }.mkString(", ")
+    val langs = LangProfiles.map { case (l, _) => s"('$l')" }.mkString(", ")
+    s"""WITH profiles(cand_lang, ptok) AS (VALUES $vals),
+       |cands(cand_lang) AS (VALUES $langs),
+       |t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS tok FROM documents
+       |), n AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id
+       |), hits AS (
+       |  SELECT t.doc_id, p.cand_lang, COUNT(*) AS n_hits
+       |  FROM t JOIN profiles p ON t.tok = p.ptok
+       |  GROUP BY t.doc_id, p.cand_lang
+       |), scored AS (
+       |  SELECT n.doc_id, c.cand_lang,
+       |         round(COALESCE(h.n_hits, 0) / CAST(n.n AS DOUBLE), 6) AS score
+       |  FROM n CROSS JOIN cands c
+       |  LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.cand_lang = c.cand_lang
+       |)
+       |SELECT doc_id, cand_lang AS pred_lang, score
+       |FROM (SELECT doc_id, cand_lang, score,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+       |      FROM scored)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q20_quality_score — per-document quality heuristics: token count,
     * punctuation-token ratio, stopword ratio, mean token length, and a
     * weighted composite — the standard pre-training corpus quality filter
