@@ -43,6 +43,10 @@ object SparkEntry {
     "q22_doc_fingerprint"    -> ((s, dir) => TextAnalysis.docFingerprint(s, dir)),
     "q23_normalize_embeddings" -> ((s, dir) => Ann.normalizeEmbeddings(s, dir)),
     "q24_ann_ivf_topk"       -> ((s, dir) => Ann.annIvfTopK(s, dir)),
+    "q25_multimodal_decode"  -> ((s, dir) => Multimodal.multimodalDecode(s, dir)),
+    "q26_pricing_summary"    -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q27_top_customers"      -> ((s, dir) => Relational.topCustomers(s, dir)),
+    "q28_sessionize"         -> ((s, dir) => Relational.sessionize(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -71,5 +75,9 @@ object SparkEntry {
     "q22_doc_fingerprint"    -> TextAnalysis.q22OracleSql,
     "q23_normalize_embeddings" -> Ann.q23OracleSql,
     "q24_ann_ivf_topk"       -> Ann.q24OracleSql,
+    "q25_multimodal_decode"  -> Multimodal.q25OracleSql,
+    "q26_pricing_summary"    -> Relational.q26OracleSql,
+    "q27_top_customers"      -> Relational.q27OracleSql,
+    "q28_sessionize"         -> Relational.q28OracleSql,
   )
 }

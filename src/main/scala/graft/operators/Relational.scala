@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics over the TPC-H-ish fixture tables — the general
+  * query surface a user of the engine gets for free from Catalyst
+  * (SURVEY.md §2A joins/aggregations: absent in the reference, declared
+  * here as engine capability). These also give the benchmark real data
+  * volume: `lineitem` and `events` are the only fixture tables that scale
+  * with sf.
+  *
+  * Big sums are rounded to 2 dp (not 6): at sf0.1 the sums reach 1e10,
+  * where double accumulation-order noise is ~1e-5 — far below 0.005 but
+  * far above round(…,6)'s tolerance at that magnitude.
+  */
+object Relational {
+
+  /** q26_pricing_summary — TPC-H Q1-shaped pricing summary: scan-heavy
+    * filter + 6-way aggregate over lineitem. One hash aggregate with
+    * map-side combine over 4 group keys; the parquet scan prunes to 7 of
+    * 11 columns and pushes the shipdate predicate.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q26OracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q27_top_customers — TPC-H Q10-shaped revenue join: lineitem ⋈ orders ⋈
+    * customer ⋈ nation, top-20 customers by discounted revenue.
+    * Catalyst broadcasts the dimension sides (orders/customer fit under the
+    * broadcast threshold at test scale; at 100 TB orders-lineitem becomes a
+    * shuffled hash join on o_orderkey while customer/nation stay broadcast)
+    * and the final top-20 is a TakeOrderedAndProject.
+    */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n  = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q27OracleSql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** q28_sessionize — session analytics over the event stream: a new
+    * session starts after a >30-minute gap per user. Analytic windows
+    * (lag + running sum) partitioned by user_id — the shuffle is by user,
+    * so the operator scales with user cardinality, not event count per
+    * partition. Gap arithmetic in microseconds on both engines.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("sess_events")).as("n_events"),
+        count(lit(1)).as("n_sessions"),
+        max(col("sess_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q28OracleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |), f AS (
+      |  SELECT user_id, us, event_id,
+      |         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), s AS (
+      |  SELECT user_id,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f
+      |), g AS (
+      |  SELECT user_id, session_id, COUNT(*) AS sess_events FROM s GROUP BY user_id, session_id
+      |)
+      |SELECT user_id,
+      |       sum(sess_events) AS n_events,
+      |       COUNT(*) AS n_sessions,
+      |       max(sess_events) AS max_session_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+}
