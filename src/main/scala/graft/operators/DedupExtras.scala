@@ -40,14 +40,19 @@ object DedupExtras {
     * (jaccard desc, a, b).
     */
   def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleSets(spark, sfDir)
+    // The shingle sets feed three plan branches (signature build + both
+    // sides of the verification join); cache so Spark doesn't recompute the
+    // tokenize+shingle subtree per branch.
+    val sh = shingleSets(spark, sfDir).cache()
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until NumHashes).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"sig$i"))
     val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandRows = (0 until Bands).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey"))
-    }.reduce(_ unionByName _)
+    // One band row per (doc, band) via a single posexplode — NOT a 4-way
+    // union, which would re-run the whole signature aggregation per band.
+    val bandKeys = (0 until Bands).map(b => md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+    val bandRows = sigs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "band", "bkey")
 
     val a = bandRows.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
     val b = bandRows.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
@@ -159,12 +164,13 @@ object DedupExtras {
     * inside a block), top-50 by (jaccard desc, a, b).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+    val shBase = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), TextPipeline.tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"), expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
+    val sh = shBase.cache() // both self-join sides share the shingle subtree
     val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("sh").as("shb"))
     a.join(b, Seq("lang", "source"))
