@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_pricing_summary"    -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q27_top_customers"      -> ((s, dir) => Relational.topCustomers(s, dir)),
     "q28_sessionize"         -> ((s, dir) => Relational.sessionize(s, dir)),
+    "q29_json_payload_stats" -> ((s, dir) => Payload.jsonPayloadStats(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -79,5 +80,6 @@ object SparkEntry {
     "q26_pricing_summary"    -> Relational.q26OracleSql,
     "q27_top_customers"      -> Relational.q27OracleSql,
     "q28_sessionize"         -> Relational.q28OracleSql,
+    "q29_json_payload_stats" -> Payload.q29OracleSql,
   )
 }

@@ -92,6 +92,36 @@ object Ann {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Approximate k-NN via MLlib's random-hyperplane LSH
+    * (`BucketedRandomProjectionLSH` over L2-normalized vectors, where
+    * euclidean distance is monotone in cosine: |a-b|² = 2(1-cos) for unit
+    * vectors). This is the library's second ANN path next to the IVF probe —
+    * the algorithmic stand-in for the reference's server-side HNSW
+    * (reference: vector_db.py:20-24). Not oracle-checked (LSH bucketing is
+    * seed-dependent); covered by a recall test against exact k-NN.
+    *
+    * Returns (qid, vec_id, dist) for the approx k nearest per query.
+    */
+  def lshApproxKnn(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), array_to_vector(normalize(toDouble(col("embedding")))).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+    val model   = lsh.fit(emb)
+    val hashed  = model.transform(emb).cache()
+    val queries = hashed.filter(col("vec_id") < numQueries).collect()
+    queries.map { q =>
+      model
+        .approxNearestNeighbors(hashed, q.getAs[Vector]("features"), k)
+        .select(lit(q.getLong(0)).as("qid"), col("vec_id"), round(col("distCol"), 6).as("dist"))
+    }.reduce(_ unionByName _).orderBy(col("qid"), col("dist"), col("vec_id"))
+  }
+
   val q24OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -49,6 +50,38 @@ object Payload {
       .select(col("qid"), col("vec_id"), col("score"), col("rank"), col("lang"), col("source"), col("snippet"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** q29_json_payload_stats — schemaless JSON payload handling (the
+    * reference stores payloads as JSON dicts on the wire,
+    * vector_db.py:89): parse `events.props` with an explicit schema via
+    * `from_json`, then aggregate the extracted field per event type.
+    * The parse is a scalar expression inside the scan stage — no extra
+    * pass; at scale, prefer materializing hot JSON fields to columns
+    * exactly like this query's select does.
+    */
+  def jsonPayloadStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("k")), 6).as("avg_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  val q29OracleSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+      |)
+      |SELECT event_type,
+      |       COUNT(*) AS n_events,
+      |       round(avg(k), 6) AS avg_k,
+      |       max(k) AS max_k,
+      |       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val q12OracleSql: String =
     """WITH q AS (
