@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_top_customers"      -> ((s, dir) => Relational.topCustomers(s, dir)),
     "q28_sessionize"         -> ((s, dir) => Relational.sessionize(s, dir)),
     "q29_json_payload_stats" -> ((s, dir) => Payload.jsonPayloadStats(s, dir)),
+    "q30_event_rollup"       -> ((s, dir) => Relational.eventRollup(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -81,5 +82,6 @@ object SparkEntry {
     "q27_top_customers"      -> Relational.q27OracleSql,
     "q28_sessionize"         -> Relational.q28OracleSql,
     "q29_json_payload_stats" -> Payload.q29OracleSql,
+    "q30_event_rollup"       -> Relational.q30OracleSql,
   )
 }

@@ -95,3 +95,24 @@ object GraftFunctions {
     */
   def cosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
 }
+
+/** Session-extension entry point for cluster deployments: registers graft's
+  * native functions at session build time, so SQL-only users get them
+  * without any Scala call:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * Operator methods call `GraftFunctions.ensureRegistered` themselves, so
+  * the extension is optional for the Scala API.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.CosineName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getCanonicalName, GraftFunctions.CosineName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}

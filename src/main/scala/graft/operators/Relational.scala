@@ -108,6 +108,32 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q30_event_rollup — hierarchical subtotals via ROLLUP(event_type, day):
+    * per (type, day), per type, and grand total in one pass (Spark expands
+    * to a single Expand + hash aggregate). Rollup null keys are coalesced to
+    * 'ALL' so the oracle compare sees no NULL grouping keys; big sums round
+    * to 2 dp.
+    */
+  def eventRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+
+  val q30OracleSql: String =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |       COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+      |       COUNT(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+      |ORDER BY event_type, day""".stripMargin
+
   val q28OracleSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.{TextPipeline, TopK}
+
+/** Property-based invariants (SURVEY.md §5.3): cosine symmetry/self-sim,
+  * top-k monotonicity, pad/unpad round-trip. ScalaCheck generators produce
+  * the cases; each property is evaluated as ONE batch Spark job over the
+  * generated set (a per-case forAll would launch hundreds of jobs).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val vecGen: Gen[Array[Double]] =
+    for {
+      d  <- Gen.choose(1, 48)
+      xs <- Gen.listOfN(d, Gen.choose(-10.0, 10.0))
+    } yield xs.toArray
+
+  test("cosine: symmetric, bounded, self-similar, scale-invariant (batch-evaluated)") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val pairs = Gen.listOfN(60, Gen.zip(vecGen, vecGen)).sample.get
+      .map { case (a, b) => (a, b.take(a.length).padTo(a.length, 1.0)) }
+    val rows = pairs.toDF("a", "b")
+      .select(
+        GraftFunctions.cosine($"a", $"b").as("ab"),
+        GraftFunctions.cosine($"b", $"a").as("ba"),
+        GraftFunctions.cosine($"a", $"a").as("aa"),
+        GraftFunctions.cosine($"a", transform($"b", x => x * 3.5)).as("scaled"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (ab, ba, aa, scaled) =>
+      assert(ab == ba, "symmetry")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, "bounded")
+      assert(math.abs(aa - 1.0) < 1e-9, "self-similarity (non-zero vectors)")
+      assert(math.abs(ab - scaled) < 1e-9, "scale invariance")
+    }
+  }
+
+  test("top-k monotonicity: top-(k-1) is a prefix of top-k") {
+    import spark.implicits._
+    val rnd  = new scala.util.Random(99)
+    val rows = Seq.tabulate(500)(i => ((i % 5).toLong, i.toLong, math.floor(rnd.nextDouble() * 10) / 10.0))
+    val df   = rows.toDF("qid", "id", "score").repartition(5)
+    def top(k: Int): Map[Long, Seq[Long]] = {
+      val tk = TopK.topKUdaf(k)
+      df.groupBy($"qid").agg(tk($"id", $"score").as("top"))
+        .select($"qid", expr("transform(top, s -> s.id)"))
+        .as[(Long, Seq[Long])].collect().toMap
+    }
+    val k3 = top(3); val k7 = top(7)
+    k3.foreach { case (q, ids) => assert(k7(q).take(3) == ids, s"prefix violated for $q") }
+  }
+
+  test("tokenize/pad round-trip: decoding a padded sequence recovers the token ids") {
+    import spark.implicits._
+    val out = TextPipeline.tokenizePad(spark, TestSpark.Sf0001).as[(Long, Seq[Long])].collect()
+    out.take(50).foreach { case (_, ids) =>
+      // strip SOS, then everything between it and EOS must survive a
+      // pad-strip round trip: concat(body, pads) -> dropRight(pads) == body
+      val body = ids.drop(1).takeWhile(_ != TextPipeline.EosId)
+      val rebuilt = (TextPipeline.SosId +: body :+ TextPipeline.EosId) ++
+        Seq.fill(TextPipeline.SeqLen - body.length - 2)(TextPipeline.PadId)
+      assert(rebuilt == ids, "SOS/body/EOS/PAD* structure must be losslessly decodable")
+    }
+  }
+
+  test("vocab ids are a bijection: every id maps to exactly one token and back") {
+    val v = TextPipeline.vocabBuild(spark, TestSpark.Sf0001)
+      .select(col("token"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.map(_._1).distinct.length == v.length, "tokens unique")
+    assert(v.map(_._2).distinct.length == v.length, "ids unique")
+    assert(v.map(_._2).sorted.toSeq == v.indices.map(_.toLong), "ids dense 0..n-1")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** The SQL-only user path: fixture tables as temp views + graft functions
+  * callable from spark.sql.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_cosine is callable from SQL and k-NN is expressible as pure SQL") {
+    GraftFunctions.ensureRegistered(spark)
+    val v = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D))").head().getDouble(0)
+    assert(v == 0.0)
+
+    Tables.embeddings(spark, TestSpark.Sf0001).createOrReplaceTempView("embeddings")
+    val knn = spark.sql(
+      """SELECT qid, vec_id, score FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id,
+        |         round(graft_cosine(cast(q.embedding AS array<double>), cast(c.embedding AS array<double>)), 6) AS score,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           round(graft_cosine(cast(q.embedding AS array<double>), cast(c.embedding AS array<double>)), 6) DESC,
+        |           c.vec_id) AS rank
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 3) q CROSS JOIN embeddings c
+        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+      .collect()
+    assert(knn.length == 15)
+    // top hit for each query is the query itself at similarity 1.0
+    val self = knn.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length == 3 && self.forall(_.getDouble(2) == 1.0))
+  }
+}
