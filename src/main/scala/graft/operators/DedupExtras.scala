@@ -161,23 +161,36 @@ object DedupExtras {
 
   /** q18_ngram_jaccard — exact word-3-gram Jaccard over pairs blocked by
     * (lang, source) (the metadata-blocking pattern: candidates only form
-    * inside a block), top-50 by (jaccard desc, a, b).
+    * inside a block) with NONZERO overlap, top-50 by (jaccard desc, a, b).
+    *
+    * Shape: instead of materializing all O(b²) blocked pairs carrying two
+    * shingle ARRAYS each and intersecting per pair, the shingles are
+    * exploded once and self-equi-joined on (block, shingle) — the join
+    * output is exactly the intersecting pairs (Σ freq² per shingle, ~10×
+    * fewer rows here), grouped to intersection counts; union sizes come
+    * from |a|+|b|−|a∩b|. Pairs with empty intersection have jaccard 0 and
+    * are excluded by construction — hence the nonzero-overlap contract.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val shBase = Tables.documents(spark, sfDir)
+    val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), TextPipeline.tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"), expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
-    val sh = shBase.cache() // both self-join sides share the shingle subtree
-    val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("sh").as("sha"))
-    val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("sh").as("shb"))
-    a.join(b, Seq("lang", "source"))
+      .cache() // exploded twice + sizes twice below
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("double").as("n"))
+    val ex = sh.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.toDF("lang", "source", "a_id", "s")
+      .join(ex.toDF("lang", "source", "b_id", "s"), Seq("lang", "source", "s"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("lang"), col("source"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("double").as("n_inter"))
+    inter
+      .join(sizes.toDF("a_id", "na"), Seq("a_id"))
+      .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
       .select(col("lang"), col("source"), col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sha"), col("shb")))
-          / size(array_union(col("sha"), col("shb"))).cast("double"), 6).as("jaccard"))
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(50)
   }
@@ -195,6 +208,7 @@ object DedupExtras {
       |             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
       |FROM sh a JOIN sh b
       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) > 0
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin
 }
