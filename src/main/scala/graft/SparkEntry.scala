@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_sessionize"         -> ((s, dir) => Relational.sessionize(s, dir)),
     "q29_json_payload_stats" -> ((s, dir) => Payload.jsonPayloadStats(s, dir)),
     "q30_event_rollup"       -> ((s, dir) => Relational.eventRollup(s, dir)),
+    "q31_asof_join"          -> ((s, dir) => Relational.asofJoin(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -83,5 +84,6 @@ object SparkEntry {
     "q28_sessionize"         -> Relational.q28OracleSql,
     "q29_json_payload_stats" -> Payload.q29OracleSql,
     "q30_event_rollup"       -> Relational.q30OracleSql,
+    "q31_asof_join"          -> Relational.q31OracleSql,
   )
 }

@@ -49,6 +49,21 @@ object Analytics {
       |       CAST(first(n) AS BIGINT) AS n
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
+  /** Sketch-based distinct counting: HyperLogLog++ per event type
+    * (`approx_count_distinct`) next to the exact count. At 100 TB the
+    * sketch is THE distinct-count path — fixed-size partial state per
+    * group, mergeable map-side, no distinct shuffle. Not a declared/oracle
+    * query (DuckDB's HLL differs numerically); relative-error-tested in
+    * AnalyticsSpec.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String, rsd: Double = 0.05): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   /** q13_event_window_stats — tumbling 1-hour count/sum per event type over
     * the `events` table: the batch form of `groupBy(window($"ts","1h"))`
     * that a Structured Streaming deployment of the same code would run

@@ -125,6 +125,44 @@ object Relational {
         col("n_events"), col("sum_value"))
       .orderBy(col("event_type"), col("day"))
 
+  /** q31_asof_join — temporal as-of join: attach to every event its user's
+    * most recent purchase at-or-before the event time (events with no prior
+    * purchase drop, matching inner ASOF semantics). Spark has no ASOF
+    * operator; the scalable composition is the merge-and-carry pattern:
+    * union the probe and reference streams with a kind tag, ONE shuffle by
+    * user_id, and carry the last reference timestamp forward with
+    * `last(_, ignoreNulls)` over (ts, kind, id) — reference rows sort
+    * before probe rows at equal timestamps so `>=` matches. O(n log n) per
+    * user partition, no range cross join. Oracle: DuckDB's native ASOF JOIN.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val probe = ev
+      .withColumn("kind", lit(1)).withColumn("ref_us_in", lit(null).cast("long"))
+    val refs = ev.filter(col("event_type") === "purchase")
+      .withColumn("kind", lit(0)).withColumn("ref_us_in", col("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    probe.unionByName(refs)
+      .withColumn("ref_us", last(col("ref_us_in"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("ref_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ref_us"), (col("us") - col("ref_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q31OracleSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+      |), ref AS (
+      |  SELECT user_id, us AS ref_us FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT e.event_id, e.user_id, e.event_type, r.ref_us, e.us - r.ref_us AS gap_us
+      |FROM e ASOF JOIN ref r ON e.user_id = r.user_id AND e.us >= r.ref_us
+      |ORDER BY e.event_id""".stripMargin
+
   val q30OracleSql: String =
     """SELECT COALESCE(event_type, 'ALL') AS event_type,
       |       COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Skew}
+
+/** Scale-path tools: salted-join equivalence, HLL sketch accuracy, and
+  * partition-pruned storage layout.
+  */
+class ScaleToolsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("saltedJoin returns exactly the plain inner-join result on skewed keys") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i.toLong)).toDF("k", "lv")
+    val right = (0L to 50L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain  = left.join(right, Seq("k")).select("k", "lv", "rv").collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", 8).select("k", "lv", "rv").collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("HLL approx distinct stays within advertised error vs exact") {
+    import spark.implicits._
+    val r = Analytics.approxDistinctUsers(spark, TestSpark.Sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (t, approx, exact) =>
+      val rel = math.abs(approx - exact).toDouble / exact
+      assert(rel <= 0.15, s"$t: approx $approx vs exact $exact (rel err $rel)")
+    }
+  }
+
+  test("partitionBy layout gives partition-pruned scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.embeddings(spark, TestSpark.Sf0001)
+      .write.mode("overwrite").partitionBy("label").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("label") === 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected partition filters in scan")
+    assert(plan.contains("label"), "partition column must appear in pruning filters")
+    // pruning actually limits files read: only the label=3 directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("label=1") || scanned.contains("label=3"))
+    assert(q.count() ==
+      Tables.embeddings(spark, TestSpark.Sf0001).filter(col("label") === 3).count())
+  }
+}
