@@ -64,7 +64,7 @@ object Ann {
         .as("centroid"))
 
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qvec"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
     val probe = queries
       .crossJoin(broadcast(centroids))
@@ -75,7 +75,7 @@ object Ann {
         struct(col("cscore"), (col("label") * -1).as("neg"))).as("p"))
       .select(col("qid"), col("p.qvec").as("qvec"), col("p.label").as("probe_label"))
 
-    val corpus = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding"))
     val scored = corpus
       .join(broadcast(probe), col("label") === col("probe_label"))
       .select(col("qid"), col("vec_id").as("id"),

@@ -26,7 +26,7 @@ object Dedup {
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
     val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
     val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
     a.join(b, Seq("label"))

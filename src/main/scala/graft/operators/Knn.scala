@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.toDouble
 import graft.functions.GraftFunctions
 
 /** Exact k-NN similarity search over the `embeddings` point collection.
@@ -59,8 +58,8 @@ object Knn {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb
       .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qvec"))
-    val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
     topK(queries, corpus, 5)
   }
 
@@ -97,8 +96,8 @@ object Knn {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb
       .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
-    val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("embedding"), col("label"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
     corpus
       .join(broadcast(queries), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       .select(

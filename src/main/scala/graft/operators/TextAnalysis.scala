@@ -197,14 +197,13 @@ object TextAnalysis {
     * dedup shuffle.
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    // split-to-chars then fold: one pass per document. The naive
-    // substr(text, i, 1) per position is O(n²) per doc (each substr seeks
-    // from the string start) and benched 10x slower. split('') keeps a
-    // trailing empty element, hence the filter.
+    // Native codegen'd byte fold (graft.functions.RollingHash): the
+    // higher-order-function form (aggregate over split-to-chars) allocates
+    // a per-char array and runs interpreted; the naive substr(text,i,1)
+    // variant before it was O(n²) per doc and benched 10x slower still.
+    graft.functions.RollingHash.ensureRegistered(spark)
     val docs = Tables.documents(spark, sfDir)
-      .withColumn("fp", expr(
-        "aggregate(transform(filter(split(text, ''), c -> c != ''), c -> ascii(c)), " +
-          "0L, (h, c) -> (h * 31 + c) % 1000003)"))
+      .withColumn("fp", graft.functions.RollingHash.rollingHash(col("text")))
     val buckets = docs.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
     docs.join(buckets, Seq("fp"))
       .select(col("doc_id"), col("fp"), col("n_docs"))

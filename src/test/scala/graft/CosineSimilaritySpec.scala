@@ -53,6 +53,19 @@ class CosineSimilaritySpec extends AnyFunSuite {
     rows.foreach { case (n, e) => assert(n == e, s"native $n != expr $e") }
   }
 
+  test("float arrays widen exactly: raw float input equals cast-to-double input") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new Random(5)
+    val pairs = Seq.fill(30)((Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat())))
+    val df = pairs.toDF("a", "b") // array<float> columns
+    val rows = df.select(
+      GraftFunctions.cosine($"a", $"b").as("raw"),
+      GraftFunctions.cosine($"a".cast("array<double>"), $"b".cast("array<double>")).as("cast"),
+      GraftFunctions.cosine($"a", $"b".cast("array<double>")).as("mixed"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (r, c, m) => assert(r == c && r == m) }
+  }
+
   test("symmetry and self-similarity properties") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new Random(7)
