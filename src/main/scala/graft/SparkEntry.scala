@@ -50,6 +50,7 @@ object SparkEntry {
     "q29_json_payload_stats" -> ((s, dir) => Payload.jsonPayloadStats(s, dir)),
     "q30_event_rollup"       -> ((s, dir) => Relational.eventRollup(s, dir)),
     "q31_asof_join"          -> ((s, dir) => Relational.asofJoin(s, dir)),
+    "q32_chunk_documents"    -> ((s, dir) => TextPipeline.chunkDocuments(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -85,5 +86,6 @@ object SparkEntry {
     "q29_json_payload_stats" -> Payload.q29OracleSql,
     "q30_event_rollup"       -> Relational.q30OracleSql,
     "q31_asof_join"          -> Relational.q31OracleSql,
+    "q32_chunk_documents"    -> TextPipeline.q32OracleSql,
   )
 }

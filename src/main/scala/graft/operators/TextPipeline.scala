@@ -199,6 +199,50 @@ object TextPipeline {
       |       trim(regexp_extract(framed, '\[/INST\](.*)$', 1)) AS response
       |FROM framed ORDER BY doc_id""".stripMargin
 
+  /** Chunking geometry for q32: window of 32 tokens, stride 16 (50%
+    * overlap) — the standard long-document split for context-bounded
+    * training/embedding.
+    */
+  val ChunkSize = 32; val ChunkStride = 16
+
+  /** q32_chunk_documents — split each document into overlapping token
+    * windows; trailing chunks may be short. One chunk per stride start
+    * below the token count, so every token lands in ≥1 chunk. Pure array
+    * expressions + one posexplode: chunking is scan-local, no shuffle at
+    * all until a downstream operator needs one.
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenArr(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $ChunkStride.0) as int) - 1), " +
+          s"i -> slice(toks, i * $ChunkStride + 1, $ChunkSize))")))
+      .toDF("doc_id", "chunk_id", "chunk")
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q32OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |         generate_subscripts(chunks, 1) - 1 AS chunk_id,
+       |         unnest(chunks) AS chunk
+       |  FROM (SELECT doc_id,
+       |               list_transform(range(0, CAST(ceil(len(toks) / $ChunkStride.0) AS INT)),
+       |                 i -> toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize]) AS chunks
+       |        FROM t WHERE len(toks) > 0)
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |       array_to_string(chunk, ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q14_text_stats — per-document token count, distinct-token count, and
     * mean token length (north-star text-analysis operator; entirely
     * array-expression based so it stays inside whole-stage codegen).
