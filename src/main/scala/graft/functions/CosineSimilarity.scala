@@ -121,10 +121,18 @@ object GraftFunctions {
   * the extension is optional for the Scala API.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.CosineName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getCanonicalName, GraftFunctions.CosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(RollingHash.Name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHash].getCanonicalName, RollingHash.Name),
+      (exprs: Seq[Expression]) =>
+        RollingHash(exprs.head, RollingHash.DefaultBase, RollingHash.DefaultModulus)))
+    e.injectOptimizerRule(_ => graft.plans.StripCosineCasts)
+  }
 }
