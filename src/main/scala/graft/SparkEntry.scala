@@ -51,6 +51,8 @@ object SparkEntry {
     "q30_event_rollup"       -> ((s, dir) => Relational.eventRollup(s, dir)),
     "q31_asof_join"          -> ((s, dir) => Relational.asofJoin(s, dir)),
     "q32_chunk_documents"    -> ((s, dir) => TextPipeline.chunkDocuments(s, dir)),
+    "q33_padding_mask"       -> ((s, dir) => TensorOps.paddingMask(s, dir)),
+    "q34_softmax_relu"       -> ((s, dir) => TensorOps.softmaxRelu(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -87,5 +89,7 @@ object SparkEntry {
     "q30_event_rollup"       -> Relational.q30OracleSql,
     "q31_asof_join"          -> Relational.q31OracleSql,
     "q32_chunk_documents"    -> TextPipeline.q32OracleSql,
+    "q33_padding_mask"       -> TensorOps.q33OracleSql,
+    "q34_softmax_relu"       -> TensorOps.q34OracleSql,
   )
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.toDouble
+
+/** Tensor-shaped scalar functions from the reference's training scripts,
+  * expressed as array-column operators: padding masks
+  * (reference: transformer_sample.py:551 `(input != pad).int()`), softmax
+  * (reference: transformer_sample.py:153), and relu
+  * (reference: transformer_sample.py:116 → `greatest(x, 0)`). All pure
+  * per-row array expressions — scan-local, no shuffle.
+  */
+object TensorOps {
+
+  /** q33_padding_mask — the attention padding mask over the q05 encoded
+    * sequences: 1 where the position holds a real token (SOS/EOS count as
+    * attendable, matching the reference's mask), 0 on [PAD]; plus the real
+    * length.
+    */
+  def paddingMask(spark: SparkSession, sfDir: String): DataFrame =
+    TextPipeline.tokenizePad(spark, sfDir)
+      .select(
+        col("doc_id"),
+        transform(col("token_ids"), x => when(x === TextPipeline.PadId, 0L).otherwise(1L)).as("mask"))
+      .select(
+        col("doc_id"), col("mask"),
+        aggregate(col("mask"), lit(0L), (acc, x) => acc + x).as("n_attend"))
+      .orderBy(col("doc_id"))
+
+  val q33OracleSql: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS l FROM documents
+       |), freqs AS (
+       |  SELECT token, COUNT(*) AS freq
+       |  FROM (SELECT unnest(l) AS token FROM toks0) GROUP BY token HAVING COUNT(*) >= 2
+       |), vocab AS (
+       |  SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) + 3 AS BIGINT) AS id FROM freqs
+       |), toks AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS token FROM toks0
+       |), joined AS (
+       |  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+       |  FROM toks t LEFT JOIN vocab v USING (token)
+       |), seqs AS (
+       |  SELECT doc_id, list(id ORDER BY pos) AS ids FROM joined GROUP BY doc_id
+       |), padded AS (
+       |  SELECT doc_id,
+       |         [CAST(2 AS BIGINT)] || ids || [CAST(3 AS BIGINT)]
+       |           || list_transform(range(${TextPipeline.SeqLen} - 2 - len(ids)), x -> CAST(1 AS BIGINT)) AS token_ids
+       |  FROM seqs
+       |  WHERE len(ids) <= ${TextPipeline.SeqLen} - 2
+       |)
+       |SELECT doc_id,
+       |       list_transform(token_ids, x -> CAST(CASE WHEN x = 1 THEN 0 ELSE 1 END AS BIGINT)) AS mask,
+       |       CAST(list_aggregate(list_transform(token_ids, x -> CASE WHEN x = 1 THEN 0 ELSE 1 END), 'sum') AS BIGINT) AS n_attend
+       |FROM padded ORDER BY doc_id""".stripMargin
+
+  /** q34_softmax_relu — softmax over the first 8 embedding dimensions and
+    * the fraction of non-negative components (relu support), per vector.
+    */
+  def softmaxRelu(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), slice(toDouble(col("embedding")), 1, 8).as("v"),
+        toDouble(col("embedding")).as("fullv"))
+      .withColumn("z", aggregate(col("v"), lit(0.0), (acc, x) => acc + exp(x)))
+      .select(
+        col("vec_id"),
+        transform(col("v"), x => round(exp(x) / col("z"), 6)).as("softmax8"),
+        round(
+          aggregate(col("fullv"), lit(0.0), (acc, x) => acc + when(greatest(x, lit(0.0)) === x, 1.0).otherwise(0.0))
+            / size(col("fullv")), 6).as("nonneg_frac"))
+      .orderBy(col("vec_id"))
+
+  val q34OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS fullv, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+      |), z AS (
+      |  SELECT vec_id, fullv, v,
+      |         list_aggregate(list_transform(v, x -> exp(x)), 'sum') AS z
+      |  FROM e
+      |)
+      |SELECT vec_id,
+      |       list_transform(v, x -> round(exp(x) / z, 6)) AS softmax8,
+      |       round(list_aggregate(list_transform(fullv, x -> CASE WHEN greatest(x, 0.0) = x THEN 1.0 ELSE 0.0 END), 'sum')
+      |             / len(fullv), 6) AS nonneg_frac
+      |FROM z ORDER BY vec_id""".stripMargin
+}
