@@ -53,6 +53,8 @@ object SparkEntry {
     "q32_chunk_documents"    -> ((s, dir) => TextPipeline.chunkDocuments(s, dir)),
     "q33_padding_mask"       -> ((s, dir) => TensorOps.paddingMask(s, dir)),
     "q34_softmax_relu"       -> ((s, dir) => TensorOps.softmaxRelu(s, dir)),
+    "q35_event_type_pivot"   -> ((s, dir) => Relational.eventTypePivot(s, dir)),
+    "q36_value_quantiles"    -> ((s, dir) => Relational.valueQuantiles(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -91,5 +93,7 @@ object SparkEntry {
     "q32_chunk_documents"    -> TextPipeline.q32OracleSql,
     "q33_padding_mask"       -> TensorOps.q33OracleSql,
     "q34_softmax_relu"       -> TensorOps.q34OracleSql,
+    "q35_event_type_pivot"   -> Relational.q35OracleSql,
+    "q36_value_quantiles"    -> Relational.q36OracleSql,
   )
 }

@@ -153,6 +153,68 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Known event-type domain for the q35 pivot (explicit value list keeps
+    * the pivot a single pass — no extra distinct-values job — and fixes the
+    * output schema for the oracle compare).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q35_event_type_pivot — per-user event counts pivoted to one column per
+    * event type (wide-table feature extraction). `pivot` with an explicit
+    * domain compiles to a single hash aggregate with conditional counts.
+    */
+  def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    val filled = EventTypes.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(s"`$t`"), lit(0L)))
+    }
+    filled
+      .withColumn("total", EventTypes.map(t => col(s"`$t`")).reduce(_ + _))
+      .orderBy(col("user_id"))
+  }
+
+  val q35OracleSql: String = {
+    val cols = EventTypes.map(t => s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS "$t"""").mkString(",\n      |       ")
+    s"""SELECT user_id,
+       |       $cols,
+       |       COUNT(*) AS total
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** q36_value_quantiles — exact interpolated quantiles per event type
+    * (Spark `percentile` and DuckDB `quantile_cont` share the definition —
+    * verified numerically identical on the fixtures). Exact percentile
+    * needs the group's values together; at 100 TB switch to
+    * `approx_percentile` (t-digest, mergeable partials) at the cost of the
+    * oracle guarantee.
+    */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(min(col("value")), 6).as("v_min"),
+        round(max(col("value")), 6).as("v_max"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q36OracleSql: String =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.9), 6) AS p90,
+      |       round(min(value), 6) AS v_min,
+      |       round(max(value), 6) AS v_max,
+      |       COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val q31OracleSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
