@@ -55,6 +55,7 @@ object SparkEntry {
     "q34_softmax_relu"       -> ((s, dir) => TensorOps.softmaxRelu(s, dir)),
     "q35_event_type_pivot"   -> ((s, dir) => Relational.eventTypePivot(s, dir)),
     "q36_value_quantiles"    -> ((s, dir) => Relational.valueQuantiles(s, dir)),
+    "q37_set_ops_split"      -> ((s, dir) => TextPipeline.setOpsSplit(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -95,5 +96,6 @@ object SparkEntry {
     "q34_softmax_relu"       -> TensorOps.q34OracleSql,
     "q35_event_type_pivot"   -> Relational.q35OracleSql,
     "q36_value_quantiles"    -> Relational.q36OracleSql,
+    "q37_set_ops_split"      -> TextPipeline.q37OracleSql,
   )
 }

@@ -243,6 +243,48 @@ object TextPipeline {
        |       array_to_string(chunk, ' ') AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q37_set_ops_split — the train/val split expressed through relational
+    * set operations (SURVEY.md §2A set ops): train = documents EXCEPT val,
+    * sanity side = documents INTERSECT val; per-language counts of both.
+    * Spark EXCEPT/INTERSECT are distinct-set semantics, same as SQL — at
+    * scale both are hash aggregations on the full row (prefer the
+    * anti-join/semi-join form with an explicit key, as q06 does, when rows
+    * are wide).
+    */
+  def setOpsSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val valSide = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+    val train = docs.except(valSide)
+    val inter = docs.intersect(valSide)
+    train.groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
+      .join(inter.groupBy(col("lang")).agg(count(lit(1)).as("n_val")), Seq("lang"), "outer")
+      .select(col("lang"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_val"), lit(0L)).as("n_val"))
+      .orderBy(col("lang"))
+  }
+
+  val q37OracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |), v AS (
+      |  SELECT * FROM d WHERE doc_id % 10 = 9
+      |), train AS (
+      |  SELECT * FROM d EXCEPT SELECT * FROM v
+      |), inter AS (
+      |  SELECT * FROM d INTERSECT SELECT * FROM v
+      |), t AS (
+      |  SELECT lang, COUNT(*) AS n_train FROM train GROUP BY lang
+      |), i AS (
+      |  SELECT lang, COUNT(*) AS n_val FROM inter GROUP BY lang
+      |)
+      |SELECT COALESCE(t.lang, i.lang) AS lang,
+      |       COALESCE(t.n_train, 0) AS n_train,
+      |       COALESCE(i.n_val, 0) AS n_val
+      |FROM t FULL OUTER JOIN i ON t.lang = i.lang
+      |ORDER BY lang""".stripMargin
+
   /** q14_text_stats — per-document token count, distinct-token count, and
     * mean token length (north-star text-analysis operator; entirely
     * array-expression based so it stays inside whole-stage codegen).
