@@ -1,8 +1,6 @@
 package graft.operators
 
-import scala.collection.mutable
-
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -21,34 +19,34 @@ object TopK {
 
   case class Scored(id: Long, score: Double)
 
-  /** Max-heap ordering where "greatest" = worst (lowest score, then largest
-    * id), so the heap head is the eviction candidate in O(log k).
-    * compare(a, b) < 0 means a is the BETTER result.
+  /** compare(a, b) < 0 means a is the BETTER result (higher score, then
+    * smaller id).
     */
-  private val worstFirst: Ordering[Scored] =
+  private val bestFirst: Ordering[Scored] =
     Ordering.by[Scored, (Double, Long)](s => (-s.score, s.id))
 
-  class TopKAggregator(k: Int) extends Aggregator[Scored, mutable.PriorityQueue[Scored], Seq[Scored]] {
-    override def zero: mutable.PriorityQueue[Scored] = mutable.PriorityQueue.empty(worstFirst)
+  /** Buffer = a flat Seq kept ≤ 2k via amortized sort-and-trim: appends are
+    * O(1), a trim runs every k overflows, so the amortized cost stays
+    * O(log k)-ish per row while the buffer stays expression-encodable —
+    * partials serialize as ordinary Spark rows (no Kryo, no closure
+    * serialization), which keeps the shuffle payload a plain
+    * array<struct<id,score>>.
+    */
+  class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def trim(b: Seq[Scored]): Seq[Scored] =
+      if (b.length <= 2 * k) b else b.sorted(bestFirst).take(k)
 
-    private def add(b: mutable.PriorityQueue[Scored], s: Scored): mutable.PriorityQueue[Scored] = {
-      if (b.size < k) b.enqueue(s)
-      else if (worstFirst.compare(s, b.head) < 0) { b.dequeue(); b.enqueue(s) }
-      b
-    }
+    override def zero: Seq[Scored] = Vector.empty
 
-    override def reduce(b: mutable.PriorityQueue[Scored], a: Scored): mutable.PriorityQueue[Scored] = add(b, a)
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(b :+ a)
 
-    override def merge(b1: mutable.PriorityQueue[Scored], b2: mutable.PriorityQueue[Scored]): mutable.PriorityQueue[Scored] = {
-      b2.foreach(add(b1, _)); b1
-    }
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = trim(b1 ++ b2)
 
     /** Best-first (score desc, id asc) — rank = position + 1. */
-    override def finish(b: mutable.PriorityQueue[Scored]): Seq[Scored] =
-      b.toSeq.sortBy(s => (-s.score, s.id))
+    override def finish(b: Seq[Scored]): Seq[Scored] = b.sorted(bestFirst).take(k)
 
-    override def bufferEncoder: Encoder[mutable.PriorityQueue[Scored]] =
-      Encoders.kryo[mutable.PriorityQueue[Scored]]
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
