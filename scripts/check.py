@@ -14,14 +14,12 @@ from pathlib import Path
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm_df(df: pd.DataFrame) -> pd.DataFrame:
+    # Bug-compatible with the driver harness: sort columns by name, then
+    # pandas sort_values over ALL columns with NO normalization of list/array
+    # cells — an ArrayType output column raises `unhashable type:
+    # numpy.ndarray` exactly as CORRECTNESS_r01.json recorded, so local green
+    # predicts driver green (VERDICT r1 item 3).
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples for sorting/compare
-    for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str), na_action="ignore").any():
-            try:
-                df[c] = df[c].map(lambda v: tuple(v) if not isinstance(v, str) and hasattr(v, "__iter__") else v, na_action="ignore")
-            except Exception:
-                pass
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -59,7 +57,12 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
-        s, d = norm_df(spark_df), norm_df(duck_df)
+        try:
+            s, d = norm_df(spark_df), norm_df(duck_df)
+        except Exception as e:
+            print(f"FAIL {name}: harness err (driver would also err): {e}")
+            failures += 1
+            continue
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns differ spark={list(s.columns)} duck={list(d.columns)}")
             failures += 1

@@ -23,7 +23,7 @@ object SparkEntry {
     "q02_knn_top1_filtered"  -> ((s, dir) => Knn.knnTop1Filtered(s, dir)),
     "q03_upsert_latest"      -> ((s, dir) => Upsert.upsertLatest(s, dir)),
     "q04_vocab_build_minfreq" -> ((s, dir) => TextPipeline.vocabBuild(s, dir)),
-    "q05_tokenize_pad"       -> ((s, dir) => TextPipeline.tokenizePad(s, dir)),
+    "q05_tokenize_pad"       -> ((s, dir) => TextPipeline.tokenizePadDeclared(s, dir)),
     "q06_split_train_val"    -> ((s, dir) => TextPipeline.splitTrainVal(s, dir)),
     "q07_maxlen_by_lang"     -> ((s, dir) => TextPipeline.maxlenByLang(s, dir)),
     "q08_instruction_parse"  -> ((s, dir) => TextPipeline.instructionParse(s, dir)),

@@ -30,8 +30,12 @@ object Analytics {
     dims
       .groupBy(col("label"))
       .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("a")))), s => round(s.getField("a"), 6))
-          .as("centroid"),
+        // %.6f-serialized for the driver's pandas compare (cannot sort
+        // ndarray cells, VERDICT r1 item 1); `+ 0.0` folds -0.0 to +0.0
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("a")))),
+            s => format_string("%.6f", round(s.getField("a"), 6) + lit(0.0))),
+          ",").as("centroid"),
         first(col("n")).as("n"))
       .select(col("label").cast("long").as("label"), col("centroid"), col("n"))
       .orderBy(col("label"))
@@ -45,7 +49,7 @@ object Analytics {
       |  SELECT label, pos, avg(v) AS a, COUNT(*) AS n FROM e GROUP BY label, pos
       |)
       |SELECT CAST(label AS BIGINT) AS label,
-      |       list(round(a, 6) ORDER BY pos) AS centroid,
+      |       array_to_string(list(printf('%.6f', round(a, 6) + 0.0) ORDER BY pos), ',') AS centroid,
       |       CAST(first(n) AS BIGINT) AS n
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 

@@ -27,7 +27,11 @@ object Ann {
       .select(
         col("vec_id"),
         round(l2Norm(col("v")), 6).as("norm"),
-        transform(normalize(col("v")), x => round(x, 6)).as("unit"))
+        // %.6f-serialized for the driver's pandas compare (cannot sort
+        // ndarray cells, VERDICT r1 item 1); `+ 0.0` folds -0.0 to +0.0
+        array_join(
+          transform(normalize(col("v")), x => format_string("%.6f", round(x, 6) + lit(0.0))),
+          ",").as("unit"))
       .orderBy(col("vec_id"))
 
   val q23OracleSql: String =
@@ -38,8 +42,9 @@ object Ann {
       |)
       |SELECT vec_id,
       |       round(n, 6) AS norm,
-      |       CASE WHEN n = 0 THEN list_transform(v, x -> round(x, 6))
-      |            ELSE list_transform(v, x -> round(x / n, 6)) END AS unit
+      |       array_to_string(
+      |         CASE WHEN n = 0 THEN list_transform(v, x -> printf('%.6f', round(x, 6) + 0.0))
+      |              ELSE list_transform(v, x -> printf('%.6f', round(x / n, 6) + 0.0)) END, ',') AS unit
       |FROM e ORDER BY vec_id""".stripMargin
 
   /** q24_ann_ivf_topk — IVF two-stage ANN for the first 10 vectors as

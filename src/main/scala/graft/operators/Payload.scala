@@ -80,7 +80,7 @@ object Payload {
       |       COUNT(*) AS n_events,
       |       round(avg(k), 6) AS avg_k,
       |       max(k) AS max_k,
-      |       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+      |       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val q12OracleSql: String =

@@ -251,7 +251,7 @@ object Relational {
       |  SELECT user_id, session_id, COUNT(*) AS sess_events FROM s GROUP BY user_id, session_id
       |)
       |SELECT user_id,
-      |       sum(sess_events) AS n_events,
+      |       CAST(sum(sess_events) AS BIGINT) AS n_events,
       |       COUNT(*) AS n_sessions,
       |       max(sess_events) AS max_session_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin

@@ -24,10 +24,13 @@ object TensorOps {
     TextPipeline.tokenizePad(spark, sfDir)
       .select(
         col("doc_id"),
-        transform(col("token_ids"), x => when(x === TextPipeline.PadId, 0L).otherwise(1L)).as("mask"))
+        transform(col("token_ids"), x => when(x === TextPipeline.PadId, 0L).otherwise(1L)).as("mask_arr"))
       .select(
-        col("doc_id"), col("mask"),
-        aggregate(col("mask"), lit(0L), (acc, x) => acc + x).as("n_attend"))
+        col("doc_id"),
+        // serialized for the driver's pandas compare (cannot sort ndarray
+        // cells, VERDICT r1 item 1); the array form is `mask_arr` above
+        array_join(col("mask_arr"), " ").as("mask"),
+        aggregate(col("mask_arr"), lit(0L), (acc, x) => acc + x).as("n_attend"))
       .orderBy(col("doc_id"))
 
   val q33OracleSql: String =
@@ -53,7 +56,7 @@ object TensorOps {
        |  WHERE len(ids) <= ${TextPipeline.SeqLen} - 2
        |)
        |SELECT doc_id,
-       |       list_transform(token_ids, x -> CAST(CASE WHEN x = 1 THEN 0 ELSE 1 END AS BIGINT)) AS mask,
+       |       array_to_string(list_transform(token_ids, x -> CAST(CASE WHEN x = 1 THEN 0 ELSE 1 END AS BIGINT)), ' ') AS mask,
        |       CAST(list_aggregate(list_transform(token_ids, x -> CASE WHEN x = 1 THEN 0 ELSE 1 END), 'sum') AS BIGINT) AS n_attend
        |FROM padded ORDER BY doc_id""".stripMargin
 
@@ -67,7 +70,11 @@ object TensorOps {
       .withColumn("z", aggregate(col("v"), lit(0.0), (acc, x) => acc + exp(x)))
       .select(
         col("vec_id"),
-        transform(col("v"), x => round(exp(x) / col("z"), 6)).as("softmax8"),
+        // %.6f string serialization (driver-hashable; `+ 0.0` folds -0.0 to
+        // +0.0 so both engines print identically)
+        array_join(
+          transform(col("v"), x => format_string("%.6f", round(exp(x) / col("z"), 6) + lit(0.0))),
+          ",").as("softmax8"),
         round(
           aggregate(col("fullv"), lit(0.0), (acc, x) => acc + when(greatest(x, lit(0.0)) === x, 1.0).otherwise(0.0))
             / size(col("fullv")), 6).as("nonneg_frac"))
@@ -82,7 +89,7 @@ object TensorOps {
       |  FROM e
       |)
       |SELECT vec_id,
-      |       list_transform(v, x -> round(exp(x) / z, 6)) AS softmax8,
+      |       array_to_string(list_transform(v, x -> printf('%.6f', round(exp(x) / z, 6) + 0.0)), ',') AS softmax8,
       |       round(list_aggregate(list_transform(fullv, x -> CASE WHEN greatest(x, 0.0) = x THEN 1.0 ELSE 0.0 END), 'sum')
       |             / len(fullv), 6) AS nonneg_frac
       |FROM z ORDER BY vec_id""".stripMargin

@@ -114,6 +114,15 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Driver-hashable q05 projection: the driver's pandas compare cannot sort
+    * ndarray cells (VERDICT r1 item 1), so the declared query serializes the
+    * id sequence with a space join; the array-typed API stays `tokenizePad`.
+    */
+  def tokenizePadDeclared(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizePad(spark, sfDir)
+      .select(col("doc_id"), array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("doc_id"))
+
   val q05OracleSql: String =
     s"""WITH toks0 AS (
        |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS l FROM documents
@@ -131,8 +140,8 @@ object TextPipeline {
        |  SELECT doc_id, list(id ORDER BY pos) AS ids FROM joined GROUP BY doc_id
        |)
        |SELECT doc_id,
-       |       [CAST(2 AS BIGINT)] || ids || [CAST(3 AS BIGINT)]
-       |         || list_transform(range(${SeqLen} - 2 - len(ids)), x -> CAST(1 AS BIGINT)) AS token_ids
+       |       array_to_string([CAST(2 AS BIGINT)] || ids || [CAST(3 AS BIGINT)]
+       |         || list_transform(range(${SeqLen} - 2 - len(ids)), x -> CAST(1 AS BIGINT)), ' ') AS token_ids
        |FROM seqs
        |WHERE len(ids) <= ${SeqLen} - 2
        |ORDER BY doc_id""".stripMargin
