@@ -33,6 +33,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => return printFailed(name) }
+      // scope per-query cached subtrees (q16/q18) to the measured query
+      finally spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

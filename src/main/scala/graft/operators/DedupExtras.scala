@@ -69,7 +69,10 @@ object DedupExtras {
 
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-    broadcast(candidates)
+    // No broadcast hint on candidates: their cardinality grows with corpus
+    // size and duplicate rate, so pinning them to the driver OOMs at scale
+    // (VERDICT r1 item 5). AQE broadcasts when small, shuffles when not.
+    candidates
       .join(sa, Seq("a_id"))
       .join(sb, Seq("b_id"))
       .select(col("a_id"), col("b_id"),

@@ -37,15 +37,45 @@ object TextPipeline {
     regexp_extract_all(c, lit("(\\w+|[^\\w\\s]+)"), lit(1))
 
   /** Corpus vocab (token, id, freq): freq >= 2, ids assigned 4.. by
-    * (freq desc, token asc). The post-filter vocab is dictionary-sized, so
-    * the single-partition ranking window is safe at any corpus scale — the
-    * heavy part (token counting) is a hash aggregate with map-side combine.
+    * (freq desc, token asc).
+    *
+    * Id assignment is a two-phase rank (VERDICT r1 item 4): rank within
+    * each frequency bucket with a PARTITIONED window (no
+    * single-partition WindowExec — a web-scale corpus at min-freq 2 has
+    * 10⁸–10⁹ vocab tokens, far too many for one executor), then add the
+    * token count of all strictly-higher-frequency buckets, computed with
+    * a broadcast non-equi self-join over the per-frequency counts (a
+    * table with one row per DISTINCT frequency value — heavy-tailed, so
+    * thousands of rows at any corpus size). Equivalent to
+    * `row_number() OVER (ORDER BY freq DESC, token)` with no global sort.
+    * Residual skew: the min-freq bucket is the largest; if it ever
+    * outgrows an executor, sub-bucket by token range with per-range
+    * offsets (same two-phase pattern, one more level).
     */
   def corpusVocab(docs: DataFrame): DataFrame = {
     val toks  = docs.select(explode(tokenArr(col("text"))).as("token"))
-    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq")).filter(col("freq") >= 2)
-    val w     = Window.orderBy(col("freq").desc, col("token").asc)
-    freqs.withColumn("id", (row_number().over(w) + 3).cast("long"))
+    // cached AND eagerly materialized: the corpus-wide token count feeds both
+    // the bucket-count branch and the rank branch below; a lazy cache lets the
+    // two stages race and each recompute the explode+count subtree. The
+    // materializing job is the vocab-build scan a tokenizer fit runs anyway;
+    // post-filter the table is vocab-sized (runners clearCache per query).
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq")).filter(col("freq") >= 2).cache()
+    freqs.count()
+    val bucketN = freqs.groupBy(col("freq")).agg(count(lit(1)).as("bucket_n"))
+    // Running sum over the per-frequency counts: one row per DISTINCT
+    // frequency value (heavy-tailed, thousands at any corpus size), so a
+    // single-partition cumulative window over it is scale-safe — unlike the
+    // vocab-sized global rank this construction replaces.
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketN
+      .select(col("freq"), coalesce(sum(col("bucket_n")).over(wOff), lit(0L)).as("offset"))
+    val wb = Window.partitionBy(col("freq")).orderBy(col("token").asc)
+    freqs
+      .withColumn("r", row_number().over(wb))
+      .join(broadcast(offsets), Seq("freq"))
+      .withColumn("id", (col("r") + col("offset") + lit(3L)).cast("long"))
+      .select(col("token"), col("id"), col("freq"))
   }
 
   /** q04_vocab_build_minfreq — specials first (ids 0-3, freq 0), then corpus
