@@ -105,12 +105,21 @@ object Ann {
     * (reference: vector_db.py:20-24). Not oracle-checked (LSH bucketing is
     * seed-dependent); covered by a recall test against exact k-NN.
     *
+    * Batch shape (VERDICT r1 item 7): ONE distributed
+    * `approxSimilarityJoin` over the whole query set — candidates are
+    * pairs sharing any hash-table bucket — then a per-query rank window.
+    * No driver-side query loop, no `collect()`: the plan is the same for
+    * 10 queries or 10 million. The distance threshold is 2.0, the maximum
+    * L2 distance between unit vectors, so recall is governed purely by
+    * the LSH bucketing (as with the per-query `approxNearestNeighbors`
+    * this replaces), not by a distance cut.
+    *
     * Returns (qid, vec_id, dist) for the approx k nearest per query.
     */
   def lshApproxKnn(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
+    import org.apache.spark.sql.expressions.Window
 
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), array_to_vector(normalize(toDouble(col("embedding")))).as("features"))
@@ -118,13 +127,20 @@ object Ann {
       .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
     val model   = lsh.fit(emb)
-    val hashed  = model.transform(emb).cache()
-    val queries = hashed.filter(col("vec_id") < numQueries).collect()
-    queries.map { q =>
-      model
-        .approxNearestNeighbors(hashed, q.getAs[Vector]("features"), k)
-        .select(lit(q.getLong(0)).as("qid"), col("vec_id"), round(col("distCol"), 6).as("dist"))
-    }.reduce(_ unionByName _).orderBy(col("qid"), col("dist"), col("vec_id"))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("features"))
+    val joined = model
+      .approxSimilarityJoin(queries, emb, 2.0, "distCol")
+      .select(
+        col("datasetA.qid").as("qid"),
+        col("datasetB.vec_id").as("vec_id"),
+        round(col("distCol"), 6).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("qid"), col("dist"), col("vec_id"))
   }
 
   val q24OracleSql: String =

@@ -62,14 +62,17 @@ object TextPipeline {
     val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq")).filter(col("freq") >= 2).cache()
     freqs.count()
     val bucketN = freqs.groupBy(col("freq")).agg(count(lit(1)).as("bucket_n"))
-    // Running sum over the per-frequency counts: one row per DISTINCT
-    // frequency value (heavy-tailed, thousands at any corpus size), so a
-    // single-partition cumulative window over it is scale-safe — unlike the
-    // vocab-sized global rank this construction replaces.
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("freq").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketN
-      .select(col("freq"), coalesce(sum(col("bucket_n")).over(wOff), lit(0L)).as("offset"))
+    // Cumulative offsets over the per-frequency counts — one row per
+    // DISTINCT frequency value (heavy-tailed, thousands at any corpus
+    // size), computed with a broadcast non-equi self-join rather than an
+    // unpartitioned running-sum window, which would re-introduce the
+    // single-partition WindowExec this rewrite removes.
+    val offsets = bucketN.as("a")
+      .join(
+        broadcast(bucketN.select(col("freq").as("hfreq"), col("bucket_n").as("hn"))),
+        col("hfreq") > col("a.freq"), "left")
+      .groupBy(col("a.freq"))
+      .agg(coalesce(sum(col("hn")), lit(0L)).as("offset"))
     val wb = Window.partitionBy(col("freq")).orderBy(col("token").asc)
     freqs
       .withColumn("r", row_number().over(wb))
@@ -90,6 +93,24 @@ object TextPipeline {
       .unionByName(corpusVocab(docs).select(col("token"), col("id"), col("freq")))
       .orderBy(col("id"))
   }
+
+  /** Tokenizer-artifact persistence (S8): the reference saves/loads its
+    * vocab as JSON (reference: transformer_sample.py:395-411,
+    * tokenizer_en.json) so a trained tokenizer is reusable across runs.
+    * JSON-lines keeps the artifact human-diffable like the reference's;
+    * one file per vocab shard, schema (token, id, freq).
+    */
+  def saveVocab(vocab: DataFrame, path: String): Unit =
+    vocab.write.mode("overwrite").json(path)
+
+  /** Read a persisted vocab artifact back with its exact schema (long ids
+    * and freqs, as [[vocabBuild]] emits).
+    */
+  def loadVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("token STRING, id BIGINT, freq BIGINT")
+      .json(path)
+      .select(col("token"), col("id"), col("freq"))
 
   val q04OracleSql: String =
     """WITH toks AS (

@@ -16,8 +16,10 @@ class SourcesSpec extends AnyFunSuite {
   test("vocab JSON artifact round-trips losslessly (tokenizer save/load)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vocab_json").toString
     val vocab = TextPipeline.vocabBuild(spark, TestSpark.Sf0001)
-    vocab.write.mode("overwrite").json(dir)
-    val back = spark.read.json(dir).select("token", "id", "freq")
+    TextPipeline.saveVocab(vocab, dir)
+    val back = TextPipeline.loadVocab(spark, dir)
+    // JSON carries no nullability metadata, so compare names + types only
+    assert(back.schema.map(f => (f.name, f.dataType)) == vocab.schema.map(f => (f.name, f.dataType)))
     val a = vocab.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val b = back.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b && a.nonEmpty)
