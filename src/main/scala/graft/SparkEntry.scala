@@ -56,6 +56,7 @@ object SparkEntry {
     "q35_event_type_pivot"   -> ((s, dir) => Relational.eventTypePivot(s, dir)),
     "q36_value_quantiles"    -> ((s, dir) => Relational.valueQuantiles(s, dir)),
     "q37_set_ops_split"      -> ((s, dir) => TextPipeline.setOpsSplit(s, dir)),
+    "q38_ivf_index_probe"    -> ((s, dir) => IvfIndex.ivfIndexProbe(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -97,5 +98,6 @@ object SparkEntry {
     "q35_event_type_pivot"   -> Relational.q35OracleSql,
     "q36_value_quantiles"    -> Relational.q36OracleSql,
     "q37_set_ops_split"      -> TextPipeline.q37OracleSql,
+    "q38_ivf_index_probe"    -> IvfIndex.q38OracleSql,
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IvfIndex
+
+/** Persistent IVF index lifecycle: build writes a pruned-readable layout,
+  * probe reads ONLY the probed list partitions, and the persisted path
+  * returns exactly what the algebraic (no-index) computation returns.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val indexDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    IvfIndex.build(spark, Tables.embeddings(spark, TestSpark.Sf0001), indexDir = dir)
+    dir
+  }
+
+  test("build persists every corpus vector exactly once, in list partitions") {
+    val points = spark.read.parquet(IvfIndex.pointsPath(indexDir))
+    val corpus = Tables.embeddings(spark, TestSpark.Sf0001)
+    assert(points.count() == corpus.count())
+    assert(points.select("vec_id").distinct().count() == corpus.count())
+    assert(points.columns.contains("list_id"))
+    // layout really is directory-partitioned
+    val dirs = new java.io.File(IvfIndex.pointsPath(indexDir))
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")))
+  }
+
+  test("probe scan is partition-pruned to the probed lists") {
+    val q = IvfIndex.prunedPointsScan(spark, indexDir, Seq(3L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected partition filters in scan")
+    assert(plan.contains("list_id"), "list_id must appear in the pruning filter")
+    val leaves = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!leaves.contains("list_id=1") || leaves.contains("list_id=3"))
+  }
+
+  test("probe over the persisted index equals the index-free computation") {
+    import spark.implicits._
+    val direct = graft.operators.IvfIndex
+      .ivfIndexProbe(spark, TestSpark.Sf0001) // builds its own temp index
+      .select($"qid", $"probe_list", $"vec_id", $"score", $"rank")
+      .collect().map(_.toSeq).toSeq
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val persisted = IvfIndex.probe(spark, indexDir, queries, k = 3, nprobe = 1)
+      .select($"qid", $"probe_list", $"vec_id", $"score", $"rank")
+      .collect().map(_.toSeq).toSeq
+    assert(persisted == direct && persisted.nonEmpty)
+  }
+
+  test("nprobe > 1 widens the search to more lists, never fewer results") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val n1 = IvfIndex.probe(spark, indexDir, queries, k = 5, nprobe = 1)
+    val n2 = IvfIndex.probe(spark, indexDir, queries, k = 5, nprobe = 2)
+    assert(n2.select("probe_list").distinct().count() >= n1.select("probe_list").distinct().count())
+    assert(n2.count() >= n1.count())
+  }
+}
