@@ -67,7 +67,8 @@ object IvfIndex {
         struct(col("label"), col("embedding"), col("cl"), col("cs")),
         struct(col("cs"), (col("cl") * -1).as("neg"))).as("p"))
       .select(col("p.label").as("label"), col("vec_id"),
-        col("p.embedding").as("embedding"), col("p.cl").cast("long").as("list_id"))
+        col("p.embedding").as("embedding"), lit(0L).as("version"),
+        col("p.cl").cast("long").as("list_id"))
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
   }
 
@@ -94,8 +95,12 @@ object IvfIndex {
     // is what turns the list_id predicate into a static partition filter.
     val lists = routed.select(col("probe_list")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val points = spark.read.parquet(pointsPath(indexDir))
-      .filter(col("list_id").isin(lists: _*))
+    // LWW over the pruned rows: a re-upserted id inside a probed list never
+    // surfaces stale. A re-upsert whose embedding MOVED lists leaves a stale
+    // row in the old list until [[compact]] runs — the documented
+    // append+compaction contract.
+    val points = latestPoints(
+      spark.read.parquet(pointsPath(indexDir)).filter(col("list_id").isin(lists: _*)))
 
     val scored = points
       .join(broadcast(routed), col("list_id") === col("probe_list"))
@@ -123,6 +128,66 @@ object IvfIndex {
     */
   def prunedPointsScan(spark: SparkSession, indexDir: String, lists: Seq[Long]): DataFrame =
     spark.read.parquet(pointsPath(indexDir)).filter(col("list_id").isin(lists: _*))
+
+  /** Incremental upsert into a built index — the reference's collection is
+    * appended to batch-by-batch after creation (reference:
+    * vector_db.py:93-106 batch upsert loop). New vectors are assigned to
+    * their nearest EXISTING centroid (centroids are not rebuilt — standard
+    * IVF practice between periodic retrains) and appended to the same
+    * partitioned layout with a monotonically increasing `version`. Re-sent
+    * ids supersede earlier rows: [[probe]] reads through [[latestPoints]],
+    * a last-writer-wins view (the q03 upsert pattern), so a probe never
+    * returns a stale duplicate. Appends touch only the affected list
+    * directories; nothing is rewritten.
+    */
+  def append(spark: SparkSession, newVectors: DataFrame, indexDir: String, version: Long): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    val centroids = spark.read.parquet(centroidsPath(indexDir))
+    newVectors
+      .crossJoin(broadcast(centroids.select(col("label").as("cl"), col("centroid"))))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cl"),
+        round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("label"), col("embedding"), col("cl"), col("cs")),
+        struct(col("cs"), (col("cl") * -1).as("neg"))).as("p"))
+      .select(col("p.label").as("label"), col("vec_id"),
+        col("p.embedding").as("embedding"), lit(version).as("version"),
+        col("p.cl").cast("long").as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(pointsPath(indexDir))
+  }
+
+  /** Last-writer-wins view over the persisted points: one row per vec_id,
+    * the highest `version` wins (rows from [[build]] carry version 0).
+    * The window partitions by vec_id — shuffle by id, no global sort.
+    */
+  def latestPoints(points: DataFrame): DataFrame = {
+    val versioned =
+      if (points.columns.contains("version")) points
+      else points.withColumn("version", lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("version").desc)
+    versioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Compaction: rewrite the points layout keeping only the globally
+    * latest version of every id — resolves re-upserts whose embedding
+    * moved them to a different list (the one case probe-side LWW cannot
+    * see). Run periodically, like any LSM-ish store; [[build]] semantics
+    * are restored exactly.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val tmp = pointsPath(indexDir) + "_compacting"
+    val latest = latestPoints(spark.read.parquet(pointsPath(indexDir)))
+    latest.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(pointsPath(indexDir))
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 
   /** q38_ivf_index_probe — the full lifecycle as a declared, oracle-checked
     * query: build the persisted index from the fixture embeddings into a

@@ -54,6 +54,32 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(persisted == direct && persisted.nonEmpty)
   }
 
+  test("append upserts supersede on probe; compact removes stale rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_upsert").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+
+    // re-send vec_id 0 unchanged (same embedding => same list), version 1
+    IvfIndex.append(spark, emb.filter(col("vec_id") === 0), dir, version = 1L)
+    val pts = spark.read.parquet(IvfIndex.pointsPath(dir))
+    assert(pts.filter(col("vec_id") === 0).count() == 2, "append must not rewrite")
+    val latest = IvfIndex.latestPoints(pts).filter(col("vec_id") === 0)
+    assert(latest.count() == 1 && latest.head().getAs[Long]("version") == 1L)
+
+    // probe never returns a stale duplicate
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val r = IvfIndex.probe(spark, dir, queries, k = 5)
+    assert(r.groupBy("qid", "vec_id").count().filter(col("count") > 1).count() == 0)
+
+    // compaction restores exactly-one-row-per-id physically
+    IvfIndex.compact(spark, dir)
+    val compacted = spark.read.parquet(IvfIndex.pointsPath(dir))
+    assert(compacted.filter(col("vec_id") === 0).count() == 1)
+    assert(compacted.count() == emb.count())
+    assert(compacted.filter(col("vec_id") === 0).head().getAs[Long]("version") == 1L)
+  }
+
   test("nprobe > 1 widens the search to more lists, never fewer results") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val queries = emb.filter(col("vec_id") < 3)
