@@ -51,6 +51,50 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // --- resize / frame-sample plumbing -------------------------------------
+
+  case class ResizedDoc(doc_id: Long, width: Long, height: Long, data: Array[Byte])
+  case class Frame(doc_id: Long, frame_no: Long, frame: Array[Byte])
+
+  /** Resize stage: binary image column → fixed-target binary + dimensions.
+    * The "resampling" is a deterministic byte stride (this container has no
+    * image codecs); a real implementation swaps the loop body for
+    * `javax.imageio`/libvips behind the same `mapPartitions` shape — one
+    * codec init per partition, bounded memory (one image at a time).
+    */
+  def resizeTo(raw: org.apache.spark.sql.Dataset[RawDoc], w: Int, h: Int): org.apache.spark.sql.Dataset[ResizedDoc] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc: org.apache.spark.sql.Encoder[ResizedDoc] = Encoders.product[ResizedDoc]
+    raw.mapPartitions { docs =>
+      // codec/scaler init would go here, once per partition
+      val target = w * h
+      docs.map { d =>
+        val out    = new Array[Byte](math.min(target, d.data.length))
+        val stride = math.max(1, d.data.length / math.max(1, out.length))
+        var i      = 0
+        while (i < out.length) { out(i) = d.data(i * stride); i += 1 }
+        ResizedDoc(d.doc_id, w.toLong, h.toLong, out)
+      }
+    }
+  }
+
+  /** Frame-sampling stage: binary "video" column → one row per sampled
+    * frame (every `stride`-th fixed-size frame) — the generator-shaped
+    * multimodal op (one row in, many out). Frame boundaries here are fixed
+    * byte windows; a real demuxer (ffmpeg) replaces the slicing, the
+    * explode shape and schema stay.
+    */
+  def sampleFrames(raw: org.apache.spark.sql.Dataset[RawDoc], frameBytes: Int, stride: Int): org.apache.spark.sql.Dataset[Frame] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc: org.apache.spark.sql.Encoder[Frame] = Encoders.product[Frame]
+    raw.flatMap { d =>
+      val nFrames = d.data.length / frameBytes
+      (0 until nFrames by stride).iterator.map { f =>
+        Frame(d.doc_id, f.toLong, java.util.Arrays.copyOfRange(d.data, f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+
   /** Oracle replicates the stub arithmetic in SQL (fixture text is ASCII,
     * so char positions == byte positions).
     */

@@ -56,4 +56,62 @@ object EventStream {
       .queryName(name)
       .outputMode("complete")
       .start()
+
+  // --- stateful sessionization (custom keyed state) -----------------------
+
+  /** Input row for [[sessionizeStream]]: one event with its microsecond
+    * timestamp.
+    */
+  case class UserEvent(user_id: Long, us: Long, event_id: Long)
+
+  /** Per-user state carried across micro-batches. */
+  case class SessState(session_id: Long, last_us: Long, n_events: Long)
+
+  /** Per-user snapshot emitted each micro-batch: the user's CURRENT session
+    * id, its event count so far, and its last-seen timestamp.
+    */
+  case class SessSnapshot(user_id: Long, session_id: Long, n_events: Long, last_us: Long)
+
+  /** Session gap, microseconds — same 30-minute rule as batch q28
+    * (Relational.sessionize).
+    */
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** Streaming sessionization with custom keyed state
+    * (`flatMapGroupsWithState`): the streaming counterpart of batch q28.
+    * Each user's state is (current session id, last event time, events in
+    * session); a batch's events extend the open session or, after a
+    * >30-minute gap, roll it over. State size is O(users) regardless of
+    * stream length — one tiny struct per key, the property that makes
+    * per-entity streaming state viable at scale.
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      gapUs: Long = SessionGapUs): org.apache.spark.sql.Dataset[SessSnapshot] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long]          = Encoders.scalaLong
+    implicit val stEnc: org.apache.spark.sql.Encoder[SessState]      = Encoders.product[SessState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessSnapshot]  = Encoders.product[SessSnapshot]
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[SessState]) =>
+          // events inside one micro-batch are not ordered; sort the batch
+          // (bounded by batch size, not stream length)
+          val sorted = evs.toArray.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            st =
+              if (st.last_us == Long.MinValue || e.us - st.last_us > gapUs)
+                SessState(st.session_id + 1, e.us, 1L)
+              else SessState(st.session_id, e.us, st.n_events + 1)
+          }
+          state.update(st)
+          if (sorted.nonEmpty) Iterator.single(SessSnapshot(user, st.session_id, st.n_events, st.last_us))
+          else Iterator.empty
+      }
+  }
 }

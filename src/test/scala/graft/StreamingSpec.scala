@@ -46,6 +46,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization: keyed state carries sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L // one minute in micros
+
+    val input = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.sessionizeStream(input.toDS()).writeStream
+      .format("memory").queryName("stream_sessions").outputMode("update").start()
+    try {
+      // batch 1: user 1 two close events (one session); user 2 one event
+      input.addData(Seq(
+        EventStream.UserEvent(1L, 10 * min, 100L),
+        EventStream.UserEvent(1L, 12 * min, 101L),
+        EventStream.UserEvent(2L, 11 * min, 200L)))
+      q.processAllAvailable()
+      val after1 = spark.table("stream_sessions")
+        .as[EventStream.SessSnapshot].collect().map(s => s.user_id -> s).toMap
+      assert(after1(1L).session_id == 1L && after1(1L).n_events == 2L)
+      assert(after1(2L).session_id == 1L && after1(2L).n_events == 1L)
+
+      // batch 2: user 1 continues within the gap (same session, via state);
+      // user 2 returns after >30 min (new session)
+      input.addData(Seq(
+        EventStream.UserEvent(1L, 30 * min, 102L),
+        EventStream.UserEvent(2L, 60 * min, 201L)))
+      q.processAllAvailable()
+      val after2 = spark.table("stream_sessions")
+        .as[EventStream.SessSnapshot].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.last_us)).toMap
+      assert(after2(1L).session_id == 1L && after2(1L).n_events == 3L,
+        "continuation within the gap must extend the session held in state")
+      assert(after2(2L).session_id == 2L && after2(2L).n_events == 1L,
+        "a >30-minute gap must roll the session over")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: last-writer-wins view resolves re-ingested ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
