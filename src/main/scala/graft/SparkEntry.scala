@@ -57,6 +57,8 @@ object SparkEntry {
     "q36_value_quantiles"    -> ((s, dir) => Relational.valueQuantiles(s, dir)),
     "q37_set_ops_split"      -> ((s, dir) => TextPipeline.setOpsSplit(s, dir)),
     "q38_ivf_index_probe"    -> ((s, dir) => IvfIndex.ivfIndexProbe(s, dir)),
+    "q39_frame_sample"       -> ((s, dir) => Multimodal.frameSampleDeclared(s, dir)),
+    "q40_resize"             -> ((s, dir) => Multimodal.resizeDeclared(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -99,5 +101,7 @@ object SparkEntry {
     "q36_value_quantiles"    -> Relational.q36OracleSql,
     "q37_set_ops_split"      -> TextPipeline.q37OracleSql,
     "q38_ivf_index_probe"    -> IvfIndex.q38OracleSql,
+    "q39_frame_sample"       -> Multimodal.q39OracleSql,
+    "q40_resize"             -> Multimodal.q40OracleSql,
   )
 }

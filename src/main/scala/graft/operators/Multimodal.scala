@@ -95,6 +95,62 @@ object Multimodal {
     }
   }
 
+  /** q39_frame_sample — [[sampleFrames]] as a declared, oracle-checked
+    * query: every 2nd 16-byte frame of each document payload, emitted as
+    * (doc_id, frame_no, frame_text). Fixture text is ASCII, so the byte
+    * frames the operator cuts equal the char substrings the oracle cuts.
+    */
+  def frameSampleDeclared(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[RawDoc]
+    sampleFrames(raw, frameBytes = 16, stride = 2)
+      .toDF()
+      .select(col("doc_id"), col("frame_no"), col("frame").cast("string").as("frame_text"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val q39OracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(text) // 16, 2),
+      |           i -> struct_pack(n := i, s := substring(text, CAST(i * 16 + 1 AS INT), 16)))) AS fr
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(fr.n AS BIGINT) AS frame_no, fr.s AS frame_text
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin
+
+  /** q40_resize — [[resizeTo]] as a declared, oracle-checked query: each
+    * payload strided down to at most 8×4 bytes, emitted with its declared
+    * dimensions. ASCII fixture ⇒ byte stride == char stride.
+    */
+  def resizeDeclared(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[RawDoc]
+    resizeTo(raw, 8, 4)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("data").cast("string").as("resized"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q40OracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text,
+      |         least(32, len(text)) AS out_len,
+      |         greatest(1, len(text) // least(32, len(text))) AS stride
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(8 AS BIGINT) AS width,
+      |       CAST(4 AS BIGINT) AS height,
+      |       array_to_string(list_transform(range(0, out_len),
+      |         i -> substring(text, CAST(i * stride + 1 AS INT), 1)), '') AS resized
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Oracle replicates the stub arithmetic in SQL (fixture text is ASCII,
     * so char positions == byte positions).
     */
