@@ -59,6 +59,7 @@ object SparkEntry {
     "q38_ivf_index_probe"    -> ((s, dir) => IvfIndex.ivfIndexProbe(s, dir)),
     "q39_frame_sample"       -> ((s, dir) => Multimodal.frameSampleDeclared(s, dir)),
     "q40_resize"             -> ((s, dir) => Multimodal.resizeDeclared(s, dir)),
+    "q41_embed_text"         -> ((s, dir) => Embed.embedTextDeclared(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -103,5 +104,6 @@ object SparkEntry {
     "q38_ivf_index_probe"    -> IvfIndex.q38OracleSql,
     "q39_frame_sample"       -> Multimodal.q39OracleSql,
     "q40_resize"             -> Multimodal.q40OracleSql,
+    "q41_embed_text"         -> Embed.q41OracleSql,
   )
 }

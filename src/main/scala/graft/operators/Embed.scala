@@ -44,6 +44,75 @@ object Embed {
     }(Encoders.row(outSchema))
   }
 
+  /** Cross-engine-checkable count encoder: char-trigram counts hashed into
+    * `dim` buckets by the first 4 bytes of each trigram's md5 — DuckDB
+    * computes the identical buckets, so [[embedTextDeclared]] can run the
+    * whole embedding socket under the oracle gate. The `MessageDigest`
+    * is the "model" here: initialized ONCE per partition in the factory
+    * body, reused for every row, exactly where a real encoder loads.
+    */
+  def md5CountEncoder(dim: Int): () => String => Array[Float] =
+    () => {
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      text => {
+        val v = new Array[Float](dim)
+        val s = " " + text.toLowerCase + " "
+        var i = 0
+        while (i + 3 <= s.length) {
+          val d = md.digest(s.substring(i, i + 3).getBytes("UTF-8"))
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          v((h % dim).toInt) += 1f
+          i += 1
+        }
+        v
+      }
+    }
+
+  /** q41_embed_text — the embedding-UDF surface as a declared,
+    * oracle-checked query: every document run through [[embedColumn]] with
+    * the [[md5CountEncoder]], emitting the integer feature vector
+    * (driver-hashable space-joined string) and its L2 norm. A hash match
+    * proves the whole mapPartitions encode path — partitioning, batch
+    * iteration, per-partition init, schema — byte-for-byte against an
+    * engine that never saw the Scala closure.
+    */
+  def embedTextDeclared(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val out  = embedColumn[String](docs, "text", "emb", md5CountEncoder(16))
+    out.select(
+      col("doc_id"),
+      array_join(transform(col("emb"), x => x.cast("long")), " ").as("emb"),
+      round(sqrt(aggregate(col("emb").cast("array<double>"), lit(0.0), (a, x) => a + x * x)), 6).as("norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41OracleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+      |), tri AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+      |           i -> substring(s, CAST(i AS INT), 3))) AS t
+      |  FROM s
+      |), b AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT % 16 AS BIGINT) AS bucket
+      |  FROM tri
+      |), c AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket
+      |), grid AS (
+      |  SELECT d.doc_id, r.range AS bucket
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN range(16) r
+      |), vec AS (
+      |  SELECT g.doc_id, g.bucket, COALESCE(c.n, 0) AS n
+      |  FROM grid g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
+      |)
+      |SELECT doc_id,
+      |       array_to_string(list(CAST(n AS BIGINT) ORDER BY bucket), ' ') AS emb,
+      |       round(sqrt(list_aggregate(list_transform(list(CAST(n AS DOUBLE) ORDER BY bucket),
+      |             x -> x * x), 'sum')), 6) AS norm
+      |FROM vec GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic toy text encoder: char-trigram feature hashing into
     * `dim` buckets, L2-normalized. Stands in for CLIP's text tower
     * (reference: text_img.py:66-71) — same signature, no model weights.

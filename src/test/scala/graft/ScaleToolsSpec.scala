@@ -22,6 +22,28 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "lang")
+    val meta = Tables.documents(spark, TestSpark.Sf0001).select(col("doc_id"), col("n_chars"))
+    docs.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_bkt")
+    meta.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("meta_bkt")
+
+    // disable broadcast so the planner must consider the shuffle join the
+    // bucketing exists to avoid (at scale neither side would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("docs_bkt").join(spark.table("meta_bkt"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join; plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans; plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side; plan:\n$plan")
+      assert(joined.count() == docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("HLL approx distinct stays within advertised error vs exact") {
     import spark.implicits._
     val r = Analytics.approxDistinctUsers(spark, TestSpark.Sf0001)
