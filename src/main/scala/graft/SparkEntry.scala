@@ -60,6 +60,7 @@ object SparkEntry {
     "q39_frame_sample"       -> ((s, dir) => Multimodal.frameSampleDeclared(s, dir)),
     "q40_resize"             -> ((s, dir) => Multimodal.resizeDeclared(s, dir)),
     "q41_embed_text"         -> ((s, dir) => Embed.embedTextDeclared(s, dir)),
+    "q42_decode_step"        -> ((s, dir) => TensorOps.decodeStep(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -105,5 +106,6 @@ object SparkEntry {
     "q39_frame_sample"       -> Multimodal.q39OracleSql,
     "q40_resize"             -> Multimodal.q40OracleSql,
     "q41_embed_text"         -> Embed.q41OracleSql,
+    "q42_decode_step"        -> TensorOps.q42OracleSql,
   )
 }

@@ -80,6 +80,41 @@ object TensorOps {
             / size(col("fullv")), 6).as("nonneg_frac"))
       .orderBy(col("vec_id"))
 
+  /** q42_decode_step — the two remaining tensor-shaped reference ops as
+    * array expressions: greedy argmax decode (T3;
+    * reference: transformer_sample.py:587 `torch.max(prob, dim=1)`) via
+    * `array_position(v, array_max(v))`, and the causal (lower-triangular)
+    * attention mask (F7; reference: transformer_sample.py:462-465) built
+    * per row for a data-dependent size n, emitted flattened. Both are
+    * scan-local — no shuffle, no UDF.
+    */
+  def decodeStep(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), slice(toDouble(col("embedding")), 1, 8).as("v"),
+        ((col("vec_id") % 4) + 3).cast("int").as("n"))
+      .select(
+        col("vec_id"),
+        array_position(col("v"), array_max(col("v"))).cast("long").as("argmax_pos"),
+        col("n").cast("long").as("n"),
+        array_join(flatten(expr(
+          "transform(sequence(1, n), i -> transform(sequence(1, n), " +
+            "j -> cast(case when j <= i then 1 else 0 end as bigint)))")), " ").as("causal_mask"))
+      .orderBy(col("vec_id"))
+
+  val q42OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v,
+      |         CAST(vec_id % 4 + 3 AS INT) AS n
+      |  FROM embeddings
+      |)
+      |SELECT vec_id,
+      |       CAST(list_position(v, list_aggregate(v, 'max')) AS BIGINT) AS argmax_pos,
+      |       CAST(n AS BIGINT) AS n,
+      |       array_to_string(flatten(list_transform(range(1, n + 1),
+      |         i -> list_transform(range(1, n + 1),
+      |           j -> CAST(CASE WHEN j <= i THEN 1 ELSE 0 END AS BIGINT)))), ' ') AS causal_mask
+      |FROM e ORDER BY vec_id""".stripMargin
+
   val q34OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS fullv, (embedding::DOUBLE[])[1:8] AS v FROM embeddings

@@ -43,6 +43,26 @@ class EmbedSpec extends AnyFunSuite {
     assert(inits.value >= 1)
   }
 
+  test("cross-modal shape: text queries retrieve from the vector corpus via shared dim") {
+    // the reference's headline semantic (text_img.py): text and image
+    // embeddings share one space, so ONE k-NN operator serves both
+    // modalities — purely a data convention (matching dim), no operator
+    // changes. Toy encoder stands in for CLIP's text tower.
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("vec"))
+    val queries = Seq((100L, "fast key merge"), (101L, "stream spark window")).toDF("qid", "text")
+    val qEmb = Embed.embedColumn[String](queries, "text", "qvec", Embed.hashingTextEncoder(64))
+    val scored = qEmb.crossJoin(corpus)
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineSimilarity(col("qvec"), col("vec")).as("s"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).collect()
+    assert(top.length == 6, "3 hits per text query")
+    assert(top.forall(r => math.abs(r.getAs[Double]("s")) <= 1.0 + 1e-9))
+  }
+
   test("embeddings compose with cosine scoring: identical text => score 1") {
     import spark.implicits._
     val pair = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "completely different payload"))
