@@ -61,6 +61,7 @@ object SparkEntry {
     "q40_resize"             -> ((s, dir) => Multimodal.resizeDeclared(s, dir)),
     "q41_embed_text"         -> ((s, dir) => Embed.embedTextDeclared(s, dir)),
     "q42_decode_step"        -> ((s, dir) => TensorOps.decodeStep(s, dir)),
+    "q43_layernorm"          -> ((s, dir) => TensorOps.layerNorm(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -107,5 +108,6 @@ object SparkEntry {
     "q40_resize"             -> Multimodal.q40OracleSql,
     "q41_embed_text"         -> Embed.q41OracleSql,
     "q42_decode_step"        -> TensorOps.q42OracleSql,
+    "q43_layernorm"          -> TensorOps.q43OracleSql,
   )
 }

@@ -115,6 +115,45 @@ object TensorOps {
       |           j -> CAST(CASE WHEN j <= i THEN 1 ELSE 0 END AS BIGINT)))), ' ') AS causal_mask
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** q43_layernorm — layer normalization over the first 8 embedding dims
+    * (F10; reference: transformer_sample.py:94-97): per-vector mean and
+    * biased std (E[x²]−E[x]², the reference's torch default), components
+    * standardized with eps=1e-5. Mean/std bound ONCE per row as columns —
+    * never inside the transform lambda (HOFs don't codegen; see
+    * VectorFunctions.normalize).
+    */
+  def layerNorm(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), slice(toDouble(col("embedding")), 1, 8).as("v"))
+      .withColumn("mu", aggregate(col("v"), lit(0.0), (a, x) => a + x) / size(col("v")))
+      .withColumn("sq", aggregate(col("v"), lit(0.0), (a, x) => a + x * x) / size(col("v")))
+      .withColumn("sd", sqrt(col("sq") - col("mu") * col("mu") + lit(1e-5)))
+      .select(
+        col("vec_id"),
+        round(col("mu"), 6).as("mean"),
+        round(col("sd"), 6).as("std"),
+        array_join(
+          transform(col("v"), x => format_string("%.6f", round((x - col("mu")) / col("sd"), 6) + lit(0.0))),
+          ",").as("normed"))
+      .orderBy(col("vec_id"))
+
+  val q43OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+      |), m AS (
+      |  SELECT vec_id, v,
+      |         list_aggregate(v, 'sum') / len(v) AS mu,
+      |         list_aggregate(list_transform(v, x -> x * x), 'sum') / len(v) AS sq
+      |  FROM e
+      |), s AS (
+      |  SELECT vec_id, v, mu, sqrt(sq - mu * mu + 1e-5) AS sd FROM m
+      |)
+      |SELECT vec_id,
+      |       round(mu, 6) AS mean,
+      |       round(sd, 6) AS std,
+      |       array_to_string(list_transform(v, x -> printf('%.6f', round((x - mu) / sd, 6) + 0.0)), ',') AS normed
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val q34OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS fullv, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
