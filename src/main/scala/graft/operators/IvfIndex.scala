@@ -69,7 +69,12 @@ object IvfIndex {
       .select(col("p.label").as("label"), col("vec_id"),
         col("p.embedding").as("embedding"), lit(0L).as("version"),
         col("p.cl").cast("long").as("list_id"))
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
+    // co-locate each list before the partitioned write: one writer task per
+    // list instead of tasks x lists small files (at 100 TB, raise the
+    // partition count so each list splits across several right-sized files)
+    assigned
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
   }
 
   /** Probe the persisted index: route each query to its nearest `nprobe`
