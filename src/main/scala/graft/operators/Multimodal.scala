@@ -51,6 +51,19 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** P1 — pixel normalization to [0,1] (reference: vector_db.py:31-36
+    * `/255.0`): pure array expression, scan-local.
+    */
+  def normalizePixels(pixels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(pixels, x => x.cast("double") / lit(255.0))
+
+  /** P2 — grayscale→RGB channel expansion (reference: vector_db.py:57
+    * channel triple): each pixel repeated 3×, flattened — the array form
+    * of `np.repeat(img, 3, axis=-1)`.
+    */
+  def channelTriple(pixels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(pixels, x => array_repeat(x, 3)))
+
   // --- resize / frame-sample plumbing -------------------------------------
 
   case class ResizedDoc(doc_id: Long, width: Long, height: Long, data: Array[Byte])

@@ -33,6 +33,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.data.toSeq).toSeq == again.map(_.data.toSeq).toSeq)
   }
 
+  test("pixel normalize and channel triple match the reference arithmetic") {
+    import spark.implicits._
+    val px = Seq((1L, Seq(0, 128, 255))).toDF("id", "pix")
+    val out = px.select(
+      Multimodal.normalizePixels(col("pix")).as("norm"),
+      Multimodal.channelTriple(col("pix")).as("rgb")).head()
+    assert(out.getSeq[Double](0) == Seq(0.0, 128.0 / 255.0, 1.0))
+    assert(out.getSeq[Int](1) == Seq(0, 0, 0, 128, 128, 128, 255, 255, 255))
+  }
+
   test("sampleFrames emits every stride-th fixed-size frame") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(raw, frameBytes = 16, stride = 2)
