@@ -80,6 +80,20 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(compacted.filter(col("vec_id") === 0).head().getAs[Long]("version") == 1L)
   }
 
+  test("probing ALL lists equals exact brute-force k-NN (completeness)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val nlist = emb.select("label").distinct().count().toInt
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val full = IvfIndex.probe(spark, indexDir, queries, k = 5, nprobe = nlist)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val exact = graft.operators.Knn.knnTopkCosine(spark, TestSpark.Sf0001)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(full == exact && full.nonEmpty,
+      "an IVF probe over every inverted list must reduce to exact search")
+  }
+
   test("nprobe > 1 widens the search to more lists, never fewer results") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val queries = emb.filter(col("vec_id") < 3)
