@@ -62,6 +62,7 @@ object SparkEntry {
     "q41_embed_text"         -> ((s, dir) => Embed.embedTextDeclared(s, dir)),
     "q42_decode_step"        -> ((s, dir) => TensorOps.decodeStep(s, dir)),
     "q43_layernorm"          -> ((s, dir) => TensorOps.layerNorm(s, dir)),
+    "q44_event_cube"         -> ((s, dir) => Relational.eventCube(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -109,5 +110,6 @@ object SparkEntry {
     "q41_embed_text"         -> Embed.q41OracleSql,
     "q42_decode_step"        -> TensorOps.q42OracleSql,
     "q43_layernorm"          -> TensorOps.q43OracleSql,
+    "q44_event_cube"         -> Relational.q44OracleSql,
   )
 }

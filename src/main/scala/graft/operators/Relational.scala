@@ -234,6 +234,35 @@ object Relational {
       |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
       |ORDER BY event_type, day""".stripMargin
 
+  /** q44_event_cube — CUBE over (event_type, weekday): all four grouping
+    * combinations — per pair, per type, per weekday, grand total — in one
+    * pass (a single Expand + hash aggregate, the same physical shape as
+    * rollup but with 2ⁿ grouping sets). `grouping_id` disambiguates rows
+    * where a NULL key is a real value vs a subtotal. Completes the
+    * rollup/cube/grouping-sets family next to q30.
+    */
+  def eventCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts"), "EEEE").as("weekday"), col("value"))
+      .cube(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("weekday"), lit("ALL")).as("weekday"),
+        col("gid"), col("n_events"), col("sum_value"))
+      .orderBy(col("gid"), col("event_type"), col("weekday"))
+
+  val q44OracleSql: String =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |       COALESCE(strftime(ts, '%A'), 'ALL') AS weekday,
+      |       CAST(GROUPING(event_type) * 2 + GROUPING(strftime(ts, '%A')) AS BIGINT) AS gid,
+      |       COUNT(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY CUBE(event_type, strftime(ts, '%A'))
+      |ORDER BY gid, event_type, weekday""".stripMargin
+
   val q28OracleSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
