@@ -63,6 +63,7 @@ object SparkEntry {
     "q42_decode_step"        -> ((s, dir) => TensorOps.decodeStep(s, dir)),
     "q43_layernorm"          -> ((s, dir) => TensorOps.layerNorm(s, dir)),
     "q44_event_cube"         -> ((s, dir) => Relational.eventCube(s, dir)),
+    "q45_dedup_purge"        -> ((s, dir) => TextAnalysis.dedupPurge(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -111,5 +112,6 @@ object SparkEntry {
     "q42_decode_step"        -> TensorOps.q42OracleSql,
     "q43_layernorm"          -> TensorOps.q43OracleSql,
     "q44_event_cube"         -> Relational.q44OracleSql,
+    "q45_dedup_purge"        -> TextAnalysis.q45OracleSql,
   )
 }

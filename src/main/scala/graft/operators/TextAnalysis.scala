@@ -35,6 +35,54 @@ object TextAnalysis {
       .orderBy(col("keeper_id"))
   }
 
+  /** q45_dedup_purge — the apply side of exact dedup, and the engine's
+    * explicit semi/anti join surface: the keeper set (min doc_id per md5
+    * fingerprint over the q15 duplicate-bearing corpus) is applied back to
+    * the corpus with a LEFT SEMI join (survivors) and a LEFT ANTI join
+    * (purged rows), aggregated per language. At 100 TB both joins shuffle
+    * only (doc_id, lang, 16-byte fingerprint) — never document text — and
+    * the keeper set broadcast-joins when it fits.
+    */
+  def dedupPurge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    val copies = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("text"))
+    val corpus = docs.unionByName(copies)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+    val keepers = corpus.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
+      .select(col("keeper_id"))
+    val kept   = corpus.join(keepers, corpus("doc_id") === keepers("keeper_id"), "left_semi")
+    val purged = corpus.join(keepers, corpus("doc_id") === keepers("keeper_id"), "left_anti")
+    kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .join(purged.groupBy(col("lang")).agg(count(lit(1)).as("n_purged")), Seq("lang"), "outer")
+      .select(col("lang"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_purged"), lit(0L)).as("n_purged"))
+      .orderBy(col("lang"))
+  }
+
+  val q45OracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, md5(text) AS fp FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+      |), keepers AS (
+      |  SELECT min(doc_id) AS keeper_id FROM corpus GROUP BY fp
+      |), kept AS (
+      |  SELECT lang FROM corpus WHERE doc_id IN (SELECT keeper_id FROM keepers)
+      |), purged AS (
+      |  SELECT lang FROM corpus WHERE doc_id NOT IN (SELECT keeper_id FROM keepers)
+      |), k AS (
+      |  SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+      |), p AS (
+      |  SELECT lang, COUNT(*) AS n_purged FROM purged GROUP BY lang
+      |)
+      |SELECT COALESCE(k.lang, p.lang) AS lang,
+      |       COALESCE(k.n_kept, 0) AS n_kept,
+      |       COALESCE(p.n_purged, 0) AS n_purged
+      |FROM k FULL OUTER JOIN p ON k.lang = p.lang
+      |ORDER BY lang""".stripMargin
+
   val q15OracleSql: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
