@@ -64,6 +64,7 @@ object SparkEntry {
     "q43_layernorm"          -> ((s, dir) => TensorOps.layerNorm(s, dir)),
     "q44_event_cube"         -> ((s, dir) => Relational.eventCube(s, dir)),
     "q45_dedup_purge"        -> ((s, dir) => TextAnalysis.dedupPurge(s, dir)),
+    "q46_range_tier_join"    -> ((s, dir) => Relational.rangeTierJoin(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -113,5 +114,6 @@ object SparkEntry {
     "q43_layernorm"          -> TensorOps.q43OracleSql,
     "q44_event_cube"         -> Relational.q44OracleSql,
     "q45_dedup_purge"        -> TextAnalysis.q45OracleSql,
+    "q46_range_tier_join"    -> Relational.q46OracleSql,
   )
 }

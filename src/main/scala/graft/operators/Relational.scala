@@ -263,6 +263,42 @@ object Relational {
       |GROUP BY CUBE(event_type, strftime(ts, '%A'))
       |ORDER BY gid, event_type, weekday""".stripMargin
 
+  /** Tier boundaries for the q46 range join: [lo, hi) per tier, covering
+    * the full value domain.
+    */
+  val ValueTiers: Seq[(String, Double, Double)] = Seq(
+    ("t0_low", -1e18, 20.0), ("t1", 20.0, 40.0), ("t2", 40.0, 60.0),
+    ("t3", 60.0, 80.0), ("t4_high", 80.0, 1e18))
+
+  /** q46_range_tier_join — an explicit RANGE join (the non-equi join class
+    * SURVEY §2A lists): every event matched to its value tier via
+    * `lo <= value < hi`. The tier table is tiny and broadcast, so the plan
+    * is a BroadcastNestedLoopJoin with the range predicate evaluated
+    * scan-side — the right shape when one side is a handful of interval
+    * rows. (For two LARGE interval sets, bucketize both sides to an
+    * equi-join on overlapping bucket ids first — same pattern as the LSH
+    * band join.)
+    */
+  def rangeTierJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = ValueTiers.toDF("tier", "lo", "hi")
+    Tables.events(spark, sfDir)
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("tier"))
+  }
+
+  val q46OracleSql: String = {
+    val values = ValueTiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+    s"""SELECT t.tier, COUNT(*) AS n_events, round(sum(e.value), 2) AS sum_value
+       |FROM events e
+       |JOIN (VALUES $values) AS t(tier, lo, hi)
+       |  ON e.value >= t.lo AND e.value < t.hi
+       |GROUP BY t.tier
+       |ORDER BY t.tier""".stripMargin
+  }
+
   val q28OracleSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
