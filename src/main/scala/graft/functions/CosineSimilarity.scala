@@ -95,17 +95,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * and `call_function`.
   */
 object GraftFunctions {
-  val CosineName = "graft_cosine"
+  val CosineName    = "graft_cosine"
+  val NormalizeName = "graft_l2_normalize"
 
   /** Idempotently register graft expressions on a session. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NormalizeName, exprs => L2Normalize(exprs.head), "built-in")
+  }
 
   /** Cosine similarity via the native expression; inputs must already be
     * `array<double>` (use VectorFunctions.toDouble).
     */
   def cosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** L2 normalization via the native expression (accepts float or double
+    * arrays; emits array<double>).
+    */
+  def normalize(a: Column): Column = call_function(NormalizeName, a)
 }
 
 /** Session-extension entry point for cluster deployments: registers graft's
@@ -128,11 +137,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[CosineSimilarity].getCanonicalName, GraftFunctions.CosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.NormalizeName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[L2Normalize].getCanonicalName, GraftFunctions.NormalizeName),
+      (exprs: Seq[Expression]) => L2Normalize(exprs.head)))
+    e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(RollingHash.Name),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RollingHash].getCanonicalName, RollingHash.Name),
       (exprs: Seq[Expression]) =>
         RollingHash(exprs.head, RollingHash.DefaultBase, RollingHash.DefaultModulus)))
     e.injectOptimizerRule(_ => graft.plans.StripCosineCasts)
+    e.injectOptimizerRule(_ => graft.plans.StripRedundantNormalize)
   }
 }

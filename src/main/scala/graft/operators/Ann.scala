@@ -21,18 +21,22 @@ object Ann {
   /** q23_normalize_embeddings — L2-normalize each embedding; emit the norm
     * and the normalized vector (rounded to 6 dp for the oracle compare).
     */
-  def normalizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+  def normalizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .select(
         col("vec_id"),
         round(l2Norm(col("v")), 6).as("norm"),
         // %.6f-serialized for the driver's pandas compare (cannot sort
-        // ndarray cells, VERDICT r1 item 1); `+ 0.0` folds -0.0 to +0.0
+        // ndarray cells, VERDICT r1 item 1); `+ 0.0` folds -0.0 to +0.0.
+        // graft_l2_normalize is the native fused-loop expression,
+        // bit-identical to VectorFunctions.normalize (RulesSpec).
         array_join(
-          transform(normalize(col("v")), x => format_string("%.6f", round(x, 6) + lit(0.0))),
+          transform(GraftFunctions.normalize(col("v")), x => format_string("%.6f", round(x, 6) + lit(0.0))),
           ",").as("unit"))
       .orderBy(col("vec_id"))
+  }
 
   val q23OracleSql: String =
     """WITH e AS (
