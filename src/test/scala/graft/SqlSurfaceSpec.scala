@@ -31,4 +31,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val self = knn.filter(r => r.getLong(0) == r.getLong(1))
     assert(self.length == 3 && self.forall(_.getDouble(2) == 1.0))
   }
+
+  test("graft_l2_normalize is callable from SQL and emits unit vectors") {
+    GraftFunctions.ensureRegistered(spark)
+    val row = spark.sql(
+      "SELECT graft_l2_normalize(array(3.0D, 4.0D)) AS u, graft_l2_normalize(array(0.0D, 0.0D)) AS z")
+      .head()
+    assert(row.getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(row.getSeq[Double](1) == Seq(0.0, 0.0))
+  }
 }

@@ -27,6 +27,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(corpus.toSeq == resorted.toSeq, "corpus ids must follow (freq desc, token asc)")
   }
 
+  test("two-phase vocab rank equals a brute-force global (freq desc, token) rank") {
+    val vocab = TextPipeline.vocabBuild(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val corpus = vocab.filter(_._2 >= 4) // drop specials
+    // brute force: sort by (freq desc, token asc), ids dense from 4
+    val expected = corpus.sortBy { case (tok, _, freq) => (-freq, tok) }
+      .zipWithIndex.map { case ((tok, _, freq), i) => (tok, i + 4L, freq) }
+    assert(corpus.sortBy(_._2).toSeq == expected.toSeq,
+      "partitioned-rank + broadcast offsets must reproduce the single-window global rank")
+    assert(corpus.nonEmpty)
+  }
+
   test("tokenizePad: fixed length, SOS/EOS framing, PAD tail, too-long rejection") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
       .select($"doc_id", size(TextPipeline.tokenArr($"text")).as("n"))
