@@ -45,6 +45,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** A null ELEMENT in either array nulls the score (a vector with an
+    * undefined component has no similarity) — same policy as
+    * [[L2Normalize]], so `containsNull=true` inputs never read garbage.
+    */
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -52,6 +65,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left); val rf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
+    if (elemNullable(left)) {
+      var i = 0
+      while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    }
+    if (elemNullable(right)) {
+      var i = 0
+      while (i < n) { if (y.isNullAt(i)) return null; i += 1 }
+    }
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -72,8 +93,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val denom = ctx.freshName("denom")
       val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val k = ctx.freshName("k")
+      // element-null scans, compiled in only for containsNull inputs;
+      // ev.isNull is a mutable local because nullable is true whenever
+      // either side's elements are nullable
+      val scans = Seq(
+        if (elemNullable(left))
+          s"""for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+             |  if ($a.isNullAt($k)) { ${ev.isNull} = true; }
+             |}""".stripMargin
+        else "",
+        if (elemNullable(right))
+          s"""for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+             |  if ($b.isNullAt($k)) { ${ev.isNull} = true; }
+             |}""".stripMargin
+        else "").mkString("\n")
+      val guardOpen  = if (elemNullable(left) || elemNullable(right)) s"if (!${ev.isNull}) {" else "{"
       s"""
          |final int $n = Math.min($a.numElements(), $b.numElements());
+         |$scans
+         |$guardOpen
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $xi = $getX;
@@ -82,6 +121,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |final double $denom = Math.sqrt($nx) * Math.sqrt($ny);
          |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |}
          |""".stripMargin
     })
 
@@ -98,12 +138,22 @@ object GraftFunctions {
   val CosineName    = "graft_cosine"
   val NormalizeName = "graft_l2_normalize"
 
-  /** Idempotently register graft expressions on a session. */
+  /** Idempotently register graft expressions on a session. Checks the
+    * registry first: re-registering on every operator call logs a
+    * `SimpleFunctionRegistry ... replaced` warning per query, burying real
+    * warnings in the bench/verify tails.
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NormalizeName, exprs => L2Normalize(exprs.head), "built-in")
+    registerIfAbsent(spark, CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)))
+    registerIfAbsent(spark, NormalizeName, exprs => L2Normalize(exprs.head))
+  }
+
+  private[functions] def registerIfAbsent(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
   }
 
   /** Cosine similarity via the native expression; inputs must already be

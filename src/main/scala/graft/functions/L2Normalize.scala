@@ -32,11 +32,27 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
     case _ => false
   }
 
+  /** A null ELEMENT nulls the whole result: a vector with an undefined
+    * component has no norm. Declared explicitly so `containsNull=true`
+    * inputs (the parquet default) neither read garbage through
+    * getDouble nor silently treat null as 0.0 (ADVICE r2).
+    */
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  override def nullable: Boolean = child.nullable || elemNullable
+
   override def prettyName: String = "graft_l2_normalize"
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    if (elemNullable) {
+      var i = 0
+      while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Double](n)
     var norm = 0.0
     var i = 0
@@ -58,10 +74,21 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val out = ctx.freshName("out"); val norm = ctx.freshName("norm"); val xi = ctx.freshName("xi")
-      val d = ctx.freshName("d")
+      val d = ctx.freshName("d"); val k = ctx.freshName("k")
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      // element-null scan first (only compiled in for containsNull inputs);
+      // ev.isNull is a mutable local here because nullable is true whenever
+      // elemNullable is
+      val nullScan =
+        if (elemNullable)
+          s"""for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+             |  if ($a.isNullAt($k)) { ${ev.isNull} = true; }
+             |}
+             |if (!${ev.isNull}) {""".stripMargin
+        else "{"
       s"""
          |final int $n = $a.numElements();
+         |$nullScan
          |final double[] $out = new double[$n];
          |double $norm = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -75,6 +102,7 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
          |}
          |${ev.value} =
          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
          |""".stripMargin
     })
 

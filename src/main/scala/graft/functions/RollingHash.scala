@@ -62,8 +62,8 @@ object RollingHash {
   val DefaultModulus = 1000003L
 
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name, exprs => RollingHash(exprs.head, DefaultBase, DefaultModulus), "built-in")
+    GraftFunctions.registerIfAbsent(
+      spark, Name, exprs => RollingHash(exprs.head, DefaultBase, DefaultModulus))
 
   def rollingHash(c: Column): Column = call_function(Name, c)
 }

@@ -115,10 +115,15 @@ object Ann {
     * No driver-side query loop, no `collect()`: the plan is the same for
     * 10 queries or 10 million. The distance threshold is 2.0, the maximum
     * L2 distance between unit vectors, so recall is governed purely by
-    * the LSH bucketing (as with the per-query `approxNearestNeighbors`
-    * this replaces), not by a distance cut.
+    * the LSH bucketing, not by a distance cut.
     *
-    * Returns (qid, vec_id, dist) for the approx k nearest per query.
+    * Unlike the per-query `approxNearestNeighbors` this replaces, the
+    * batch join does NOT widen its search when buckets are sparse: a
+    * query sharing no hash-table bucket with k candidates returns FEWER
+    * than k rows (asserted in AnnSpec). If k-completeness matters, union
+    * an exact top-k fallback for the under-filled queries.
+    *
+    * Returns (qid, vec_id, dist) for up to the approx k nearest per query.
     */
   def lshApproxKnn(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH

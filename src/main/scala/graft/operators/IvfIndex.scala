@@ -185,13 +185,24 @@ object IvfIndex {
     * are restored exactly.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val tmp = pointsPath(indexDir) + "_compacting"
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(pointsPath(indexDir))
+    val tmp = new Path(pointsPath(indexDir) + "_compacting")
+    val bak = new Path(pointsPath(indexDir) + "_precompact")
+    // resolve the FS from the index path itself, not the default FS — an
+    // index on s3a/HDFS while defaultFS points elsewhere would otherwise
+    // rename against the wrong filesystem
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest = latestPoints(spark.read.parquet(pointsPath(indexDir)))
-    latest.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(pointsPath(indexDir))
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    latest.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    // swap via backup, not delete-then-rename: a crash mid-swap leaves
+    // either the old layout live (before the second rename) or a
+    // recoverable `_precompact` copy — never a deleted index. The backup
+    // is deleted LAST.
+    fs.delete(bak, true) // clear a leftover backup from a prior crash
+    fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
   }
 
   /** q38_ivf_index_probe — the full lifecycle as a declared, oracle-checked

@@ -66,6 +66,22 @@ class CosineSimilaritySpec extends AnyFunSuite {
     rows.foreach { case (r, c, m) => assert(r == c && r == m) }
   }
 
+  test("null array elements null the result instead of reading garbage") {
+    GraftFunctions.ensureRegistered(spark)
+    // SQL literals carry containsNull=true, exercising the codegen null scan
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, NULL), array(1.0D, 2.0D)) AS c1,
+        |       graft_cosine(array(1.0D, 2.0D), array(NULL, 2.0D)) AS c2,
+        |       graft_cosine(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS c3,
+        |       graft_l2_normalize(array(3.0D, NULL)) AS n1,
+        |       graft_l2_normalize(array(3.0D, 4.0D)) AS n2
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(math.abs(r.getDouble(2) - 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))) < 1e-12)
+    assert(r.isNullAt(3))
+    assert(r.getSeq[Double](4) == Seq(0.6, 0.8))
+  }
+
   test("symmetry and self-similarity properties") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new Random(7)
