@@ -65,6 +65,8 @@ object SparkEntry {
     "q44_event_cube"         -> ((s, dir) => Relational.eventCube(s, dir)),
     "q45_dedup_purge"        -> ((s, dir) => TextAnalysis.dedupPurge(s, dir)),
     "q46_range_tier_join"    -> ((s, dir) => Relational.rangeTierJoin(s, dir)),
+    "q47_detokenize"         -> ((s, dir) => TextPipeline.detokenize(s, dir)),
+    "q48_filtered_index_probe" -> ((s, dir) => IvfIndex.filteredIndexProbe(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -115,5 +117,7 @@ object SparkEntry {
     "q44_event_cube"         -> Relational.q44OracleSql,
     "q45_dedup_purge"        -> TextAnalysis.q45OracleSql,
     "q46_range_tier_join"    -> Relational.q46OracleSql,
+    "q47_detokenize"         -> TextPipeline.q47OracleSql,
+    "q48_filtered_index_probe" -> IvfIndex.q48OracleSql,
   )
 }

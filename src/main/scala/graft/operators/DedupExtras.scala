@@ -42,8 +42,12 @@ object DedupExtras {
   def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // The shingle sets feed three plan branches (signature build + both
     // sides of the verification join); cache so Spark doesn't recompute the
-    // tokenize+shingle subtree per branch.
+    // tokenize+shingle subtree per branch. The cache is OPERATOR-SCOPED:
+    // the (tiny, ≤50-row) result is materialized eagerly below and the
+    // cache released in the finally, so a library caller embedding this in
+    // a long-lived session leaks no cached blocks (VERDICT r2 item 4).
     val sh = shingleSets(spark, sfDir).cache()
+    try {
     // One md5 per shingle; the 8-member hash family is 8 overlapping 8-hex
     // windows of that digest (32 bits each — ample for the shingle
     // cardinality). 8x fewer digest computations than md5(i || shingle)
@@ -81,6 +85,8 @@ object DedupExtras {
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(50)
+      .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   val q16OracleSql: String = {
@@ -187,21 +193,26 @@ object DedupExtras {
       .select(col("doc_id"), col("lang"), col("source"), expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
-      .cache() // exploded twice + sizes twice below
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("double").as("n"))
-    val ex = sh.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.toDF("lang", "source", "a_id", "s")
-      .join(ex.toDF("lang", "source", "b_id", "s"), Seq("lang", "source", "s"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("lang"), col("source"), col("a_id"), col("b_id"))
-      .agg(count(lit(1)).cast("double").as("n_inter"))
-    inter
-      .join(sizes.toDF("a_id", "na"), Seq("a_id"))
-      .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
-      .select(col("lang"), col("source"), col("a_id"), col("b_id"),
-        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(50)
+      // exploded twice + sizes twice below; operator-scoped like q16's —
+      // the ≤50-row result is materialized eagerly, the cache released
+      .cache()
+    try {
+      val sizes = sh.select(col("doc_id"), size(col("sh")).cast("double").as("n"))
+      val ex = sh.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("s"))
+      val inter = ex.toDF("lang", "source", "a_id", "s")
+        .join(ex.toDF("lang", "source", "b_id", "s"), Seq("lang", "source", "s"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("lang"), col("source"), col("a_id"), col("b_id"))
+        .agg(count(lit(1)).cast("double").as("n_inter"))
+      inter
+        .join(sizes.toDF("a_id", "na"), Seq("a_id"))
+        .join(sizes.toDF("b_id", "nb"), Seq("b_id"))
+        .select(col("lang"), col("source"), col("a_id"), col("b_id"),
+          round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(50)
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   val q18OracleSql: String =

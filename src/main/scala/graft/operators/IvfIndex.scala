@@ -134,6 +134,75 @@ object IvfIndex {
   def prunedPointsScan(spark: SparkSession, indexDir: String, lists: Seq[Long]): DataFrame =
     spark.read.parquet(pointsPath(indexDir)).filter(col("list_id").isin(lists: _*))
 
+  /** Filtered search against the persisted index — the reference's
+    * payload-filter + ANN semantics (reference: vector_db.py:89 payloads;
+    * filtered search is q02's predicate) composed with the partition-pruned
+    * probe: each query retrieves top-k only among points whose `label`
+    * equals the query's own.
+    *
+    * Scan-pruning on BOTH dimensions: the routing decision contributes the
+    * `list_id IN (...)` partition filter, and the query batch's distinct
+    * label set is pushed as a `label IN (...)` data filter into the parquet
+    * scan (the manual runtime-filter pattern — both IN-lists are
+    * driver-side literals bounded by nlist and |query labels|). The exact
+    * per-query label equality is then enforced in the join; the scan
+    * filter is a superset cut, the join predicate the precise one.
+    *
+    * `queries` must have (qid, qvec, qlabel). Returns
+    * (qid, probe_list, vec_id, score, rank); a query whose probed list
+    * holds no same-label point returns fewer than k rows — exactly what a
+    * filtered vector search does when the filter empties the bucket.
+    */
+  def probeFiltered(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    k: Int = 3, nprobe: Int = 1): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val centroids = spark.read.parquet(centroidsPath(indexDir))
+
+    val routed = queries
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("qlabel"), col("label"),
+        round(GraftFunctions.cosine(col("qvec"), col("centroid")), 6).as("cscore"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cscore").desc, col("label").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qlabel"), col("label").cast("long").as("probe_list"))
+
+    val lists = routed.select(col("probe_list")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val qlabels = routed.select(col("qlabel")).distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
+    val points = latestPoints(
+      spark.read.parquet(pointsPath(indexDir))
+        .filter(col("list_id").isin(lists: _*) && col("label").isin(qlabels: _*)))
+
+    val scored = points
+      .join(broadcast(routed),
+        col("list_id") === col("probe_list") && col("label") === col("qlabel"))
+      .select(col("qid"), col("probe_list"), col("vec_id"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
+    val tk = TopK.topKUdaf(k)
+    val perList = scored
+      .groupBy(col("qid"), col("probe_list"))
+      .agg(tk(col("vec_id"), col("score")).as("top"))
+      .select(col("qid"), col("probe_list"), explode(col("top")).as("s"))
+      .select(col("qid"), col("probe_list"), col("s.id").as("vec_id"), col("s.score").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    perList
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The filtered points scan for given lists + labels — exposed so specs
+    * can assert both the partition filter and the pushed label filter.
+    */
+  def filteredPointsScan(spark: SparkSession, indexDir: String,
+                         lists: Seq[Long], labels: Seq[Any]): DataFrame =
+    spark.read.parquet(pointsPath(indexDir))
+      .filter(col("list_id").isin(lists: _*) && col("label").isin(labels: _*))
+
   /** Incremental upsert into a built index — the reference's collection is
     * appended to batch-by-batch after creation (reference:
     * vector_db.py:93-106 batch upsert loop). New vectors are assigned to
@@ -225,6 +294,21 @@ object IvfIndex {
     probe(spark, indexDir, queries, k = 3, nprobe = 1)
   }
 
+  /** q48_filtered_index_probe — filtered search over the index artifact as
+    * a declared, oracle-checked query: build the persisted index, then
+    * probe with the first 10 vectors under the payload predicate
+    * `candidate.label = query.label`. The oracle recomputes build + probe +
+    * filter algebraically from the raw table.
+    */
+  def filteredIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_filtered").toString
+    build(spark, emb, indexDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+    probeFiltered(spark, indexDir, queries, k = 3, nprobe = 1)
+  }
+
   private def cosSql(a: String, b: String): String =
     s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
        |      THEN 0.0
@@ -263,6 +347,49 @@ object IvfIndex {
        |  FROM probe p
        |  JOIN asg a ON a.list_id = p.probe_list
        |  JOIN e ON e.vec_id = a.vec_id
+       |)
+       |SELECT qid, probe_list, vec_id, score, rank
+       |FROM (SELECT qid, probe_list, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
+  /** q38's oracle with the payload predicate composed in: candidates must
+    * carry the query's label (and still live in the probed list).
+    */
+  val q48OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), cdims AS (
+       |  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+       |), cent AS (
+       |  SELECT label, list(round(a, 6) ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, avg(x) AS a FROM cdims GROUP BY label, pos)
+       |  GROUP BY label
+       |), asg AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT e.vec_id, c.label AS list_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cosSql("e.v", "c.centroid")} DESC, c.label ASC) AS rn
+       |    FROM e CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qvec, label AS qlabel FROM e WHERE vec_id < 10
+       |), probe AS (
+       |  SELECT qid, qvec, qlabel, label AS probe_list
+       |  FROM (
+       |    SELECT q.qid, q.qvec, q.qlabel, c.label,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             ${cosSql("q.qvec", "c.centroid")} DESC, c.label ASC) AS rn
+       |    FROM q CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |), scored AS (
+       |  SELECT p.qid, CAST(p.probe_list AS BIGINT) AS probe_list, e.vec_id,
+       |         ${cosSql("p.qvec", "e.v")} AS score
+       |  FROM probe p
+       |  JOIN asg a ON a.list_id = p.probe_list
+       |  JOIN e ON e.vec_id = a.vec_id AND e.label = p.qlabel
        |)
        |SELECT qid, probe_list, vec_id, score, rank
        |FROM (SELECT qid, probe_list, vec_id, score,

@@ -39,6 +39,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!leaves.contains("list_id=1") || leaves.contains("list_id=3"))
   }
 
+  test("filtered probe scan prunes on BOTH list partitions and pushed label filter") {
+    val q = IvfIndex.filteredPointsScan(spark, indexDir, Seq(3L), Seq(3, 4))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      "list_id must prune partitions")
+    // (a 1-element IN folds to EqualTo — still pushed; assert the 2-element form)
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"label IN (...) must be pushed into the parquet scan; got:\n$plan")
+  }
+
+  test("filtered probe returns only same-label candidates, ranked like q02 over the probed list") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val labels = emb.select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+    val r = IvfIndex.probeFiltered(spark, indexDir, queries, k = 3, nprobe = 1)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (qid, vid, _) =>
+      assert(labels(vid) == labels(qid), s"candidate $vid label must match query $qid label")
+    }
+    // every query finds at least itself (it carries its own label and lives in some probed-or-other list)
+    // note: self may be assigned to a different list than the probed one, so only rank sanity here
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("probe over the persisted index equals the index-free computation") {
     import spark.implicits._
     val direct = graft.operators.IvfIndex

@@ -60,6 +60,26 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decode inverts encodeWith: specials stripped, OOV renders as [UNK]") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha zzz")).toDF("doc_id", "text")
+    // hand vocab missing 'zzz' and 'gamma'-as-frequent: alpha=4, beta=5, gamma=6
+    val vocab = Seq(("alpha", 4L), ("beta", 5L), ("gamma", 6L)).toDF("token", "id")
+    val decoded = TextPipeline.decode(TextPipeline.encodeWith(docs, vocab), vocab)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(decoded == Seq((1L, "alpha beta gamma"), (2L, "alpha [UNK]")))
+  }
+
+  test("operator-scoped caches leave nothing in the session cache manager") {
+    import graft.operators.DedupExtras
+    spark.catalog.clearCache()
+    TextPipeline.vocabBuild(spark, TestSpark.Sf0001).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "corpusVocab leaked a cached relation")
+    DedupExtras.minhashLshDedup(spark, TestSpark.Sf0001).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "minhashLshDedup leaked a cached relation")
+    DedupExtras.ngramJaccard(spark, TestSpark.Sf0001).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "ngramJaccard leaked a cached relation")
+  }
+
   test("instruction parse round-trips the framed prefix/suffix") {
     val r = TextPipeline.instructionParse(spark, TestSpark.Sf0001)
     val joined = r.join(Tables.documents(spark, TestSpark.Sf0001), Seq("doc_id"))
