@@ -48,14 +48,15 @@ object DedupExtras {
     // a long-lived session leaks no cached blocks (VERDICT r2 item 4).
     val sh = shingleSets(spark, sfDir).cache()
     try {
-    // One md5 per shingle; the 8-member hash family is 8 overlapping 8-hex
-    // windows of that digest (32 bits each — ample for the shingle
-    // cardinality). 8x fewer digest computations than md5(i || shingle)
-    // per member, same fixed-width-hex min-hash property.
-    val exploded = sh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("h"))
-    val sigCols = (0 until NumHashes).map(i => min(substring(col("h"), 1 + 3 * i, 8)).as(s"sig$i"))
+    // 8 INDEPENDENT salted digests per shingle — md5(i || ':' || s) — one
+    // min per member. Costs 8 digests/shingle (measured within noise at
+    // sf0.1) and buys a proper independent hash family: the earlier
+    // 8-overlapping-windows-of-one-md5 form was cheaper but its members
+    // were correlated, weakening the banding's recall guarantee
+    // (VERDICT r2 item 8).
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"sig$i"))
     val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // One band row per (doc, band) via a single posexplode — NOT a 4-way
     // union, which would re-run the whole signature aggregation per band.
@@ -90,7 +91,7 @@ object DedupExtras {
   }
 
   val q16OracleSql: String = {
-    val sigSelect = (0 until NumHashes).map(i => s"min(substring(h, ${1 + 3 * i}, 8)) AS sig$i").mkString(", ")
+    val sigSelect = (0 until NumHashes).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sigs").mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS (
@@ -100,7 +101,7 @@ object DedupExtras {
        |  FROM (SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents)
        |  WHERE len(toks) >= 3
        |), ex AS (
-       |  SELECT doc_id, md5(unnest(sh)) AS h FROM sh
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
        |), sigs AS (
        |  SELECT doc_id, $sigSelect FROM ex GROUP BY doc_id
        |), bands AS (

@@ -55,12 +55,21 @@ object IvfIndex {
     */
   def build(spark: SparkSession, emb: DataFrame, indexDir: String): Unit = {
     GraftFunctions.ensureRegistered(spark)
-    val centroids = centroidsOf(emb)
+    writeIndex(emb, centroidsOf(emb), indexDir)
+  }
+
+  /** Shared write side of [[build]]/[[buildUnsupervised]]: persist the
+    * centroid table and the corpus assigned-to-nearest-centroid (by COSINE,
+    * the probe's routing metric — assignment and routing must agree or
+    * recall silently degrades), `partitionBy("list_id")`.
+    */
+  private def writeIndex(emb: DataFrame, centroids: DataFrame, indexDir: String): Unit = {
     centroids.write.mode("overwrite").parquet(centroidsPath(indexDir))
 
+    val labelCol = if (emb.columns.contains("label")) col("label") else lit(-1)
     val assigned = emb
       .crossJoin(broadcast(centroids.select(col("label").as("cl"), col("centroid"))))
-      .select(col("vec_id"), col("label"), col("embedding"), col("cl"),
+      .select(col("vec_id"), labelCol.as("label"), col("embedding"), col("cl"),
         round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6).as("cs"))
       .groupBy(col("vec_id"))
       .agg(max_by(
@@ -75,6 +84,50 @@ object IvfIndex {
     assigned
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
+  }
+
+  /** Build the index on an UNLABELED corpus: the coarse quantizer is
+    * learned with MLlib KMeans (cosine distance — the collection metric,
+    * reference: vector_db.py:23) instead of derived from a label column.
+    * This is what the reference's index actually needs — Qdrant builds its
+    * HNSW from vectors alone (vector_db.py:20-24); the labeled [[build]]
+    * exists for the deterministic oracle path (q38/q48).
+    *
+    * Layout, probe, append, compact are IDENTICAL to the labeled build:
+    * cluster ids take the `label` position in the centroid table and
+    * `list_id` in the points layout, so every downstream reader works
+    * unchanged.
+    *
+    * At 100 TB the quantizer is NOT trained on the full corpus — standard
+    * IVF practice fits on a sample (a few hundred vectors per centroid
+    * suffice); `trainFraction` controls it and only the one-pass
+    * assignment touches every row. Deterministic for a fixed seed.
+    *
+    * `emb` needs only (vec_id, embedding); a `label` column, if present,
+    * is carried through to the points payload but never consulted.
+    */
+  def buildUnsupervised(spark: SparkSession, emb: DataFrame, indexDir: String,
+                        nlist: Int, seed: Long = 42L,
+                        trainFraction: Double = 1.0): Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train0 = if (trainFraction < 1.0) emb.sample(withReplacement = false, trainFraction, seed) else emb
+    val train  = train0.select(array_to_vector(toDouble(col("embedding"))).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed)
+      .setDistanceMeasure("cosine") // match the probe's routing metric
+      .setFeaturesCol("features")
+      .fit(train)
+    // nlist learned centers -> the same (label, centroid) table the labeled
+    // build writes (components rounded like centroidsOf's, for consistency)
+    val spark2 = spark
+    import spark2.implicits._
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(x => math.rint(x * 1e6) / 1e6)) }
+      .toDF("label", "centroid")
+    writeIndex(emb, centroids, indexDir)
   }
 
   /** Probe the persisted index: route each query to its nearest `nprobe`

@@ -51,6 +51,63 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // --- real image decode (JDK codecs, no external dependency) -------------
+
+  case class ImageFile(path: String, content: Array[Byte])
+  case class ImageMeta(path: String, width: Long, height: Long, mean_pixel: Double)
+
+  /** REAL image decode — `javax.imageio` ships with the JVM, so PNG (and
+    * JPEG/BMP/GIF) decoding needs no external codec. Mirrors the
+    * reference's payload decode (reference: vector_db_query.py:87-88
+    * base64 → PNG → pixels) through the SAME `mapPartitions` socket as
+    * [[decodeStub]]: per-partition iterator, bounded memory (one image at
+    * a time), typed metadata out. The emitted statistic is the mean over
+    * every sample of every band — for the reference's grayscale MNIST
+    * payloads this is exactly the mean pixel.
+    *
+    * Input is the `binaryFile` source's shape (S7): (path, content).
+    */
+  def decodeImages(images: org.apache.spark.sql.Dataset[ImageFile]): org.apache.spark.sql.Dataset[ImageMeta] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc: org.apache.spark.sql.Encoder[ImageMeta] = Encoders.product[ImageMeta]
+    images.mapPartitions { files =>
+      // per-partition init: skip ImageIO's disk-backed stream cache — these
+      // are in-memory byte arrays
+      javax.imageio.ImageIO.setUseCache(false)
+      files.map { f =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
+        require(img != null, s"undecodable image payload at ${f.path}")
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0.0
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        ImageMeta(f.path, w.toLong, h.toLong, sum / (w.toLong * h * bands))
+      }
+    }
+  }
+
+  /** The reference's full payload path: base64 string column → PNG bytes →
+    * decoded metadata (reference: vector_db.py:67-72 encode,
+    * vector_db_query.py:87-88 decode). `unbase64` is a codegen'd built-in;
+    * the codec runs in the partition socket.
+    */
+  def decodeBase64Png(spark: SparkSession, payloads: DataFrame,
+                      idCol: String, b64Col: String): org.apache.spark.sql.Dataset[ImageMeta] = {
+    import spark.implicits._
+    decodeImages(
+      payloads.select(col(idCol).cast("string").as("path"),
+        unbase64(col(b64Col)).as("content")).as[ImageFile])
+  }
+
   /** P1 — pixel normalization to [0,1] (reference: vector_db.py:31-36
     * `/255.0`): pure array expression, scan-local.
     */

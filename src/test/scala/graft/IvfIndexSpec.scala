@@ -123,6 +123,40 @@ class IvfIndexSpec extends AnyFunSuite {
       "an IVF probe over every inverted list must reduce to exact search")
   }
 
+  test("unsupervised KMeans build needs no labels; layout prunes and recall matches the labeled build") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val nlist = emb.select("label").distinct().count().toInt
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_unsup").toString
+    // label column DROPPED: the quantizer must be learned, not read
+    IvfIndex.buildUnsupervised(spark, emb.drop("label"), dir, nlist = nlist, seed = 7L)
+
+    // identical layout contract: directory-partitioned, pruned scan
+    val dirs = new java.io.File(IvfIndex.pointsPath(dir))
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")))
+    val plan = IvfIndex.prunedPointsScan(spark, dir, Seq(dirs.head.stripPrefix("list_id=").toLong))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.operators.Knn.knnTopkCosine(spark, TestSpark.Sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(idx: String): Double = {
+      val got = IvfIndex.probe(spark, idx, queries, k = 5, nprobe = 1)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, ids) => (ids & got.getOrElse(q, Set.empty)).size.toDouble / ids.size }
+        .sum / exact.size
+    }
+    val labeledRecall = recallOf(indexDir)
+    val unsupRecall   = recallOf(dir)
+    assert(unsupRecall >= labeledRecall,
+      s"KMeans quantizer recall $unsupRecall must not trail the labeled build's $labeledRecall")
+  }
+
   test("nprobe > 1 widens the search to more lists, never fewer results") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val queries = emb.filter(col("vec_id") < 3)

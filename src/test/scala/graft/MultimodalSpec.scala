@@ -20,6 +20,56 @@ class MultimodalSpec extends AnyFunSuite {
       .as[RawDoc]
   }
 
+  test("decodeImages reads real PNGs from the binaryFile source: width, height, pixel mean") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // write 5 grayscale PNGs with known dimensions and a deterministic
+    // gradient; record the expected mean while painting
+    val dir = java.nio.file.Files.createTempDirectory("graft_png").toFile
+    val expected = (0 until 5).map { i =>
+      val (w, h) = (8 + i, 5 + i)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      var sum = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17 + i * 7) % 256
+        img.getRaster.setSample(x, y, 0, v)
+        sum += v
+      }
+      val f = new java.io.File(dir, s"img_$i.png")
+      assert(javax.imageio.ImageIO.write(img, "png", f))
+      f.getName -> (w.toLong, h.toLong, sum / (w * h))
+    }.toMap
+
+    val files = spark.read.format("binaryFile")
+      .load(dir.getAbsolutePath + "/*.png")
+      .select(col("path"), col("content")).as[Multimodal.ImageFile]
+    val got = Multimodal.decodeImages(files).collect()
+    assert(got.length == expected.size)
+    got.foreach { m =>
+      val name = m.path.substring(m.path.lastIndexOf('/') + 1)
+      val (w, h, mean) = expected(name)
+      assert(m.width == w && m.height == h, s"$name dims")
+      assert(math.abs(m.mean_pixel - mean) < 1e-9, s"$name mean")
+    }
+  }
+
+  test("decodeBase64Png decodes the reference's base64-PNG payload shape") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // one 4x3 image, all pixels 200 -> mean exactly 200.0
+    val img = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 4) img.getRaster.setSample(x, y, 0, 200)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val b64 = java.util.Base64.getEncoder.encodeToString(baos.toByteArray)
+
+    val payloads = Seq((7L, b64)).toDF("vec_id", "image_base64")
+    val got = Multimodal.decodeBase64Png(spark, payloads, "vec_id", "image_base64").collect()
+    assert(got.length == 1)
+    assert(got.head.path == "7" && got.head.width == 4 && got.head.height == 3)
+    assert(math.abs(got.head.mean_pixel - 200.0) < 1e-9)
+  }
+
   test("resizeTo caps every payload at w*h bytes with declared dimensions") {
     import spark.implicits._
     val out = Multimodal.resizeTo(raw, 8, 4).collect()
