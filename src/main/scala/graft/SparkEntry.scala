@@ -67,6 +67,7 @@ object SparkEntry {
     "q46_range_tier_join"    -> ((s, dir) => Relational.rangeTierJoin(s, dir)),
     "q47_detokenize"         -> ((s, dir) => TextPipeline.detokenize(s, dir)),
     "q48_filtered_index_probe" -> ((s, dir) => IvfIndex.filteredIndexProbe(s, dir)),
+    "q49_quantize_int8"      -> ((s, dir) => Quantize.quantizeInt8(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -119,5 +120,6 @@ object SparkEntry {
     "q46_range_tier_join"    -> Relational.q46OracleSql,
     "q47_detokenize"         -> TextPipeline.q47OracleSql,
     "q48_filtered_index_probe" -> IvfIndex.q48OracleSql,
+    "q49_quantize_int8"      -> Quantize.q49OracleSql,
   )
 }

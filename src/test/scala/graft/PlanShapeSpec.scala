@@ -46,4 +46,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Relational.eventRollup(spark, TestSpark.Sf0001))
     assert("Expand".r.findAllIn(p).size == 1, s"rollup must be one Expand;\n$p")
   }
+
+  test("q49 quantization is scan-local: the only exchange is the final presentation sort") {
+    val p = plan(graft.operators.Quantize.quantizeInt8(spark, TestSpark.Sf0001))
+    assert(!p.contains("Join"), s"quantization must not join;\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"per-vector codebooks need no shuffle — only the ORDER BY may exchange;\n$p")
+  }
+
+  test("q47 decode joins the vocab by broadcast on both encode and decode sides") {
+    val p = plan(graft.operators.TextPipeline.detokenize(spark, TestSpark.Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"vocab (dictionary-sized) must broadcast in encode AND decode;\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must never shuffle for a dictionary lookup;\n$p")
+  }
 }
