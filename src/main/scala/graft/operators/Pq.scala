@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) — the memory-side companion to the IVF
+  * layout ([[IvfIndex]]): where IVF prunes WHICH rows a probe scans, PQ
+  * shrinks WHAT each scanned row costs. Vectors are split into `m`
+  * subvectors; each subspace gets a small KMeans codebook; a vector is
+  * stored as its m nearest-codeword indices — m bytes instead of
+  * 4·dim bytes (64-dim float32 → 8 bytes: 32×). At 100 TB that is the
+  * difference between scanning embeddings and scanning codes, with the
+  * float corpus touched only to rerank a per-query shortlist.
+  *
+  * Search is ADC (asymmetric distance computation): per query, one
+  * m×k table of query-subvector→codeword distances; a candidate's
+  * approximate distance is m table lookups summed — no float vector is
+  * read. The shortlist is then reranked with exact cosine against only
+  * |queries|·shortlist embeddings.
+  *
+  * Cosine metric handling: vectors are L2-normalized before training and
+  * encoding, where squared euclidean distance is monotone in cosine
+  * (|a−b|² = 2(1−cos) on unit vectors) — the same reduction
+  * [[Ann.lshApproxKnn]] uses. Seeded and deterministic end-to-end.
+  *
+  * Like the reference's index build, training is an offline, sampled
+  * step (`trainFraction`); encode is one distributed pass; the codebooks
+  * (m·k·subDim doubles) travel by closure/broadcast.
+  */
+object Pq {
+
+  /** m codebooks of k codewords each; `centers(j)(c)` is the c-th codeword
+    * of subspace j (length subDim = dim / m).
+    */
+  case class Codebooks(m: Int, k: Int, subDim: Int, centers: Array[Array[Array[Double]]])
+
+  case class Codes(vec_id: Long, codes: Array[Int])
+
+  /** Train per-subspace codebooks with seeded MLlib KMeans over (a sample
+    * of) the L2-normalized corpus — m small fits, each over
+    * |corpus|·trainFraction rows of subDim doubles.
+    */
+  def train(spark: SparkSession, emb: DataFrame, m: Int = 8, k: Int = 16,
+            seed: Long = 42L, trainFraction: Double = 1.0): Codebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+
+    val unit0 = emb.select(normalize(toDouble(col("embedding"))).as("u"))
+    val unit  = if (trainFraction < 1.0) unit0.sample(withReplacement = false, trainFraction, seed) else unit0
+    // one cached materialization feeds all m fits (released before return)
+    val cached = unit.cache()
+    try {
+      cached.count()
+      val centers = (0 until m).map { j =>
+        val slices = cached.select(array_to_vector(slice(col("u"), j * subDim + 1, subDim)).as("features"))
+        new KMeans().setK(k).setSeed(seed + j).setFeaturesCol("features")
+          .fit(slices).clusterCenters.map(_.toArray)
+      }.toArray
+      Codebooks(m, k, subDim, centers)
+    } finally cached.unpersist()
+  }
+
+  /** Encode each embedding as its m nearest-codeword indices (euclidean on
+    * the normalized vector, matching training). One distributed pass; the
+    * codebooks ride the task closure (m·k·subDim doubles — a few KB).
+    */
+  def encode(spark: SparkSession, emb: DataFrame, cb: Codebooks): Dataset[Codes] = {
+    import spark.implicits._
+    emb.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("u"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        rows.map { case (id, u) =>
+          val codes = new Array[Int](cb.m)
+          var j = 0
+          while (j < cb.m) {
+            val base = j * cb.subDim
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb.k) {
+              val cw = cb.centers(j)(c)
+              var d = 0.0; var i = 0
+              while (i < cb.subDim) {
+                val t = u(base + i) - cw(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          Codes(id, codes)
+        }
+      }
+  }
+
+  /** ADC search + exact rerank: approximate top-`shortlist` per query from
+    * codes alone, then exact cosine over only those candidates, top-`k`.
+    *
+    * The per-query ADC tables (m×k doubles each) are computed from the
+    * collected query batch — query-scale, like [[IvfIndex.probe]]'s
+    * routing lists — and ride the closure; the code scan stays fully
+    * distributed and never touches a float vector. Returns
+    * (qid, vec_id, score, rank) by exact cosine.
+    */
+  def search(spark: SparkSession, emb: DataFrame, codes: Dataset[Codes], cb: Codebooks,
+             queries: DataFrame, shortlist: Int = 50, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+
+    // per-query distance tables: queries are query-scale (bounded), the
+    // tables a few KB each
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col("qid"), normalize(toDouble(col("qvec"))).as("u"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (qid, u) => (qid, u.toArray) }
+    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, u) =>
+      val t = Array.ofDim[Double](cb.m, cb.k)
+      var j = 0
+      while (j < cb.m) {
+        val base = j * cb.subDim
+        var c = 0
+        while (c < cb.k) {
+          val cw = cb.centers(j)(c)
+          var d = 0.0; var i = 0
+          while (i < cb.subDim) { val x = u(base + i) - cw(i); d += x * x; i += 1 }
+          t(j)(c) = d
+          c += 1
+        }
+        j += 1
+      }
+      (qid, t)
+    }
+
+    // distributed ADC scan: |codes| rows × |queries| lookups, emitted as
+    // (qid, vec_id, -adist) into the bounded-heap TopK (shuffle ≤
+    // queries × partitions × shortlist)
+    val scored = codes.flatMap { c =>
+      tables.iterator.map { case (qid, t) =>
+        var d = 0.0; var j = 0
+        while (j < cb.m) { d += t(j)(c.codes(j)); j += 1 }
+        (qid, c.vec_id, -d)
+      }
+    }.toDF("qid", "id", "score")
+    val tk = TopK.topKUdaf(shortlist)
+    val candidates = scored
+      .groupBy(col("qid"))
+      .agg(tk(col("id"), col("score")).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.id").as("vec_id"))
+
+    // exact rerank over the tiny candidate set only
+    val reranked = candidates
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(GraftFunctions.cosine(toDouble(col("qvec")), toDouble(col("embedding"))), 6).as("score"))
+    val tk2 = TopK.topKUdaf(k)
+    reranked
+      .groupBy(col("qid"))
+      .agg(tk2(col("vec_id"), col("score")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .toDF("qid", "pos", "s")
+      .select(col("qid"), col("s.id").as("vec_id"), col("s.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

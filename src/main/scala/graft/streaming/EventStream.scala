@@ -57,6 +57,24 @@ object EventStream {
       .outputMode("complete")
       .start()
 
+  /** Streaming exact dedup — the streaming counterpart of batch q15
+    * (TextAnalysis.exactDedup) for an ingest pipeline: fingerprint each
+    * document (md5, the same 16-byte key the batch dedup shuffles) and
+    * drop re-arrivals WITHIN the watermark horizon, so state is bounded
+    * by horizon × arrival rate instead of stream length. Exact dedup
+    * against ALL history is not a streaming-state problem: run the batch
+    * anti-join (q45) against the persisted keeper set per micro-batch via
+    * foreachBatch instead.
+    *
+    * `docs` needs (ts, text) plus any payload columns; works on batch or
+    * streaming frames (the watermark is a no-op in batch mode).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts", horizon: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   // --- stateful sessionization (custom keyed state) -----------------------
 
   /** Input row for [[sessionizeStream]]: one event with its microsecond

@@ -82,6 +82,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-arrivals within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStream.dedupStream(input.toDF().toDF("ts", "text")).writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    try {
+      // batch 1: a duplicate inside the batch
+      input.addData(Seq(
+        (t("2024-01-01 00:00:00"), "alpha"),
+        (t("2024-01-01 00:01:00"), "alpha"),
+        (t("2024-01-01 00:02:00"), "beta")))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate (state) + a fresh doc
+      input.addData(Seq(
+        (t("2024-01-01 00:10:00"), "alpha"),
+        (t("2024-01-01 00:11:00"), "gamma")))
+      q.processAllAvailable()
+
+      val kept = spark.table("stream_dedup").select($"text").as[String].collect().sorted.toSeq
+      assert(kept == Seq("alpha", "beta", "gamma"),
+        "each distinct fingerprint must survive exactly once within the horizon")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: last-writer-wins view resolves re-ingested ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
