@@ -134,12 +134,15 @@ object IvfIndex {
     * centroids, scan ONLY those list partitions, exact top-k inside them.
     * Returns (qid, probe_list, vec_id, score, rank).
     */
-  def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
-            k: Int = 3, nprobe: Int = 1): DataFrame = {
+  /** Query routing — nearest `nprobe` centroids per query by cosine,
+    * ties to the smaller list id. Returns (qid, qvec, probe_list); shared
+    * by [[probe]] and the PQ-compressed probe ([[Pq]]).
+    */
+  def route(spark: SparkSession, indexDir: String, queries: DataFrame,
+            nprobe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = spark.read.parquet(centroidsPath(indexDir))
-
-    val routed = queries
+    queries
       .crossJoin(broadcast(centroids))
       .select(col("qid"), col("qvec"), col("label"),
         round(GraftFunctions.cosine(col("qvec"), col("centroid")), 6).as("cscore"))
@@ -148,6 +151,12 @@ object IvfIndex {
           .orderBy(col("cscore").desc, col("label").asc)))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qvec"), col("label").cast("long").as("probe_list"))
+  }
+
+  def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
+            k: Int = 3, nprobe: Int = 1): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val routed = route(spark, indexDir, queries, nprobe)
 
     // The routing decision: nprobe × |queries| ints — this literal IN-list
     // is what turns the list_id predicate into a static partition filter.

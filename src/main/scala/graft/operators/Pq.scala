@@ -70,33 +70,34 @@ object Pq {
     * the normalized vector, matching training). One distributed pass; the
     * codebooks ride the task closure (m·k·subDim doubles — a few KB).
     */
+  /** Nearest-codeword indices for one normalized vector. */
+  private def encodeOne(u: Seq[Double], cb: Codebooks): Array[Int] = {
+    val codes = new Array[Int](cb.m)
+    var j = 0
+    while (j < cb.m) {
+      val base = j * cb.subDim
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.k) {
+        val cw = cb.centers(j)(c)
+        var d = 0.0; var i = 0
+        while (i < cb.subDim) {
+          val t = u(base + i) - cw(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
   def encode(spark: SparkSession, emb: DataFrame, cb: Codebooks): Dataset[Codes] = {
     import spark.implicits._
     emb.select(col("vec_id"), normalize(toDouble(col("embedding"))).as("u"))
       .as[(Long, Seq[Double])]
-      .mapPartitions { rows =>
-        rows.map { case (id, u) =>
-          val codes = new Array[Int](cb.m)
-          var j = 0
-          while (j < cb.m) {
-            val base = j * cb.subDim
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < cb.k) {
-              val cw = cb.centers(j)(c)
-              var d = 0.0; var i = 0
-              while (i < cb.subDim) {
-                val t = u(base + i) - cw(i); d += t * t; i += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            codes(j) = best
-            j += 1
-          }
-          Codes(id, codes)
-        }
-      }
+      .mapPartitions(rows => rows.map { case (id, u) => Codes(id, encodeOne(u, cb)) })
   }
 
   /** ADC search + exact rerank: approximate top-`shortlist` per query from
@@ -169,6 +170,117 @@ object Pq {
       .toDF("qid", "pos", "s")
       .select(col("qid"), col("s.id").as("vec_id"), col("s.score").as("score"),
         (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // --- IVF + PQ composition (the canonical billion-scale layout) ----------
+
+  case class ListCodes(vec_id: Long, list_id: Long, codes: Array[Int])
+
+  def codesPath(indexDir: String): String = s"$indexDir/pq_codes"
+
+  /** Materialize PQ codes for a built [[IvfIndex]], `partitionBy(list_id)`
+    * NEXT TO the index's float points — IVF prunes WHICH lists a probe
+    * reads, PQ shrinks WHAT each pruned row costs (m bytes). The ADC scan
+    * inherits the index's partition pruning for free because the codes
+    * share its layout.
+    */
+  def buildCodes(spark: SparkSession, indexDir: String, cb: Codebooks): Unit = {
+    import spark.implicits._
+    spark.read.parquet(IvfIndex.pointsPath(indexDir))
+      .select(col("vec_id"), col("list_id"), normalize(toDouble(col("embedding"))).as("u"))
+      .as[(Long, Long, Seq[Double])]
+      .mapPartitions(rows => rows.map { case (id, lst, u) => ListCodes(id, lst, encodeOne(u, cb)) })
+      .toDF()
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(codesPath(indexDir))
+  }
+
+  /** IVFPQ probe: route each query ([[IvfIndex.route]]), ADC-scan ONLY the
+    * probed lists' code partitions, shortlist per query, exact cosine
+    * rerank against the float points of those same pruned lists. With a
+    * shortlist covering the probed lists entirely, this equals
+    * [[IvfIndex.probe]] exactly (property-tested) — the compression is
+    * then free; smaller shortlists trade recall for a rerank bounded by
+    * |queries|·shortlist float reads.
+    */
+  def probeCompressed(spark: SparkSession, indexDir: String, cb: Codebooks,
+                      queries: DataFrame, k: Int = 3, nprobe: Int = 1,
+                      shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+
+    val routed = IvfIndex.route(spark, indexDir, queries, nprobe)
+    val lists = routed.select(col("probe_list")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // per-query ADC tables + each query's own probed-list set (query-scale)
+    val probeSets: Map[Long, Set[Long]] = routed.select(col("qid"), col("probe_list"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qs = routed.select(col("qid"), normalize(toDouble(col("qvec"))).as("u"))
+      .as[(Long, Seq[Double])].collect().distinct
+    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, u) =>
+      val ua = u.toArray
+      val t = Array.ofDim[Double](cb.m, cb.k)
+      var j = 0
+      while (j < cb.m) {
+        val base = j * cb.subDim
+        var c = 0
+        while (c < cb.k) {
+          val cw = cb.centers(j)(c)
+          var d = 0.0; var i = 0
+          while (i < cb.subDim) { val x = ua(base + i) - cw(i); d += x * x; i += 1 }
+          t(j)(c) = d
+          c += 1
+        }
+        j += 1
+      }
+      (qid, t)
+    }
+
+    // partition-pruned ADC scan: each code row scores only against queries
+    // that probed ITS list
+    val codes = spark.read.parquet(codesPath(indexDir))
+      .filter(col("list_id").isin(lists: _*))
+      .select(col("vec_id"), col("list_id"), col("codes"))
+      .as[ListCodes]
+    val scored = codes.flatMap { c =>
+      tables.iterator
+        .filter { case (qid, _) => probeSets(qid).contains(c.list_id) }
+        .map { case (qid, t) =>
+          var d = 0.0; var j = 0
+          while (j < cb.m) { d += t(j)(c.codes(j)); j += 1 }
+          (qid, c.vec_id, -d)
+        }
+    }.toDF("qid", "id", "score")
+    val tk = TopK.topKUdaf(shortlist)
+    val candidates = scored
+      .groupBy(col("qid"))
+      .agg(tk(col("id"), col("score")).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.id").as("vec_id"))
+
+    // exact rerank reads floats only from the pruned lists, only for the
+    // shortlist
+    val points = IvfIndex.latestPoints(
+      spark.read.parquet(IvfIndex.pointsPath(indexDir)).filter(col("list_id").isin(lists: _*)))
+    val qside = routed.select(col("qid").as("r_qid"), col("qvec"), col("probe_list")).distinct()
+    val reranked = candidates
+      .join(points.select(col("vec_id"), col("embedding"), col("list_id")), Seq("vec_id"))
+      .join(broadcast(qside),
+        col("qid") === col("r_qid") && col("list_id") === col("probe_list"))
+      .select(col("qid"), col("vec_id"), col("probe_list"),
+        round(GraftFunctions.cosine(toDouble(col("qvec")), toDouble(col("embedding"))), 6).as("score"))
+    val tk2 = TopK.topKUdaf(k)
+    reranked
+      .groupBy(col("qid"), col("probe_list"))
+      .agg(tk2(col("vec_id"), col("score")).as("top"))
+      .select(col("qid"), col("probe_list"), explode(col("top")).as("s"))
+      .select(col("qid"), col("probe_list"), col("s.id").as("vec_id"), col("s.score").as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }
 }

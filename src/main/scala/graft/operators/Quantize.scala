@@ -28,8 +28,12 @@ object Quantize {
     * the codes (`code_sum` hash-verifies every code against the oracle),
     * mean absolute error, and max absolute error.
     */
-  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
-    val bound = Tables.embeddings(spark, sfDir)
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeStats(Tables.embeddings(spark, sfDir))
+
+  /** The quantize-and-report pipeline over any (vec_id, embedding) frame. */
+  def quantizeStats(emb: DataFrame): DataFrame = {
+    val bound = emb
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .select(col("vec_id"), col("v"),
         array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))

@@ -30,6 +30,34 @@ class PqSpec extends AnyFunSuite {
     assert(cb.centers.flatten.flatten.toSeq == cb2.centers.flatten.flatten.toSeq)
   }
 
+  test("IVFPQ: codes share the index layout and a covering shortlist reproduces the uncompressed probe exactly") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    IvfIndex.build(spark, emb, dir)
+    Pq.buildCodes(spark, dir, cb)
+
+    // codes landed in the same partition-pruned layout as the points
+    val dirs = new java.io.File(Pq.codesPath(dir))
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")))
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // shortlist >= any list size => rerank sees every candidate ADC kept ==
+    // every point in the probed lists => identical to the float probe
+    val maxList = spark.read.parquet(IvfIndex.pointsPath(dir))
+      .groupBy("list_id").count().agg(max("count")).head().getLong(0).toInt
+    val viaPq = Pq.probeCompressed(spark, dir, cb, queries, k = 3, nprobe = 1, shortlist = maxList)
+      .select($"qid", $"probe_list", $"vec_id", $"score", $"rank")
+      .collect().map(_.toSeq).toSeq
+    val viaFloat = IvfIndex.probe(spark, dir, queries, k = 3, nprobe = 1)
+      .select($"qid", $"probe_list", $"vec_id", $"score", $"rank")
+      .collect().map(_.toSeq).toSeq
+    assert(viaPq == viaFloat && viaPq.nonEmpty,
+      "IVFPQ with a covering shortlist must reduce to the uncompressed probe")
+  }
+
   test("ADC shortlist + exact rerank reaches high recall vs exact top-5") {
     import spark.implicits._
     val exact = Knn.knnTopkCosine(spark, TestSpark.Sf0001)

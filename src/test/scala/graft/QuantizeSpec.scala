@@ -19,6 +19,14 @@ class QuantizeSpec extends AnyFunSuite {
       val step = (hi - lo) / 255.0
       assert(maxErr <= step / 2 + 1e-6, s"vec $id max_err $maxErr exceeds step/2 $step")
     }
+    // the degenerate codebook (hi == lo): every code 0, reconstruction
+    // exactly lo — zero error, no division by the zero scale
+    val const = Seq((1L, Seq(0.25f, 0.25f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cr = Quantize.quantizeStats(const)
+      .select($"vec_id", $"code_sum", $"mae", $"max_err")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(cr == Seq((1L, 0L, 0.0, 0.0), (2L, 0L, 0.0, 0.0)))
   }
 
   test("reconstructed vectors preserve cosine top-k: recall vs exact search") {
