@@ -279,7 +279,12 @@ object IvfIndex {
   def append(spark: SparkSession, newVectors: DataFrame, indexDir: String, version: Long): Unit = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = spark.read.parquet(centroidsPath(indexDir))
-    newVectors
+    // tolerate unlabeled vectors, like writeIndex: an index built with
+    // buildUnsupervised is appended to without any label column
+    val labeled =
+      if (newVectors.columns.contains("label")) newVectors
+      else newVectors.withColumn("label", lit(-1))
+    labeled
       .crossJoin(broadcast(centroids.select(col("label").as("cl"), col("centroid"))))
       .select(col("vec_id"), col("label"), col("embedding"), col("cl"),
         round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6).as("cs"))

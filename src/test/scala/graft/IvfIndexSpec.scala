@@ -155,6 +155,12 @@ class IvfIndexSpec extends AnyFunSuite {
     val unsupRecall   = recallOf(dir)
     assert(unsupRecall >= labeledRecall,
       s"KMeans quantizer recall $unsupRecall must not trail the labeled build's $labeledRecall")
+
+    // the write side is label-free too: append unlabeled vectors, probe
+    // still returns no stale duplicates
+    IvfIndex.append(spark, emb.drop("label").filter(col("vec_id") === 0), dir, version = 1L)
+    val r = IvfIndex.probe(spark, dir, queries, k = 3, nprobe = 1)
+    assert(r.groupBy("qid", "vec_id").count().filter(col("count") > 1).count() == 0)
   }
 
   test("nprobe > 1 widens the search to more lists, never fewer results") {
