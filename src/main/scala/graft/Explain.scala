@@ -11,7 +11,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
                 else Seq("q01_knn_topk_cosine", "q12_payload_enrich_join", "q26_pricing_summary",
-                         "q27_top_customers", "q13_event_window_stats")
+                         "q27_top_customers", "q13_event_window_stats",
+                         "q47_detokenize", "q49_quantize_int8")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

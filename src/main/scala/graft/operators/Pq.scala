@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
 
-/** Product quantization (PQ) — the memory-side companion to the IVF
-  * layout ([[IvfIndex]]): where IVF prunes WHICH rows a probe scans, PQ
-  * shrinks WHAT each scanned row costs. Vectors are split into `m`
+/** Product quantization (PQ; Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI 2011 — the same paper that
+  * defines the IVF+PQ composition below) — the memory-side companion to
+  * the IVF layout ([[IvfIndex]]): where IVF prunes WHICH rows a probe
+  * scans, PQ shrinks WHAT each scanned row costs. Vectors are split into `m`
   * subvectors; each subspace gets a small KMeans codebook; a vector is
   * stored as its m nearest-codeword indices — m bytes instead of
   * 4·dim bytes (64-dim float32 → 8 bytes: 32×). At 100 TB that is the
