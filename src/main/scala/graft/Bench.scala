@@ -36,7 +36,7 @@ object Bench {
     // co-located load spike on the driver machine poisoned a whole round's
     // record (r2: 59.8 s recorded vs 38.4 s on a quiet machine, unchanged
     // code). The median self-corrects a single contended run.
-    val Samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    val Samples = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Samples).map { _ =>
         val t0 = System.nanoTime()
@@ -48,7 +48,12 @@ object Bench {
         spark.catalog.clearCache()
         elapsed
       }
-      name -> times.sorted.apply(times.size / 2)
+      // true median: average the two middles on an even sample count
+      // (upper-middle alone would bias a 2-sample run toward the worse run)
+      val s = times.sorted
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+                else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -65,13 +65,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left); val rf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
+    // null scans run over EACH array's full length, not the common prefix —
+    // a null beyond the shorter array still makes the vector undefined
     if (elemNullable(left)) {
       var i = 0
-      while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+      while (i < x.numElements()) { if (x.isNullAt(i)) return null; i += 1 }
     }
     if (elemNullable(right)) {
       var i = 0
-      while (i < n) { if (y.isNullAt(i)) return null; i += 1 }
+      while (i < y.numElements()) { if (y.isNullAt(i)) return null; i += 1 }
     }
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
@@ -97,14 +99,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // element-null scans, compiled in only for containsNull inputs;
       // ev.isNull is a mutable local because nullable is true whenever
       // either side's elements are nullable
+      // scans run over each array's own numElements (not the common prefix)
       val scans = Seq(
         if (elemNullable(left))
-          s"""for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+          s"""for (int $k = 0; $k < $a.numElements() && !${ev.isNull}; $k++) {
              |  if ($a.isNullAt($k)) { ${ev.isNull} = true; }
              |}""".stripMargin
         else "",
         if (elemNullable(right))
-          s"""for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+          s"""for (int $k = 0; $k < $b.numElements() && !${ev.isNull}; $k++) {
              |  if ($b.isNullAt($k)) { ${ev.isNull} = true; }
              |}""".stripMargin
         else "").mkString("\n")

@@ -135,22 +135,28 @@ object IvfIndex {
     * Returns (qid, probe_list, vec_id, score, rank).
     */
   /** Query routing — nearest `nprobe` centroids per query by cosine,
-    * ties to the smaller list id. Returns (qid, qvec, probe_list); shared
-    * by [[probe]] and the PQ-compressed probe ([[Pq]]).
+    * ties to the smaller list id. Returns (qid, qvec, carry..., probe_list);
+    * shared by [[probe]], [[probeFiltered]] and the PQ-compressed probe
+    * ([[Pq]]). `carry` names extra query columns (e.g. a payload
+    * predicate's value) threaded through unchanged — ONE routing
+    * implementation, so tie-breaks and rounding can never drift between
+    * the probe variants.
     */
   def route(spark: SparkSession, indexDir: String, queries: DataFrame,
-            nprobe: Int): DataFrame = {
+            nprobe: Int, carry: Seq[String] = Nil): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = spark.read.parquet(centroidsPath(indexDir))
+    val carryCols = carry.map(col)
     queries
       .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qvec"), col("label"),
-        round(GraftFunctions.cosine(col("qvec"), col("centroid")), 6).as("cscore"))
+      .select(Seq(col("qid"), col("qvec")) ++ carryCols ++ Seq(col("label"),
+        round(GraftFunctions.cosine(col("qvec"), col("centroid")), 6).as("cscore")): _*)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("cscore").desc, col("label").asc)))
       .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qvec"), col("label").cast("long").as("probe_list"))
+      .select(Seq(col("qid"), col("qvec")) ++ carryCols :+
+        col("label").cast("long").as("probe_list"): _*)
   }
 
   def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
@@ -216,27 +222,31 @@ object IvfIndex {
     * filtered vector search does when the filter empties the bucket.
     */
   def probeFiltered(spark: SparkSession, indexDir: String, queries: DataFrame,
-                    k: Int = 3, nprobe: Int = 1): DataFrame = {
+                    k: Int = 3, nprobe: Int = 1,
+                    pushLabelFilter: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val centroids = spark.read.parquet(centroidsPath(indexDir))
-
-    val routed = queries
-      .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qvec"), col("qlabel"), col("label"),
-        round(GraftFunctions.cosine(col("qvec"), col("centroid")), 6).as("cscore"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(col("cscore").desc, col("label").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qvec"), col("qlabel"), col("label").cast("long").as("probe_list"))
+    // routing is computed ONCE (query-scale localCheckpoint): three
+    // driver-side reads below plus the scoring join would otherwise
+    // re-run the centroid crossJoin per consumer
+    val routed = route(spark, indexDir, queries, nprobe, carry = Seq("qlabel"))
+      .localCheckpoint(true)
 
     val lists = routed.select(col("probe_list")).distinct()
       .collect().map(_.getLong(0)).sorted
     val qlabels = routed.select(col("qlabel")).distinct()
       .collect().map(_.get(0)).sortBy(_.toString)
-    val points = latestPoints(
-      spark.read.parquet(pointsPath(indexDir))
-        .filter(col("list_id").isin(lists: _*) && col("label").isin(qlabels: _*)))
+    // ORDER MATTERS: last-writer-wins FIRST, label cut AFTER — filtering
+    // versions by label before LWW would resurrect a superseded row whose
+    // OLD label matches the query. The scan-level label pushdown
+    // (`pushLabelFilter`) skips row groups before LWW and is therefore
+    // only sound when labels are stable across re-upserts OR the index is
+    // compacted (both true for the freshly-built q48 index); pass false
+    // for an appended index with mutable labels — partition pruning, the
+    // dominant cut, is kept either way.
+    val scanned = spark.read.parquet(pointsPath(indexDir))
+      .filter(col("list_id").isin(lists: _*))
+    val pushed = if (pushLabelFilter) scanned.filter(col("label").isin(qlabels: _*)) else scanned
+    val points = latestPoints(pushed).filter(col("label").isin(qlabels: _*))
 
     val scored = points
       .join(broadcast(routed),
@@ -334,10 +344,17 @@ object IvfIndex {
     // swap via backup, not delete-then-rename: a crash mid-swap leaves
     // either the old layout live (before the second rename) or a
     // recoverable `_precompact` copy — never a deleted index. The backup
-    // is deleted LAST.
+    // is deleted LAST, and only after both renames REPORT success:
+    // Hadoop FileSystem.rename signals most failures by returning false,
+    // so an unchecked false here would fall through to deleting the only
+    // live copy.
     fs.delete(bak, true) // clear a leftover backup from a prior crash
-    fs.rename(dst, bak)
-    fs.rename(tmp, dst)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(
+        s"compact: rename $dst -> $bak failed; index left untouched")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $dst failed; recover the layout from $bak")
     fs.delete(bak, true)
   }
 

@@ -102,6 +102,28 @@ object Pq {
       .mapPartitions(rows => rows.map { case (id, u) => Codes(id, encodeOne(u, cb)) })
   }
 
+  /** ADC table for one normalized query: `t(j)(c)` = squared distance from
+    * the query's j-th subvector to codeword c. Shared by [[search]] and
+    * [[probeCompressed]] so the two paths can never drift.
+    */
+  private def adcTable(u: Array[Double], cb: Codebooks): Array[Array[Double]] = {
+    val t = Array.ofDim[Double](cb.m, cb.k)
+    var j = 0
+    while (j < cb.m) {
+      val base = j * cb.subDim
+      var c = 0
+      while (c < cb.k) {
+        val cw = cb.centers(j)(c)
+        var d = 0.0; var i = 0
+        while (i < cb.subDim) { val x = u(base + i) - cw(i); d += x * x; i += 1 }
+        t(j)(c) = d
+        c += 1
+      }
+      j += 1
+    }
+    t
+  }
+
   /** ADC search + exact rerank: approximate top-`shortlist` per query from
     * codes alone, then exact cosine over only those candidates, top-`k`.
     *
@@ -119,27 +141,10 @@ object Pq {
 
     // per-query distance tables: queries are query-scale (bounded), the
     // tables a few KB each
-    val qs: Array[(Long, Array[Double])] = queries
+    val tables: Array[(Long, Array[Array[Double]])] = queries
       .select(col("qid"), normalize(toDouble(col("qvec"))).as("u"))
       .as[(Long, Seq[Double])].collect()
-      .map { case (qid, u) => (qid, u.toArray) }
-    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, u) =>
-      val t = Array.ofDim[Double](cb.m, cb.k)
-      var j = 0
-      while (j < cb.m) {
-        val base = j * cb.subDim
-        var c = 0
-        while (c < cb.k) {
-          val cw = cb.centers(j)(c)
-          var d = 0.0; var i = 0
-          while (i < cb.subDim) { val x = u(base + i) - cw(i); d += x * x; i += 1 }
-          t(j)(c) = d
-          c += 1
-        }
-        j += 1
-      }
-      (qid, t)
-    }
+      .map { case (qid, u) => (qid, adcTable(u.toArray, cb)) }
 
     // distributed ADC scan: |codes| rows × |queries| lookups, emitted as
     // (qid, vec_id, -adist) into the bounded-heap TopK (shuffle ≤
@@ -189,7 +194,10 @@ object Pq {
     */
   def buildCodes(spark: SparkSession, indexDir: String, cb: Codebooks): Unit = {
     import spark.implicits._
-    spark.read.parquet(IvfIndex.pointsPath(indexDir))
+    // LWW view first: encoding raw point versions would emit duplicate /
+    // stale code rows for every re-upserted id, and the ADC scan has no
+    // version column to resolve them
+    IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
       .select(col("vec_id"), col("list_id"), normalize(toDouble(col("embedding"))).as("u"))
       .as[(Long, Long, Seq[Double])]
       .mapPartitions(rows => rows.map { case (id, lst, u) => ListCodes(id, lst, encodeOne(u, cb)) })
@@ -213,32 +221,19 @@ object Pq {
     import graft.functions.GraftFunctions
     GraftFunctions.ensureRegistered(spark)
 
-    val routed = IvfIndex.route(spark, indexDir, queries, nprobe)
+    // routing computed ONCE (query-scale localCheckpoint) — the three
+    // driver-side derivations below and the rerank join all read the
+    // materialized batch instead of re-running the centroid crossJoin
+    val routed = IvfIndex.route(spark, indexDir, queries, nprobe).localCheckpoint(true)
     val lists = routed.select(col("probe_list")).distinct()
       .collect().map(_.getLong(0)).sorted
     // per-query ADC tables + each query's own probed-list set (query-scale)
     val probeSets: Map[Long, Set[Long]] = routed.select(col("qid"), col("probe_list"))
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val qs = routed.select(col("qid"), normalize(toDouble(col("qvec"))).as("u"))
+    val tables: Array[(Long, Array[Array[Double]])] = routed
+      .select(col("qid"), normalize(toDouble(col("qvec"))).as("u"))
       .as[(Long, Seq[Double])].collect().distinct
-    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, u) =>
-      val ua = u.toArray
-      val t = Array.ofDim[Double](cb.m, cb.k)
-      var j = 0
-      while (j < cb.m) {
-        val base = j * cb.subDim
-        var c = 0
-        while (c < cb.k) {
-          val cw = cb.centers(j)(c)
-          var d = 0.0; var i = 0
-          while (i < cb.subDim) { val x = ua(base + i) - cw(i); d += x * x; i += 1 }
-          t(j)(c) = d
-          c += 1
-        }
-        j += 1
-      }
-      (qid, t)
-    }
+      .map { case (qid, u) => (qid, adcTable(u.toArray, cb)) }
 
     // partition-pruned ADC scan: each code row scores only against queries
     // that probed ITS list

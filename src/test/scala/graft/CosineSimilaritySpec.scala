@@ -80,6 +80,11 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))) < 1e-12)
     assert(r.isNullAt(3))
     assert(r.getSeq[Double](4) == Seq(0.6, 0.8))
+    // a null BEYOND the shorter array's length still nulls the score —
+    // the scan covers each array's full extent, not the common prefix
+    val r2 = spark.sql(
+      "SELECT graft_cosine(array(1.0D, NULL), array(2.0D)) AS c").collect().head
+    assert(r2.isNullAt(0))
   }
 
   test("symmetry and self-similarity properties") {

@@ -68,6 +68,27 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered probe honors last-writer-wins when a re-upsert changes the label") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_relabel").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+    // re-upsert vec 0 with a NEW label (same embedding => same list)
+    val relabeled = emb.filter(col("vec_id") === 0)
+      .withColumn("label", ((col("label") + 1) % 10).cast("int"))
+    IvfIndex.append(spark, relabeled, dir, version = 1L)
+
+    // query under vec 0's OLD label, probing every list: the superseded
+    // version must not resurrect through the label cut
+    val nlist = emb.select("label").distinct().count().toInt
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+    val r = IvfIndex.probeFiltered(spark, dir, q, k = 5, nprobe = nlist, pushLabelFilter = false)
+      .select($"vec_id").as[Long].collect()
+    assert(!r.contains(0L),
+      "a row whose latest version carries a different label must not match the old label")
+  }
+
   test("probe over the persisted index equals the index-free computation") {
     import spark.implicits._
     val direct = graft.operators.IvfIndex

@@ -56,6 +56,15 @@ class PqSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(viaPq == viaFloat && viaPq.nonEmpty,
       "IVFPQ with a covering shortlist must reduce to the uncompressed probe")
+
+    // rebuilding codes after an append encodes the LWW view: one code row
+    // per id, never a stale duplicate in the ADC scan
+    IvfIndex.append(spark, emb.filter(col("vec_id") === 0), dir, version = 1L)
+    Pq.buildCodes(spark, dir, cb)
+    val codeRows = spark.read.parquet(Pq.codesPath(dir))
+    assert(codeRows.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "codes must come from the last-writer-wins view, one row per id")
+    assert(codeRows.count() == emb.count())
   }
 
   test("ADC shortlist + exact rerank reaches high recall vs exact top-5") {
