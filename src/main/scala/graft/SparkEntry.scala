@@ -68,6 +68,7 @@ object SparkEntry {
     "q47_detokenize"         -> ((s, dir) => TextPipeline.detokenize(s, dir)),
     "q48_filtered_index_probe" -> ((s, dir) => IvfIndex.filteredIndexProbe(s, dir)),
     "q49_quantize_int8"      -> ((s, dir) => Quantize.quantizeInt8(s, dir)),
+    "q50_tfidf_top_terms"    -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -121,5 +122,6 @@ object SparkEntry {
     "q47_detokenize"         -> TextPipeline.q47OracleSql,
     "q48_filtered_index_probe" -> IvfIndex.q48OracleSql,
     "q49_quantize_int8"      -> Quantize.q49OracleSql,
+    "q50_tfidf_top_terms"    -> TextAnalysis.q50OracleSql,
   )
 }

@@ -271,4 +271,55 @@ object TextAnalysis {
       |SELECT f.doc_id, f.fp, b.n_docs
       |FROM f JOIN b USING (fp)
       |ORDER BY f.doc_id""".stripMargin
+
+  /** q50_tfidf_top_terms — per-document top-3 terms by TF-IDF (ties to the
+    * lexicographically smaller token): the classic corpus-statistics
+    * keyword extractor a training-data pipeline runs for quality scoring
+    * and topic tagging. `tf` = in-document term count, `idf` = ln(N / df).
+    *
+    * Scale shape: two hash aggregates (map-side partial) — (doc, token)
+    * term counts and per-token document frequencies — joined ON TOKEN (a
+    * shuffle join by design: the df table is vocabulary-sized, which
+    * outgrows a broadcast at web scale), then a per-document rank window
+    * (partition cardinality = tokens per doc, bounded by document length,
+    * never corpus size).
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // corpus size: one scalar, known before the plan
+    val terms = docs
+      .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
+    val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q50OracleSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY doc_id, token
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token
+      |), n AS (
+      |  SELECT COUNT(*)::DOUBLE AS n FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         round(tf.tf * ln(n.n / df.df), 6) AS tfidf,
+      |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY round(tf.tf * ln(n.n / df.df), 6) DESC, tf.token ASC) AS BIGINT) AS rank
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |)
+      |SELECT doc_id, rank, token, tfidf FROM scored
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 }
