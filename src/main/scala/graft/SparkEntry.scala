@@ -69,6 +69,8 @@ object SparkEntry {
     "q48_filtered_index_probe" -> ((s, dir) => IvfIndex.filteredIndexProbe(s, dir)),
     "q49_quantize_int8"      -> ((s, dir) => Quantize.quantizeInt8(s, dir)),
     "q50_tfidf_top_terms"    -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    "q51_repetition_stats"   -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
+    "q52_pii_redact"         -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -123,5 +125,7 @@ object SparkEntry {
     "q48_filtered_index_probe" -> IvfIndex.q48OracleSql,
     "q49_quantize_int8"      -> Quantize.q49OracleSql,
     "q50_tfidf_top_terms"    -> TextAnalysis.q50OracleSql,
+    "q51_repetition_stats"   -> TextAnalysis.q51OracleSql,
+    "q52_pii_redact"         -> TextAnalysis.q52OracleSql,
   )
 }

@@ -302,6 +302,110 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q51_repetition_stats — Gopher-style repetition signals per document:
+    * the duplicate word-3-gram fraction (1 − distinct/total) and the
+    * top-token frequency fraction — the two cheapest high-signal rules a
+    * training-data quality filter applies before anything model-based.
+    *
+    * The 3-gram fraction is SCAN-LOCAL (array expressions on the token
+    * array — no explode, no shuffle); only the token-mode needs the
+    * per-(doc, token) aggregate, shuffled by doc like q14's stats.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextPipeline.tokenArr(col("text")).as("toks"))
+    val gram = toks
+      .withColumn("g3", expr(
+        "CASE WHEN size(toks) < 3 THEN array() ELSE " +
+          "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("g3")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"), 6))
+          .as("dup_3gram_frac"))
+    val mode = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")) / sum(col("c")).cast("double"), 6).as("top_token_frac"))
+    gram.join(mode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_3gram_frac"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q51OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '(\w+|[^\w\s]+)', 1) AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CASE WHEN len(toks) < 3 THEN []
+      |              ELSE list_transform(range(1, len(toks) - 1),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS g3
+      |  FROM t
+      |), gf AS (
+      |  SELECT doc_id, n_tokens,
+      |         CASE WHEN len(g3) = 0 THEN 0.0
+      |              ELSE round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6) END AS dup_3gram_frac
+      |  FROM g
+      |), m AS (
+      |  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+      |  FROM (SELECT doc_id, COUNT(*) AS c
+      |        FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      |        GROUP BY doc_id, token)
+      |  GROUP BY doc_id
+      |)
+      |SELECT gf.doc_id, gf.n_tokens, gf.dup_3gram_frac,
+      |       COALESCE(m.top_token_frac, 0.0) AS top_token_frac
+      |FROM gf LEFT JOIN m USING (doc_id)
+      |ORDER BY gf.doc_id""".stripMargin
+
+  /** PII patterns shared by the Spark and DuckDB (RE2) sides — kept to the
+    * syntax subset both engines interpret identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitsRe = "[0-9]{6,}"
+
+  /** q52_pii_redact — PII flagging + redaction, the scrub stage of a
+    * training-data pipeline. The fixture corpus is synthetic and clean, so
+    * (exactly like q08 frames its own `[INST]` markers) the query derives
+    * a deterministic PII-bearing column first — an email for 2 of every 3
+    * docs, a long account number for every 2nd — then counts and redacts
+    * it back out with the shared regexes. Pure per-row expressions:
+    * scan-local, codegen'd, zero shuffle before the presentation sort.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("dirty", concat(
+        substring(col("text"), 1, 40),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" acct 00"), (col("doc_id") * 7919 + 100000).cast("string"))).otherwise(lit(""))))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(LongDigitsRe), lit(0))).cast("long").as("n_long_digits"),
+        regexp_replace(regexp_replace(col("dirty"), EmailRe, "[EMAIL]"), LongDigitsRe, "[NUM]")
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+
+  val q52OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         substring(text, 1, 40)
+       |         || CASE WHEN doc_id % 3 <> 0
+       |                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+       |         || CASE WHEN doc_id % 2 = 0
+       |                 THEN ' acct 00' || CAST(doc_id * 7919 + 100000 AS VARCHAR) ELSE '' END AS dirty
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(dirty, '$LongDigitsRe')) AS BIGINT) AS n_long_digits,
+       |       regexp_replace(regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g'), '$LongDigitsRe', '[NUM]', 'g') AS redacted
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val q50OracleSql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token
