@@ -223,7 +223,7 @@ object IvfIndex {
     */
   def probeFiltered(spark: SparkSession, indexDir: String, queries: DataFrame,
                     k: Int = 3, nprobe: Int = 1,
-                    pushLabelFilter: Boolean = true): DataFrame = {
+                    pushLabelFilter: Boolean = false): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     // routing is computed ONCE (query-scale localCheckpoint): three
     // driver-side reads below plus the scoring join would otherwise
@@ -240,9 +240,10 @@ object IvfIndex {
     // OLD label matches the query. The scan-level label pushdown
     // (`pushLabelFilter`) skips row groups before LWW and is therefore
     // only sound when labels are stable across re-upserts OR the index is
-    // compacted (both true for the freshly-built q48 index); pass false
-    // for an appended index with mutable labels — partition pruning, the
-    // dominant cut, is kept either way.
+    // compacted — which is why it defaults OFF: the safe path is the
+    // default, and the fast path is an explicit opt-in (q48's freshly
+    // built index passes true). Partition pruning, the dominant cut, is
+    // kept either way.
     val scanned = spark.read.parquet(pointsPath(indexDir))
       .filter(col("list_id").isin(lists: _*))
     val pushed = if (pushLabelFilter) scanned.filter(col("label").isin(qlabels: _*)) else scanned
@@ -390,7 +391,8 @@ object IvfIndex {
     build(spark, emb, indexDir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
-    probeFiltered(spark, indexDir, queries, k = 3, nprobe = 1)
+    // freshly built, never appended: the scan-level label pushdown is sound
+    probeFiltered(spark, indexDir, queries, k = 3, nprobe = 1, pushLabelFilter = true)
   }
 
   private def cosSql(a: String, b: String): String =

@@ -287,7 +287,11 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count() // corpus size: one scalar, known before the plan
+    // corpus size as a LAZY broadcast scalar (1-row aggregate), not an
+    // eager docs.count() — constructing the frame must not run a job
+    // (plan-only callers like Explain), and the oracle computes N the
+    // same relational way
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val terms = docs
       .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
     val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -295,7 +299,8 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
     tf.join(df, Seq("token"))
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
@@ -309,27 +314,33 @@ object TextAnalysis {
     *
     * The 3-gram fraction is SCAN-LOCAL (array expressions on the token
     * array — no explode, no shuffle); only the token-mode needs the
-    * per-(doc, token) aggregate, shuffled by doc like q14's stats.
+    * per-(doc, token) aggregate. Documents that tokenize to nothing are
+    * excluded (no tokens ⇒ no quality signal), identically in the oracle.
     */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE tokenize pass: the scan-local 3-gram stats are computed on the
+    // token array and then RIDE THROUGH the explode into the token-mode
+    // aggregation (first() per group), so the corpus is scanned and
+    // tokenized once — no second branch re-running the regexp extraction.
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextPipeline.tokenArr(col("text")).as("toks"))
-    val gram = toks
       .withColumn("g3", expr(
         "CASE WHEN size(toks) < 3 THEN array() ELSE " +
           "transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
         when(size(col("g3")) === 0, lit(0.0))
           .otherwise(round(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"), 6))
-          .as("dup_3gram_frac"))
-    val mode = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+          .as("dup_3gram_frac"),
+        col("toks"))
+    toks
+      .select(col("doc_id"), col("n_tokens"), col("dup_3gram_frac"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(first(col("n_tokens")).as("n_tokens"), first(col("dup_3gram_frac")).as("dup_3gram_frac"),
+        count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(round(max(col("c")) / sum(col("c")).cast("double"), 6).as("top_token_frac"))
-    gram.join(mode, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("dup_3gram_frac"),
-        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"))
+      .agg(first(col("n_tokens")).as("n_tokens"), first(col("dup_3gram_frac")).as("dup_3gram_frac"),
+        round(max(col("c")) / sum(col("c")).cast("double"), 6).as("top_token_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -355,9 +366,8 @@ object TextAnalysis {
       |        GROUP BY doc_id, token)
       |  GROUP BY doc_id
       |)
-      |SELECT gf.doc_id, gf.n_tokens, gf.dup_3gram_frac,
-      |       COALESCE(m.top_token_frac, 0.0) AS top_token_frac
-      |FROM gf LEFT JOIN m USING (doc_id)
+      |SELECT gf.doc_id, gf.n_tokens, gf.dup_3gram_frac, m.top_token_frac
+      |FROM gf JOIN m USING (doc_id)
       |ORDER BY gf.doc_id""".stripMargin
 
   /** PII patterns shared by the Spark and DuckDB (RE2) sides — kept to the
