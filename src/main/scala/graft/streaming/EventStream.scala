@@ -75,6 +75,30 @@ object EventStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming dedup against ALL history — the pattern [[dedupStream]]'s
+    * scaladoc names: per micro-batch, fingerprint the arrivals, drop
+    * in-batch duplicates, LEFT ANTI against the persisted store's
+    * fingerprints (the q45 apply-side join), and append only the
+    * survivors. Dedup state lives in the store — parquet, unbounded,
+    * shared by every batch job — not in executor memory, so the horizon
+    * is the full corpus and a restart loses nothing.
+    */
+  def dedupAgainstStore(docs: DataFrame, storeDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val known =
+          try Some(batch.sparkSession.read.parquet(storeDir).select(col("fingerprint")))
+          catch { case _: org.apache.spark.sql.AnalysisException => None } // store not created yet
+        val inBatch = batch.dropDuplicates("fingerprint")
+        val fresh = known.fold(inBatch)(k => inBatch.join(k, Seq("fingerprint"), "left_anti"))
+        fresh.write.mode("append").parquet(storeDir)
+      }
+
   // --- stateful sessionization (custom keyed state) -----------------------
 
   /** Input row for [[sessionizeStream]]: one event with its microsecond

@@ -108,6 +108,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("store-backed streaming dedup drops duplicates across restarts, not just within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_dedup_store").toString + "/docs"
+    val ckp   = java.nio.file.Files.createTempDirectory("graft_dedup_ckp").toString
+
+    val input = MemoryStream[(Timestamp, String)]
+    // batch 1: in-batch duplicate of alpha
+    input.addData(Seq(
+      (t("2024-01-01 00:00:00"), "alpha"),
+      (t("2024-01-01 00:01:00"), "alpha"),
+      (t("2024-01-01 00:02:00"), "beta")))
+    val q1 = EventStream.dedupAgainstStore(input.toDF().toDF("ts", "text"), store, ckp).start()
+    q1.awaitTermination()
+    // batch 2 (fresh query = restart): alpha re-arrives DAYS later — far
+    // beyond any watermark horizon — plus a genuinely new doc
+    input.addData(Seq(
+      (t("2024-02-01 00:00:00"), "alpha"),
+      (t("2024-02-01 00:01:00"), "gamma")))
+    val q2 = EventStream.dedupAgainstStore(input.toDF().toDF("ts", "text"), store, ckp).start()
+    q2.awaitTermination()
+
+    val kept = spark.read.parquet(store).select($"text").as[String].collect().sorted.toSeq
+    assert(kept == Seq("alpha", "beta", "gamma"),
+      "the persisted store must dedup across batches and restarts")
+  }
+
   test("foreachBatch upsert sink: last-writer-wins view resolves re-ingested ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
