@@ -55,7 +55,39 @@ object Bench {
                 else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       name -> med
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Attributable index timing (VERDICT r3 item 5): q38/q48/q53 time
+    // build+persist+probe inside one closure by design, so their headline
+    // numbers track write-path noise. These EXTRA keys split the phases —
+    // one timed build, then median-of-Samples probes against the prebuilt
+    // index — and are NOT added to `total`, which stays the comparable
+    // sum of the declared queries.
+    val split: Seq[(String, Double)] =
+      try {
+        import graft.operators.IvfIndex
+        import org.apache.spark.sql.functions.col
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def medOf(f: => Unit): Double = {
+          val ts = (1 to Samples).map { _ =>
+            val t = timed(f); spark.catalog.clearCache(); t
+          }.sorted
+          if (ts.size % 2 == 1) ts(ts.size / 2) else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+        }
+        val emb      = Tables.embeddings(spark, sfDir)
+        val indexDir = java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString
+        val buildSec = timed(IvfIndex.build(spark, emb, indexDir))
+        val q  = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val qf = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+        Seq(
+          "q38_build" -> buildSec,
+          "q38_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 1))),
+          "q48_probe" -> medOf(force(IvfIndex.probeFiltered(spark, indexDir, qf, k = 3, nprobe = 1, pushLabelFilter = true))),
+          "q53_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 2))))
+      } catch { case _: Throwable => Seq.empty }
+    val qs = (results ++ split).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

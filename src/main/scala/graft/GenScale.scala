@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal fixture generator (VERDICT r3 item 3): replicate the
+  * driver's sf0.1 tables `copies`× with shifted keys so Bench can measure
+  * an sf1-sized run and BASELINE.md can record the sf0.1→sf1 scaling
+  * exponent per query. Pure derivation from the driver fixtures — this is
+  * a PERFORMANCE corpus (row counts, key cardinalities, value
+  * distributions scale realistically); correctness stays gated on the
+  * driver's own sf0.01 via DuckDB.
+  *
+  * Design choices that keep scaling honest:
+  *  - `documents.text` is Caesar-rotated per replica: token frequencies
+  *    and lengths are preserved (the vocab grows ~10×, freq distribution
+  *    unchanged) while shingle sets across replicas are disjoint — exact
+  *    and near-dup queries see 10× the corpus, NOT a quadratic blowup of
+  *    artificial cross-replica duplicates.
+  *  - `embeddings.embedding` is circularly rotated per replica (norm and
+  *    component distribution preserved, cosine decorrelated), so k-NN and
+  *    LSH see 10× genuinely distinct points, not 10 exact copies tying at
+  *    similarity 1.0.
+  *  - Fact-table keys shift by replica × (max key + 1); the `region`/
+  *    `nation` dimensions stay fixed, as TPC-H scales them.
+  *
+  * Usage: GenScale <inDir> <outDir> [copies=10]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val in     = args(0)
+    val out    = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    /** Cross-join each row with replica ids 0..copies-1. */
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(sequence(lit(0), lit(copies - 1))))
+    def keyOffset(df: DataFrame, keyCol: String): Long =
+      df.agg(max(col(keyCol))).head().getLong(0) + 1L
+
+    // dimensions stay fixed
+    write(tbl("region"), "region")
+    write(tbl("nation"), "nation")
+
+    // documents: shifted ids, Caesar-rotated text per replica
+    val docs = tbl("documents")
+    val dOff = keyOffset(docs, "doc_id")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val caesar = (0 until copies).map { r =>
+      val lower = alpha.drop(r % 26) + alpha.take(r % 26)
+      (r, alpha + alpha.toUpperCase, lower + lower.toUpperCase)
+    }
+    val rotated = caesar.foldLeft(lit(null).cast("string")) { case (acc, (r, from, to)) =>
+      when(col("rep") === r, translate(col("text"), from, to)).otherwise(acc)
+    }
+    write(replicate(docs)
+      .select((col("doc_id") + col("rep") * dOff).as("doc_id"),
+        rotated.as("text"), col("lang"), col("source"), col("n_chars")), "documents")
+
+    // embeddings: shifted ids, circularly-rotated vectors per replica
+    val emb  = tbl("embeddings")
+    val eOff = keyOffset(emb, "vec_id")
+    val dim  = emb.select(size(col("embedding"))).head().getInt(0)
+    val rot  = pmod(col("rep") * lit(7), lit(dim)) // stride 7 decorrelates adjacent replicas
+    write(replicate(emb)
+      .select((col("vec_id") + col("rep") * eOff).as("vec_id"),
+        concat(slice(col("embedding"), rot + 1, lit(dim) - rot),
+          slice(col("embedding"), lit(1), rot)).as("embedding"),
+        col("label")), "embeddings")
+
+    // events: shifted event/user ids, same time range (10x the traffic)
+    val ev   = tbl("events")
+    val evOff = keyOffset(ev, "event_id")
+    val uOff  = keyOffset(ev, "user_id")
+    write(replicate(ev)
+      .select((col("event_id") + col("rep") * evOff).as("event_id"), col("ts"),
+        (col("user_id") + col("rep") * uOff).as("user_id"),
+        col("event_type"), col("value"), col("props")), "events")
+
+    // star schema: every foreign key shifts by the SAME per-table offset
+    val cust = tbl("customer"); val cOff = keyOffset(cust, "c_custkey")
+    val supp = tbl("supplier"); val sOff = keyOffset(supp, "s_suppkey")
+    val part = tbl("part");     val pOff = keyOffset(part, "p_partkey")
+    val ord  = tbl("orders");   val oOff = keyOffset(ord, "o_orderkey")
+    write(replicate(cust)
+      .select((col("c_custkey") + col("rep") * cOff).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
+    write(replicate(supp)
+      .select((col("s_suppkey") + col("rep") * sOff).as("s_suppkey"), col("s_name"),
+        col("s_nationkey"), col("s_acctbal")), "supplier")
+    write(replicate(part)
+      .select((col("p_partkey") + col("rep") * pOff).as("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")), "part")
+    write(replicate(ord)
+      .select((col("o_orderkey") + col("rep") * oOff).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * cOff).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")), "orders")
+    write(replicate(tbl("lineitem"))
+      .select((col("l_orderkey") + col("rep") * oOff).as("l_orderkey"),
+        (col("l_partkey") + col("rep") * pOff).as("l_partkey"),
+        (col("l_suppkey") + col("rep") * sOff).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate")), "lineitem")
+
+    println(s"GenScale: wrote ${copies}x $in -> $out")
+    spark.stop()
+  }
+}

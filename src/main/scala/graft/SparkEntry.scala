@@ -71,6 +71,8 @@ object SparkEntry {
     "q50_tfidf_top_terms"    -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     "q51_repetition_stats"   -> ((s, dir) => TextAnalysis.repetitionStats(s, dir)),
     "q52_pii_redact"         -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
+    "q53_multiprobe_index"   -> ((s, dir) => IvfIndex.multiprobeIndexProbe(s, dir)),
+    "q54_encode_persisted_vocab" -> ((s, dir) => TextPipeline.encodePersistedVocab(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -127,5 +129,7 @@ object SparkEntry {
     "q50_tfidf_top_terms"    -> TextAnalysis.q50OracleSql,
     "q51_repetition_stats"   -> TextAnalysis.q51OracleSql,
     "q52_pii_redact"         -> TextAnalysis.q52OracleSql,
+    "q53_multiprobe_index"   -> IvfIndex.q53OracleSql,
+    "q54_encode_persisted_vocab" -> TextPipeline.q54OracleSql,
   )
 }

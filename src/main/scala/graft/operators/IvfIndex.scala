@@ -33,6 +33,51 @@ object IvfIndex {
 
   def centroidsPath(indexDir: String): String = s"$indexDir/centroids"
   def pointsPath(indexDir: String): String    = s"$indexDir/points"
+  def metaPath(indexDir: String): String      = s"$indexDir/_meta.json"
+
+  /** Index catalog metadata — the Spark-side rendering of the reference's
+    * collection DDL (reference: vector_db.py:17-24: a collection declares
+    * its dim and metric at create time and `collection_exists` guards
+    * re-creation). Persisted as `_meta.json` beside the layout so a second
+    * writer or a dim-mismatched append fails at "DDL" time, not deep in a
+    * probe.
+    *
+    * `nextVersion` is the append counter: [[append]] without an explicit
+    * version stamps `nextVersion` and bumps it, so batch N+1 always
+    * supersedes batch N without the caller threading a counter.
+    */
+  final case class IndexMeta(dim: Int, metric: String, nlist: Long, nextVersion: Long)
+
+  private def writeMeta(spark: SparkSession, indexDir: String, meta: IndexMeta): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(metaPath(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json =
+      s"""{"format_version":1,"dim":${meta.dim},"metric":"${meta.metric}",""" +
+        s""""nlist":${meta.nlist},"next_version":${meta.nextVersion}}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the catalog entry; None for a pre-catalog index layout (metadata
+    * was introduced after the layout format — old indexes stay readable).
+    */
+  def readMeta(spark: SparkSession, indexDir: String): Option[IndexMeta] = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(metaPath(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in  = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def num(k: String)  = (s""""$k"\\s*:\\s*(-?\\d+)""".r).findFirstMatchIn(txt).map(_.group(1))
+      def str(k: String)  = (s""""$k"\\s*:\\s*"([^"]*)"""".r).findFirstMatchIn(txt).map(_.group(1))
+      for {
+        dim <- num("dim"); metric <- str("metric")
+        nlist <- num("nlist"); next <- num("next_version")
+      } yield IndexMeta(dim.toInt, metric, nlist.toLong, next.toLong)
+    }
+  }
 
   /** Rounded-to-6dp per-label mean embedding — same math as q24's coarse
     * step, so both engines argmax identical values.
@@ -65,6 +110,12 @@ object IvfIndex {
     */
   private def writeIndex(emb: DataFrame, centroids: DataFrame, indexDir: String): Unit = {
     centroids.write.mode("overwrite").parquet(centroidsPath(indexDir))
+    // catalog entry, derived from the just-written centroid table (tiny:
+    // nlist rows) — dim and nlist are facts of the artifact, not the caller
+    val spark = emb.sparkSession
+    val c     = spark.read.parquet(centroidsPath(indexDir))
+    val dim   = c.select(size(col("centroid"))).head().getInt(0)
+    writeMeta(spark, indexDir, IndexMeta(dim, "cosine", c.count(), nextVersion = 1L))
 
     val labelCol = if (emb.columns.contains("label")) col("label") else lit(-1)
     val assigned = emb
@@ -287,8 +338,34 @@ object IvfIndex {
     * returns a stale duplicate. Appends touch only the affected list
     * directories; nothing is rewritten.
     */
-  def append(spark: SparkSession, newVectors: DataFrame, indexDir: String, version: Long): Unit = {
+  def append(spark: SparkSession, newVectors: DataFrame, indexDir: String, version: Long): Unit =
+    doAppend(spark, newVectors, indexDir, version, readMeta(spark, indexDir))
+
+  /** Catalog-guarded append: the version is auto-assigned from the index's
+    * `_meta.json` counter (and the counter bumped), so callers never thread
+    * a version by hand and two sequential appends can never collide on the
+    * same version. Requires a catalog entry — for a pre-catalog layout use
+    * the explicit-version overload.
+    */
+  def append(spark: SparkSession, newVectors: DataFrame, indexDir: String): Unit = {
+    val meta = readMeta(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"append: no catalog entry at ${metaPath(indexDir)} — pre-catalog index layout; " +
+        "pass an explicit version or rebuild the index"))
+    doAppend(spark, newVectors, indexDir, meta.nextVersion, Some(meta))
+  }
+
+  private def doAppend(spark: SparkSession, newVectors: DataFrame, indexDir: String,
+                       version: Long, meta: Option[IndexMeta]): Unit = {
     GraftFunctions.ensureRegistered(spark)
+    // "DDL-time" dim guard: a mismatched append fails HERE (one-row probe
+    // of the incoming batch) instead of deep inside a later probe's cosine.
+    // First-row check — the fail-fast path for the common wrong-collection
+    // mistake, not a per-row validator.
+    meta.foreach { m =>
+      val newDim = newVectors.select(size(col("embedding")).as("d")).head().getInt(0)
+      require(newDim == m.dim,
+        s"append: vector dim $newDim does not match index dim ${m.dim} at $indexDir")
+    }
     val centroids = spark.read.parquet(centroidsPath(indexDir))
     // tolerate unlabeled vectors, like writeIndex: an index built with
     // buildUnsupervised is appended to without any label column
@@ -307,6 +384,10 @@ object IvfIndex {
         col("p.embedding").as("embedding"), lit(version).as("version"),
         col("p.cl").cast("long").as("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(pointsPath(indexDir))
+    // bump the catalog's append counter past this batch (max-with: an
+    // explicit-version append must never rewind the counter)
+    meta.foreach(m => writeMeta(spark, indexDir,
+      m.copy(nextVersion = math.max(m.nextVersion, version + 1L))))
   }
 
   /** Last-writer-wins view over the persisted points: one row per vec_id,
@@ -395,13 +476,40 @@ object IvfIndex {
     probeFiltered(spark, indexDir, queries, k = 3, nprobe = 1, pushLabelFilter = true)
   }
 
+  /** q53_multiprobe_index — the probe's quality-vs-cost knob, declared:
+    * identical lifecycle to q38 but each query fans out to its TWO nearest
+    * lists (`nprobe = 2`). This is the knob a vector-DB user actually
+    * turns when recall at nprobe=1 is not enough (the reference's
+    * HNSW `ef`/limit analogue, vector_db_query.py:78-82); recall-vs-nprobe
+    * is recorded in BASELINE.md from IvfIndexSpec's curve. The scan still
+    * prunes to 2/nlist of the layout — multiprobe widens the partition
+    * IN-list, it never reopens the full corpus.
+    */
+  def multiprobeIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_multiprobe").toString
+    build(spark, emb, indexDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    probe(spark, indexDir, queries, k = 3, nprobe = 2)
+  }
+
   private def cosSql(a: String, b: String): String =
     s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
        |      THEN 0.0
        |      ELSE list_dot_product($a, $b)
        |           / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)""".stripMargin
 
-  val q38OracleSql: String =
+  /** One oracle generator for every declared index-probe query: recompute
+    * build (per-label centroids + nearest-centroid assignment) +
+    * route(`nprobe`) + probe algebraically from the raw table. `filtered`
+    * composes the payload predicate (candidate.label = query.label) into
+    * the scoring join — exactly [[probeFiltered]]'s semantics.
+    */
+  private def probeOracleSql(nprobe: Int, filtered: Boolean): String = {
+    val qCols     = if (filtered) ", label AS qlabel" else ""
+    val probeCols = if (filtered) "qid, qvec, qlabel" else "qid, qvec"
+    val labelPred = if (filtered) " AND e.label = p.qlabel" else ""
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
        |), cdims AS (
@@ -418,21 +526,21 @@ object IvfIndex {
        |    FROM e CROSS JOIN cent c
        |  ) WHERE rn = 1
        |), q AS (
-       |  SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 10
+       |  SELECT vec_id AS qid, v AS qvec$qCols FROM e WHERE vec_id < 10
        |), probe AS (
-       |  SELECT qid, qvec, label AS probe_list
+       |  SELECT $probeCols, label AS probe_list
        |  FROM (
-       |    SELECT q.qid, q.qvec, c.label,
+       |    SELECT ${probeCols.split(", ").map("q." + _).mkString(", ")}, c.label,
        |           row_number() OVER (PARTITION BY q.qid ORDER BY
        |             ${cosSql("q.qvec", "c.centroid")} DESC, c.label ASC) AS rn
        |    FROM q CROSS JOIN cent c
-       |  ) WHERE rn = 1
+       |  ) WHERE rn <= $nprobe
        |), scored AS (
        |  SELECT p.qid, CAST(p.probe_list AS BIGINT) AS probe_list, e.vec_id,
        |         ${cosSql("p.qvec", "e.v")} AS score
        |  FROM probe p
        |  JOIN asg a ON a.list_id = p.probe_list
-       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN e ON e.vec_id = a.vec_id$labelPred
        |)
        |SELECT qid, probe_list, vec_id, score, rank
        |FROM (SELECT qid, probe_list, vec_id, score,
@@ -440,47 +548,15 @@ object IvfIndex {
        |      FROM scored)
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
+  }
+
+  val q38OracleSql: String = probeOracleSql(nprobe = 1, filtered = false)
 
   /** q38's oracle with the payload predicate composed in: candidates must
     * carry the query's label (and still live in the probed list).
     */
-  val q48OracleSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-       |), cdims AS (
-       |  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
-       |), cent AS (
-       |  SELECT label, list(round(a, 6) ORDER BY pos) AS centroid
-       |  FROM (SELECT label, pos, avg(x) AS a FROM cdims GROUP BY label, pos)
-       |  GROUP BY label
-       |), asg AS (
-       |  SELECT vec_id, list_id FROM (
-       |    SELECT e.vec_id, c.label AS list_id,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             ${cosSql("e.v", "c.centroid")} DESC, c.label ASC) AS rn
-       |    FROM e CROSS JOIN cent c
-       |  ) WHERE rn = 1
-       |), q AS (
-       |  SELECT vec_id AS qid, v AS qvec, label AS qlabel FROM e WHERE vec_id < 10
-       |), probe AS (
-       |  SELECT qid, qvec, qlabel, label AS probe_list
-       |  FROM (
-       |    SELECT q.qid, q.qvec, q.qlabel, c.label,
-       |           row_number() OVER (PARTITION BY q.qid ORDER BY
-       |             ${cosSql("q.qvec", "c.centroid")} DESC, c.label ASC) AS rn
-       |    FROM q CROSS JOIN cent c
-       |  ) WHERE rn = 1
-       |), scored AS (
-       |  SELECT p.qid, CAST(p.probe_list AS BIGINT) AS probe_list, e.vec_id,
-       |         ${cosSql("p.qvec", "e.v")} AS score
-       |  FROM probe p
-       |  JOIN asg a ON a.list_id = p.probe_list
-       |  JOIN e ON e.vec_id = a.vec_id AND e.label = p.qlabel
-       |)
-       |SELECT qid, probe_list, vec_id, score, rank
-       |FROM (SELECT qid, probe_list, vec_id, score,
-       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
-       |      FROM scored)
-       |WHERE rank <= 3
-       |ORDER BY qid, rank""".stripMargin
+  val q48OracleSql: String = probeOracleSql(nprobe = 1, filtered = true)
+
+  /** q38's oracle with the routing rank widened to the two nearest lists. */
+  val q53OracleSql: String = probeOracleSql(nprobe = 2, filtered = false)
 }

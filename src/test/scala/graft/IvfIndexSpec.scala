@@ -184,6 +184,68 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(r.groupBy("qid", "vec_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("build writes the catalog entry; append auto-assigns versions from it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+
+    val meta = IvfIndex.readMeta(spark, dir).getOrElse(fail("build must write _meta.json"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val nlist = emb.select("label").distinct().count()
+    assert(meta == IvfIndex.IndexMeta(dim, "cosine", nlist, nextVersion = 1L))
+
+    // two catalog-guarded appends: versions 1 then 2, no caller-side counter
+    IvfIndex.append(spark, emb.filter(col("vec_id") === 0), dir)
+    IvfIndex.append(spark, emb.filter(col("vec_id") === 0), dir)
+    assert(IvfIndex.readMeta(spark, dir).get.nextVersion == 3L)
+    val v = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(dir)))
+      .filter(col("vec_id") === 0).head().getAs[Long]("version")
+    assert(v == 2L, "latest auto-assigned version must win")
+
+    // an explicit-version append can never rewind the counter
+    IvfIndex.append(spark, emb.filter(col("vec_id") === 1), dir, version = 10L)
+    assert(IvfIndex.readMeta(spark, dir).get.nextVersion == 11L)
+  }
+
+  test("a dim-mismatched append fails fast at DDL time, not inside a probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dimguard").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+    val wrongDim = emb.filter(col("vec_id") === 0)
+      .withColumn("embedding", slice(col("embedding"), 1, 3))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, wrongDim, dir, version = 1L)
+    }
+    assert(e.getMessage.contains("dim"), s"error must name the dim mismatch: ${e.getMessage}")
+    // nothing was written: the index still holds exactly the built corpus
+    assert(spark.read.parquet(IvfIndex.pointsPath(dir)).count() == emb.count())
+  }
+
+  test("recall@5 vs nprobe: monotone, and probing every list reaches 1.0") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val nlist = emb.select("label").distinct().count().toInt
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.operators.Knn
+      .topK(queries, emb.select(col("vec_id"), col("embedding")), k = 5)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nprobe: Int): Double = {
+      val got = IvfIndex.probe(spark, indexDir, queries, k = 5, nprobe = nprobe)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, ids) => (ids & got.getOrElse(q, Set.empty)).size.toDouble / ids.size }
+        .sum / exact.size
+    }
+    val curve = Seq(1, 2, 4, nlist).map(np => np -> recallAt(np))
+    info(s"recall@5 curve (sf0.001, 20 queries): " +
+      curve.map { case (np, r) => s"nprobe=$np: ${math.rint(r * 1000) / 1000}" }.mkString(", "))
+    assert(curve.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a - 1e-12 },
+      s"recall must not decrease as nprobe grows: $curve")
+    assert(math.abs(curve.last._2 - 1.0) < 1e-12, "nprobe = nlist must reach exact recall")
+  }
+
   test("nprobe > 1 widens the search to more lists, never fewer results") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val queries = emb.filter(col("vec_id") < 3)

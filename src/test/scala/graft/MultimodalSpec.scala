@@ -93,6 +93,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getSeq[Int](1) == Seq(0, 0, 0, 128, 128, 128, 255, 255, 255))
   }
 
+  test("empty payloads decode to defined rows, never task failures") {
+    import spark.implicits._
+    // a zero-length blob and a normal one through every stubbed codec stage
+    val docs = Seq(RawDoc(1L, Array.emptyByteArray), RawDoc(2L, "ab".getBytes("UTF-8"))).toDS()
+
+    val decoded = docs.mapPartitions(_.map(Multimodal.decodeStub)).collect().sortBy(_.doc_id)
+    assert(decoded(0) == Multimodal.DecodedMeta(1L, 0L, 1L, 1L, 0.0)) // defined, not NaN/AIOOBE
+    assert(decoded(1).n_bytes == 2L && !decoded(1).mean_byte.isNaN)
+
+    val resized = Multimodal.resizeTo(docs, 8, 4).collect().sortBy(_.doc_id)
+    assert(resized(0).data.isEmpty && resized(0).width == 8L && resized(0).height == 4L)
+
+    val frames = Multimodal.sampleFrames(docs, frameBytes = 16, stride = 2).collect()
+    assert(frames.isEmpty) // both payloads are shorter than one frame — zero rows, zero errors
+  }
+
+  test("token/text operators are defined on zero-length text") {
+    import spark.implicits._
+    val docs = Seq((1L, "", "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("graft_empty_docs")
+    val tc = docs.select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws"),
+      size(org.apache.spark.sql.functions.regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long").as("n_re"))
+      .head()
+    assert(tc.getLong(1) == 1L && tc.getLong(2) == 0L) // split("") -> [""]: defined, documented
+    // the q25 decode path on an empty-text row (cast to zero-length binary)
+    val meta = docs.select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[RawDoc].mapPartitions(_.map(Multimodal.decodeStub)).head()
+    assert(meta == Multimodal.DecodedMeta(1L, 0L, 1L, 1L, 0.0))
+  }
+
   test("sampleFrames emits every stride-th fixed-size frame") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(raw, frameBytes = 16, stride = 2)

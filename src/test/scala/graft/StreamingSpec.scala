@@ -133,6 +133,20 @@ class StreamingSpec extends AnyFunSuite {
     val kept = spark.read.parquet(store).select($"text").as[String].collect().sorted.toSeq
     assert(kept == Seq("alpha", "beta", "gamma"),
       "the persisted store must dedup across batches and restarts")
+
+    // single-writer contract, supported mode: a different pipeline (its own
+    // source + checkpoint) may resume the SAME store as long as it runs
+    // sequentially — concurrent writers are the documented exclusion
+    val input2 = MemoryStream[(Timestamp, String)]
+    val ckp2   = java.nio.file.Files.createTempDirectory("graft_dedup_ckp2").toString
+    input2.addData(Seq(
+      (t("2024-03-01 00:00:00"), "beta"),
+      (t("2024-03-01 00:01:00"), "delta")))
+    val q3 = EventStream.dedupAgainstStore(input2.toDF().toDF("ts", "text"), store, ckp2).start()
+    q3.awaitTermination()
+    val kept2 = spark.read.parquet(store).select($"text").as[String].collect().sorted.toSeq
+    assert(kept2 == Seq("alpha", "beta", "delta", "gamma"),
+      "a sequential second writer must see the full history: beta dropped, delta admitted")
   }
 
   test("foreachBatch upsert sink: last-writer-wins view resolves re-ingested ids") {

@@ -80,6 +80,48 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty, "ngramJaccard leaked a cached relation")
   }
 
+  test("construction-eagerness convention: corpusVocab builds a plan with ZERO Spark jobs; sharedVocab memoizes one fit") {
+    // count only jobs from THIS thread (job group): suites share the
+    // session and run concurrently, so a global job count would race
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            "graft_lazy_probe" == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    // table load OUTSIDE the probed region: parquet schema inference runs
+    // its own footer-reading job — the convention under test is about the
+    // vocab BUILDER, not the source scan
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup("graft_lazy_probe", "eagerness-convention probe")
+    try {
+      val lazyVocab = TextPipeline.corpusVocab(docs)
+      lazyVocab.queryExecution.optimizedPlan // plan work only
+      Thread.sleep(500)                      // listener delivery is async
+      assert(jobs.get() == 0, "lazy builder must not run cluster work at construction time")
+      assert(lazyVocab.columns.toSeq == Seq("token", "id", "freq"))
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // the eager surface: one fit per (session, dir), then reference-identical reuse
+    TextPipeline.clearVocabMemo()
+    val a = TextPipeline.sharedVocab(spark, TestSpark.Sf0001)
+    val b = TextPipeline.sharedVocab(spark, TestSpark.Sf0001)
+    assert(a eq b, "sharedVocab must memoize the fitted artifact per (session, dir)")
+  }
+
+  test("q54 artifact loop: encode via saveVocab→loadVocab is bit-identical to encode via the live fit") {
+    val persisted = TextPipeline.encodePersistedVocab(spark, TestSpark.Sf0001)
+      .as[(Long, String)].collect().toSeq
+    val live = TextPipeline.tokenizePadDeclared(spark, TestSpark.Sf0001)
+      .as[(Long, String)].collect().toSeq
+    assert(persisted == live && persisted.nonEmpty)
+  }
+
   test("instruction parse round-trips the framed prefix/suffix") {
     val r = TextPipeline.instructionParse(spark, TestSpark.Sf0001)
     val joined = r.join(Tables.documents(spark, TestSpark.Sf0001), Seq("doc_id"))
