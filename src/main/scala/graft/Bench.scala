@@ -48,12 +48,7 @@ object Bench {
         spark.catalog.clearCache()
         elapsed
       }
-      // true median: average the two middles on an even sample count
-      // (upper-middle alone would bias a 2-sample run toward the worse run)
-      val s = times.sorted
-      val med = if (s.size % 2 == 1) s(s.size / 2)
-                else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-      name -> med
+      name -> median(times)
     }
     // Attributable index timing (VERDICT r3 item 5): q38/q48/q53 time
     // build+persist+probe inside one closure by design, so their headline
@@ -68,12 +63,8 @@ object Bench {
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
-        def medOf(f: => Unit): Double = {
-          val ts = (1 to Samples).map { _ =>
-            val t = timed(f); spark.catalog.clearCache(); t
-          }.sorted
-          if (ts.size % 2 == 1) ts(ts.size / 2) else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-        }
+        def medOf(f: => Unit): Double = median(
+          (1 to Samples).map { _ => val t = timed(f); spark.catalog.clearCache(); t })
         val emb      = Tables.embeddings(spark, sfDir)
         val indexDir = java.nio.file.Files.createTempDirectory("graft_bench_ivf").toString
         val buildSec = timed(IvfIndex.build(spark, emb, indexDir))
@@ -86,11 +77,27 @@ object Bench {
           "q38_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 1))),
           "q48_probe" -> medOf(force(IvfIndex.probeFiltered(spark, indexDir, qf, k = 3, nprobe = 1, pushLabelFilter = true))),
           "q53_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 2))))
-      } catch { case _: Throwable => Seq.empty }
+      } catch {
+        // NonFatal only, and LOUD: silently missing split keys would hide
+        // exactly the probe regression this block exists to attribute
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] split index timing failed: $e")
+          Seq.empty
+      }
     val qs = (results ++ split).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** True median: average the two middles on an even sample count
+    * (upper-middle alone would bias a 2-sample run toward the worse run).
+    * ONE definition shared by the declared-query loop and the split index
+    * timing, so the two stay methodologically identical.
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   private def printFailed(name: String): Unit = {

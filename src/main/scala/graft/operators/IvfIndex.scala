@@ -49,14 +49,19 @@ object IvfIndex {
   final case class IndexMeta(dim: Int, metric: String, nlist: Long, nextVersion: Long)
 
   private def writeMeta(spark: SparkSession, indexDir: String, meta: IndexMeta): Unit = {
-    import org.apache.hadoop.fs.Path
-    val p  = new Path(metaPath(indexDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.{Options, Path}
+    val p   = new Path(metaPath(indexDir))
+    val tmp = new Path(metaPath(indexDir) + ".tmp")
+    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json =
       s"""{"format_version":1,"dim":${meta.dim},"metric":"${meta.metric}",""" +
         s""""nlist":${meta.nlist},"next_version":${meta.nextVersion}}"""
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    // atomic-rename replace (posix/HDFS): a crash mid-update leaves either
+    // the old meta or the new one, never a truncated file
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   /** Read the catalog entry; None for a pre-catalog index layout (metadata
@@ -110,12 +115,6 @@ object IvfIndex {
     */
   private def writeIndex(emb: DataFrame, centroids: DataFrame, indexDir: String): Unit = {
     centroids.write.mode("overwrite").parquet(centroidsPath(indexDir))
-    // catalog entry, derived from the just-written centroid table (tiny:
-    // nlist rows) — dim and nlist are facts of the artifact, not the caller
-    val spark = emb.sparkSession
-    val c     = spark.read.parquet(centroidsPath(indexDir))
-    val dim   = c.select(size(col("centroid"))).head().getInt(0)
-    writeMeta(spark, indexDir, IndexMeta(dim, "cosine", c.count(), nextVersion = 1L))
 
     val labelCol = if (emb.columns.contains("label")) col("label") else lit(-1)
     val assigned = emb
@@ -135,6 +134,17 @@ object IvfIndex {
     assigned
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
+    // catalog entry LAST, derived from the just-written centroid table
+    // (tiny: nlist rows, one read + one job — collecting the in-memory
+    // `centroids` plan would re-run the full corpus aggregation instead).
+    // Ordering is fail-safe: a crashed build leaves a layout with NO
+    // catalog ("pre-catalog" error on append), never a catalog that
+    // claims a build that didn't finish.
+    val spark = emb.sparkSession
+    val dims  = spark.read.parquet(centroidsPath(indexDir))
+      .select(size(col("centroid"))).collect()
+    writeMeta(spark, indexDir,
+      IndexMeta(dims.head.getInt(0), "cosine", dims.length.toLong, nextVersion = 1L))
   }
 
   /** Build the index on an UNLABELED corpus: the coarse quantizer is
@@ -357,14 +367,24 @@ object IvfIndex {
   private def doAppend(spark: SparkSession, newVectors: DataFrame, indexDir: String,
                        version: Long, meta: Option[IndexMeta]): Unit = {
     GraftFunctions.ensureRegistered(spark)
-    // "DDL-time" dim guard: a mismatched append fails HERE (one-row probe
-    // of the incoming batch) instead of deep inside a later probe's cosine.
-    // First-row check — the fail-fast path for the common wrong-collection
-    // mistake, not a per-row validator.
+    // An empty batch is a no-op (periodic ingest pipelines legitimately
+    // produce them), not a crash — and it must not burn a version number.
+    val first = newVectors.select(size(col("embedding")).as("d")).take(1)
+    if (first.isEmpty) return
     meta.foreach { m =>
-      val newDim = newVectors.select(size(col("embedding")).as("d")).head().getInt(0)
-      require(newDim == m.dim,
-        s"append: vector dim $newDim does not match index dim ${m.dim} at $indexDir")
+      // "DDL-time" dim guard: a mismatched append fails HERE (one-row
+      // probe of the incoming batch) instead of deep inside a later
+      // probe's cosine. First-row check — the fail-fast path for the
+      // common wrong-collection mistake, not a per-row validator.
+      require(first.head.getInt(0) == m.dim,
+        s"append: vector dim ${first.head.getInt(0)} does not match index dim ${m.dim} at $indexDir")
+      // RESERVE the version by bumping the counter BEFORE the points
+      // write (max-with: an explicit-version append never rewinds it).
+      // A crash between reserve and write burns a version number; the
+      // old order could hand the same version to two batches, making
+      // latestPoints nondeterministic for overlapping ids.
+      writeMeta(spark, indexDir,
+        m.copy(nextVersion = math.max(m.nextVersion, version + 1L)))
     }
     val centroids = spark.read.parquet(centroidsPath(indexDir))
     // tolerate unlabeled vectors, like writeIndex: an index built with
@@ -384,10 +404,6 @@ object IvfIndex {
         col("p.embedding").as("embedding"), lit(version).as("version"),
         col("p.cl").cast("long").as("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(pointsPath(indexDir))
-    // bump the catalog's append counter past this batch (max-with: an
-    // explicit-version append must never rewind the counter)
-    meta.foreach(m => writeMeta(spark, indexDir,
-      m.copy(nextVersion = math.max(m.nextVersion, version + 1L))))
   }
 
   /** Last-writer-wins view over the persisted points: one row per vec_id,

@@ -240,7 +240,7 @@ object Multimodal {
       |SELECT doc_id,
       |       CAST(n_bytes AS BIGINT) AS n_bytes,
       |       CAST(1 + n_bytes % 64 AS BIGINT) AS width,
-      |       CAST(1 + first_byte % 64 AS BIGINT) AS height,
-      |       round(byte_sum / n_bytes, 6) AS mean_byte
+      |       CAST(CASE WHEN n_bytes = 0 THEN 1 ELSE 1 + first_byte % 64 END AS BIGINT) AS height,
+      |       CASE WHEN n_bytes = 0 THEN 0.0 ELSE round(byte_sum / n_bytes, 6) END AS mean_byte
       |FROM b ORDER BY doc_id""".stripMargin
 }

@@ -88,8 +88,11 @@ object TextPipeline {
     } finally freqs.unpersist()
   }
 
-  private val vocabMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  // Weak keys on the SESSION OBJECT: identity (no hash-collision cross-talk
+  // between sessions) and no leak — a stopped, dropped session's entries
+  // (and their localCheckpoint blocks) become collectable with it.
+  private val vocabMemo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   /** Session-scoped fit-once/encode-many vocab: one [[fitVocab]] per
     * (session, corpus dir), memoized — the engine-side rendering of the
@@ -101,13 +104,19 @@ object TextPipeline {
     * in place must [[clearVocabMemo]] (or persist explicit artifacts via
     * [[saveVocab]] and version the path, the 100 TB practice).
     */
-  def sharedVocab(spark: SparkSession, sfDir: String): DataFrame =
-    vocabMemo.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir),
-      _ => fitVocab(Tables.documents(spark, sfDir)))
+  def sharedVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = vocabMemo.synchronized {
+      var m = vocabMemo.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; vocabMemo.put(spark, m) }
+      m
+    }
+    // getOrElseUpdate may fit twice under a rare race — both fits are
+    // identical and one wins; correctness is unaffected
+    perSession.getOrElseUpdate(sfDir, fitVocab(Tables.documents(spark, sfDir)))
+  }
 
   /** Drop every memoized vocab (tests; corpus-mutating callers). */
-  def clearVocabMemo(): Unit = vocabMemo.clear()
+  def clearVocabMemo(): Unit = vocabMemo.synchronized(vocabMemo.clear())
 
   /** The two-phase id assignment over a materialized (token, freq) table. */
   private def corpusVocabFrom(freqs: DataFrame): DataFrame = {

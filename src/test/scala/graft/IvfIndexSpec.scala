@@ -207,6 +207,16 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.readMeta(spark, dir).get.nextVersion == 11L)
   }
 
+  test("an empty append batch is a no-op: no rows written, no version burned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_emptyappend").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+    IvfIndex.append(spark, emb.filter(col("vec_id") < 0), dir) // matches nothing
+    assert(spark.read.parquet(IvfIndex.pointsPath(dir)).count() == emb.count())
+    assert(IvfIndex.readMeta(spark, dir).get.nextVersion == 1L,
+      "an empty batch must not consume a version number")
+  }
+
   test("a dim-mismatched append fails fast at DDL time, not inside a probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dimguard").toString
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
