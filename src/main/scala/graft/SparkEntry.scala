@@ -73,6 +73,7 @@ object SparkEntry {
     "q52_pii_redact"         -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
     "q53_multiprobe_index"   -> ((s, dir) => IvfIndex.multiprobeIndexProbe(s, dir)),
     "q54_encode_persisted_vocab" -> ((s, dir) => TextPipeline.encodePersistedVocab(s, dir)),
+    "q55_graph_ann_probe"    -> ((s, dir) => GraphAnn.graphAnnProbe(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query key. */
@@ -131,5 +132,6 @@ object SparkEntry {
     "q52_pii_redact"         -> TextAnalysis.q52OracleSql,
     "q53_multiprobe_index"   -> IvfIndex.q53OracleSql,
     "q54_encode_persisted_vocab" -> TextPipeline.q54OracleSql,
+    "q55_graph_ann_probe"    -> GraphAnn.q55OracleSql,
   )
 }

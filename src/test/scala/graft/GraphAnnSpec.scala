@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphAnn, IvfIndex}
+
+/** Graph ANN (per-list NSW + beam search) — the reference's HNSW-shaped
+  * index path. The exhaustive-ef regime is oracle-checked as q55; these
+  * specs cover what an oracle can't: the approximate small-ef regime
+  * (recall monotone in ef), the sub-linearity (visited nodes ≪ list
+  * size), determinism, and the layout contract.
+  */
+class GraphAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val indexDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_spec").toString
+    IvfIndex.build(spark, Tables.embeddings(spark, TestSpark.Sf0001), dir)
+    GraphAnn.buildGraphs(spark, dir, m = 8, efConstruction = 32)
+    dir
+  }
+
+  private def queries = Tables.embeddings(spark, TestSpark.Sf0001)
+    .filter(col("vec_id") < 20)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("graph layout is self-contained, list-partitioned, and every point has a node") {
+    val g = spark.read.parquet(GraphAnn.graphPath(indexDir))
+    val points = spark.read.parquet(IvfIndex.pointsPath(indexDir))
+    assert(g.count() == points.count())
+    assert(g.columns.toSet == Set("vec_id", "embedding", "neighbors", "list_id"))
+    val dirs = new java.io.File(GraphAnn.graphPath(indexDir))
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")))
+    // no dangling edges: every neighbor id is a node of the SAME list
+    import spark.implicits._
+    val bad = g.select(col("list_id"), explode(col("neighbors")).as("nb"))
+      .join(g.select(col("list_id"), col("vec_id").as("nb")), Seq("list_id", "nb"), "left_anti")
+    assert(bad.count() == 0, "every adjacency edge must point at a node in the same list")
+  }
+
+  test("exhaustive ef reduces beam search to the exact probe (q55's oracle-equality property)") {
+    import spark.implicits._
+    val viaGraph = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = Int.MaxValue)
+      .select($"qid", $"probe_list", $"vec_id", $"score", $"rank")
+      .collect().map(_.toSeq).toSeq
+    val viaScan = IvfIndex.probe(spark, indexDir, queries, k = 3, nprobe = 1)
+      .select($"qid", $"probe_list", $"vec_id", $"score", $"rank")
+      .collect().map(_.toSeq).toSeq
+    assert(viaGraph == viaScan && viaGraph.nonEmpty,
+      "a beam covering the list must reproduce the exhaustive scan bit-for-bit")
+  }
+
+  test("recall@3 rises monotonically with ef; search visits FAR fewer nodes than the scan reads") {
+    import spark.implicits._
+    val exact = IvfIndex.probe(spark, indexDir, queries, k = 3, nprobe = 1)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val listSizes = spark.read.parquet(IvfIndex.pointsPath(indexDir))
+      .groupBy("list_id").count().select(max("count")).head().getLong(0)
+
+    def run(ef: Int): (Double, Long) = {
+      val acc = spark.sparkContext.longAccumulator(s"visited_ef$ef")
+      val got = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = ef,
+        visitedNodes = Some(acc))
+        .select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = exact.map { case (q, ids) =>
+        (ids & got.getOrElse(q, Set.empty)).size.toDouble / ids.size
+      }.sum / exact.size
+      (recall, acc.value / exact.size) // avg visited per query
+    }
+
+    val curve = Seq(2, 8, 32).map(ef => ef -> run(ef))
+    info("recall@3 / avg visited per query vs ef (sf0.001): " + curve.map {
+      case (ef, (r, v)) => f"ef=$ef%d: ${math.rint(r * 100) / 100}%.2f ($v%d nodes)"
+    }.mkString(", "))
+    assert(curve.sliding(2).forall { case Seq((_, (a, _)), (_, (b, _))) => b >= a - 1e-12 },
+      s"recall must not decrease as ef grows: $curve")
+    val (r32, v32) = curve.last._2
+    assert(r32 >= 0.9, s"ef=32 must recover >=0.9 of the exact per-list top-3, got $r32")
+    assert(v32 < listSizes, s"beam search must visit fewer nodes than the largest list ($v32 vs $listSizes)")
+  }
+
+  test("graph build and search are deterministic") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_graph_det").toString
+    IvfIndex.build(spark, Tables.embeddings(spark, TestSpark.Sf0001), dir2)
+    GraphAnn.buildGraphs(spark, dir2, m = 8, efConstruction = 32)
+    def adjacency(d: String) = spark.read.parquet(GraphAnn.graphPath(d))
+      .select($"vec_id", $"neighbors").as[(Long, Seq[Long])].collect().toMap
+    assert(adjacency(indexDir) == adjacency(dir2), "same layout must build the same graph")
+    val a = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = 8).collect().toSeq
+    val b = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = 8).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("multiprobe graph search widens like the scan probe") {
+    val n1 = GraphAnn.probeGraph(spark, indexDir, queries, k = 5, nprobe = 1, ef = 32)
+    val n2 = GraphAnn.probeGraph(spark, indexDir, queries, k = 5, nprobe = 2, ef = 32)
+    assert(n2.select("probe_list").distinct().count() >= n1.select("probe_list").distinct().count())
+    assert(n2.count() >= n1.count())
+  }
+}

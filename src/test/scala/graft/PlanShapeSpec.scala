@@ -61,4 +61,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the token stream must never shuffle for a dictionary lookup;\n$p")
   }
+
+  test("q53 multiprobe scan stays partition-pruned: widened IN-list, never a full-layout read") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_planshape_ivf").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    graft.operators.IvfIndex.build(spark, emb, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = plan(graft.operators.IvfIndex.probe(spark, dir, queries, k = 3, nprobe = 2))
+    assert(p.contains("PartitionFilters") && p.contains("list_id"),
+      s"the nprobe=2 scan must keep the list_id partition filter;\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      "per-list top-k must stay the bounded-heap aggregator under multiprobe")
+  }
+
+  test("q54 persisted-vocab encode keeps the q05 plan: broadcast vocab, no token-stream shuffle") {
+    val p = plan(graft.operators.TextPipeline.encodePersistedVocab(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the LOADED vocab must still broadcast into the encode join;\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"encoding through the artifact must not demote the dictionary join;\n$p")
+  }
 }
