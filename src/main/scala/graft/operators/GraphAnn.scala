@@ -48,6 +48,36 @@ import graft.functions.GraftFunctions
 object GraphAnn {
 
   def graphPath(indexDir: String): String = s"$indexDir/graph"
+  def graphMetaPath(indexDir: String): String = s"$indexDir/_graph_meta.json"
+
+  /** Record which catalog version the graph was built against, so a probe
+    * can fail fast on a STALE graph — an append after [[buildGraphs]]
+    * adds points the graph has no nodes for, and silently missing them is
+    * the worst failure mode a secondary index has. Same fail-fast-at-DDL
+    * philosophy as [[IvfIndex.IndexMeta]]'s dim guard.
+    */
+  private def writeGraphMeta(spark: SparkSession, indexDir: String, builtAtVersion: Long): Unit = {
+    import org.apache.hadoop.fs.{Options, Path}
+    val p   = new Path(graphMetaPath(indexDir))
+    val tmp = new Path(graphMetaPath(indexDir) + ".tmp")
+    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"built_at_version":$builtAtVersion}""".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  def readGraphMeta(spark: SparkSession, indexDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(graphMetaPath(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in  = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"built_at_version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
+  }
 
   /** A persisted graph node: vector + adjacency, co-located by list. */
   final case class GraphRow(vec_id: Long, embedding: Array[Float],
@@ -194,6 +224,10 @@ object GraphAnn {
         }
       }
       .write.mode("overwrite").partitionBy("list_id").parquet(graphPath(indexDir))
+    // stamp the catalog version this graph reflects (pre-catalog layouts
+    // get version 1, matching a fresh build's counter)
+    writeGraphMeta(spark, indexDir,
+      IvfIndex.readMeta(spark, indexDir).map(_.nextVersion).getOrElse(1L))
   }
 
   /** Probe via graph traversal: route queries to their nprobe nearest
@@ -216,6 +250,15 @@ object GraphAnn {
     GraftFunctions.ensureRegistered(spark)
     implicit val encG = Encoders.product[GraphRow]
     implicit val encH = Encoders.product[Hit]
+    // staleness guard: a graph built before the latest append would
+    // silently drop the appended vectors from every result
+    (readGraphMeta(spark, indexDir), IvfIndex.readMeta(spark, indexDir)) match {
+      case (Some(builtAt), Some(meta)) =>
+        require(builtAt == meta.nextVersion,
+          s"graph index at ${graphPath(indexDir)} is stale (built at catalog version $builtAt, " +
+            s"catalog now ${meta.nextVersion}) — re-run GraphAnn.buildGraphs after append/compact")
+      case _ => () // pre-catalog layouts: no staleness information
+    }
     val routed = IvfIndex.route(spark, indexDir, queries, nprobe).localCheckpoint(true)
     val lists = routed.select(col("probe_list")).distinct()
       .collect().map(_.getLong(0)).sorted

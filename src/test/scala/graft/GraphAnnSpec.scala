@@ -83,6 +83,32 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(v32 < listSizes, s"beam search must visit fewer nodes than the largest list ($v32 vs $listSizes)")
   }
 
+  test("sub-linearity at real list sizes (sf0.1): beam visits a small fraction of each list") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.1"
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_sf01").toString
+    IvfIndex.build(spark, Tables.embeddings(spark, sf01), dir)
+    GraphAnn.buildGraphs(spark, dir, m = 8, efConstruction = 32)
+    val qs = Tables.embeddings(spark, sf01).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val avgList = spark.read.parquet(IvfIndex.pointsPath(dir))
+      .groupBy("list_id").count().agg(avg("count")).head().getDouble(0)
+    val acc = spark.sparkContext.longAccumulator("visited_sf01")
+    val exact = IvfIndex.probe(spark, dir, qs, k = 3, nprobe = 1)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = GraphAnn.probeGraph(spark, dir, qs, k = 3, nprobe = 1, ef = 8, Some(acc))
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, ids) =>
+      (ids & got.getOrElse(q, Set.empty)).size.toDouble / ids.size }.sum / exact.size
+    val avgVisited = acc.value.toDouble / exact.size
+    info(f"sf0.1 lists avg $avgList%.0f nodes; ef=8 visits $avgVisited%.0f/query at recall@3 $recall%.2f")
+    assert(avgVisited < avgList / 2,
+      s"beam must visit well under a list's nodes (visited $avgVisited vs list $avgList)")
+    assert(recall >= 0.8, s"ef=8 recall@3 must hold up at real list sizes, got $recall")
+  }
+
   test("graph build and search are deterministic") {
     import spark.implicits._
     val dir2 = java.nio.file.Files.createTempDirectory("graft_graph_det").toString
@@ -94,6 +120,29 @@ class GraphAnnSpec extends AnyFunSuite {
     val a = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = 8).collect().toSeq
     val b = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = 8).collect().toSeq
     assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("probing a stale graph fails fast after an append; rebuild clears it") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_stale").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+    GraphAnn.buildGraphs(spark, dir, m = 8, efConstruction = 32)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    GraphAnn.probeGraph(spark, dir, qs, k = 3, nprobe = 1, ef = 8).collect() // fresh: fine
+
+    IvfIndex.append(spark, emb.filter(col("vec_id") === 0), dir) // graph now misses v1
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.probeGraph(spark, dir, qs, k = 3, nprobe = 1, ef = 8).collect()
+    }
+    assert(e.getMessage.contains("stale"), s"must name the staleness: ${e.getMessage}")
+
+    GraphAnn.buildGraphs(spark, dir, m = 8, efConstruction = 32) // rebuild over LWW view
+    val r = GraphAnn.probeGraph(spark, dir, qs, k = 3, nprobe = 1, ef = 8)
+    assert(r.count() > 0)
+    assert(r.groupBy("qid", "vec_id").count().filter(col("count") > 1).count() == 0,
+      "rebuilt graph reflects last-writer-wins: no duplicate ids")
   }
 
   test("multiprobe graph search widens like the scan probe") {
