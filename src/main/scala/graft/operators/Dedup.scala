@@ -38,6 +38,34 @@ object Dedup {
       .limit(100)
   }
 
+  /** The 100 TB path for embedding near-dup — q10's semantics with the
+    * quadratic tamed: candidate pairs form only INSIDE the persisted
+    * index's nearest-centroid lists (the IVF assignment is itself an
+    * LSH-like bucketing of embedding space), so the pair count is
+    * Σ |list|² instead of Σ |label-block|² over arbitrary-size blocks —
+    * and nlist is a knob: more lists, smaller blocks, fewer pairs. The
+    * price is pairs that straddle a list boundary; the recall of the
+    * top-k pairs vs the exhaustive q10 is measured in DedupSpec (the
+    * sf0.1→sf1 scaling table shows why the trade exists: q10 is the one
+    * measured-quadratic query in the engine).
+    *
+    * `indexDir` must hold an [[IvfIndex]] build of the same corpus.
+    */
+  def nearDupPairsViaIndex(spark: SparkSession, indexDir: String, k: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val pts = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+    val a = pts.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("va"), col("list_id"))
+    val b = pts.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("list_id"))
+    a.join(b, Seq("list_id")) // co-bucketed equi-join: pairs only within a list
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"), col("label").cast("long").as("label"),
+        round(graft.functions.GraftFunctions.cosine(col("va"), col("vb")), 6).as("score"))
+      .orderBy(col("score").desc, col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
   val q10OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, IvfIndex}
+
+/** Embedding near-dup: the exhaustive within-label q10 (the engine's one
+  * measured-quadratic query, BASELINE.md sf1 table) vs its 100 TB path —
+  * candidate pairs bucketed by the IVF index's nearest-centroid lists,
+  * where nlist tunes the pair count down.
+  *
+  * The fixture corpus has NO true near-duplicates (its top pairs sit near
+  * cosine 0.45 — verified: bucketing legitimately cannot co-locate pairs
+  * that are not near), so the recall guarantee is tested on a corpus with
+  * PLANTED near-dups: genuinely similar vectors must land in the same
+  * list and surface. That is the operator's actual promise — near
+  * duplicates co-bucket; unrelated mid-similarity pairs are exactly what
+  * it prunes away.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("index-blocked near-dup recovers planted near-duplicates at a fraction of the pair count") {
+    import spark.implicits._
+    // 300 deterministic base vectors + 40 near-duplicates (tiny rotation
+    // of bases 0..39): the true near-dup pairs are (i, 1000+i)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = Array.fill(300)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val dups = (0 until 40).map { i =>
+      val v = base(i).clone()
+      v(i % dim) = v(i % dim) + 0.01f
+      (1000L + i, v)
+    }
+    val corpus = (base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++ dups).toSeq
+      .toDF("vec_id", "embedding")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    IvfIndex.buildUnsupervised(spark, corpus, dir, nlist = 12, seed = 11L)
+
+    // candidate-pair budget: Σ |list|·(|list|-1)/2 well under the global n²/2
+    val blockedPairs = spark.read.parquet(IvfIndex.pointsPath(dir))
+      .groupBy("list_id").count()
+      .select(sum((col("count") * (col("count") - 1) / 2).cast("long")).as("s"))
+      .head().getLong(0)
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    info(s"candidate pairs: index-blocked $blockedPairs vs exhaustive $allPairs")
+    assert(blockedPairs < allPairs / 3,
+      s"12 lists must cut the pair budget to a fraction of n^2/2 ($blockedPairs vs $allPairs)")
+
+    // every planted near-dup pair must co-bucket and surface in the top-k
+    val top = Dedup.nearDupPairsViaIndex(spark, dir, k = 60)
+      .select($"a_id", $"b_id", $"score").as[(Long, Long, Double)].collect()
+    val found = top.collect { case (a, b, _) if b == a + 1000L => a }.toSet
+    val recall = found.size / 40.0
+    info(f"planted-pair recall in blocked top-60: $recall%.2f")
+    assert(recall >= 0.95,
+      s"a genuinely-near pair must co-bucket under the coarse quantizer, got $recall")
+    // and the planted pairs dominate the ranking (scores ~1.0 vs random ~0)
+    assert(top.take(40).count { case (a, b, _) => b == a + 1000L } >= 38)
+
+    // output shape matches q10's: (a_id, b_id, label, score), ranked
+    val r = Dedup.nearDupPairsViaIndex(spark, dir, k = 10)
+    assert(r.columns.toSeq == Seq("a_id", "b_id", "label", "score"))
+    assert(r.count() == 10)
+  }
+}
