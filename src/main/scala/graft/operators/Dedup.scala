@@ -24,18 +24,28 @@ object Dedup {
     * merge, not a single-partition global sort.
     */
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
     val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
     val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
-    a.join(b, Seq("label"))
+    rankedPairs(a.join(b, Seq("label")).withColumn("pair_label", col("label").cast("long")), 100)
+  }
+
+  /** Shared scoring/ranking tail of both near-dup variants: ONE
+    * definition of the (a_id < b_id) dedup, rounded-cosine score, and
+    * (score desc, a_id, b_id) presentation, so a tweak to either cannot
+    * silently diverge the recall comparison DedupSpec measures. `joined`
+    * must have (a_id, b_id, va, vb, pair_label).
+    */
+  private def rankedPairs(joined: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(joined.sparkSession)
+    joined
       .filter(col("a_id") < col("b_id"))
       .select(
-        col("a_id"), col("b_id"), col("label").cast("long").as("label"),
+        col("a_id"), col("b_id"), col("pair_label").as("label"),
         round(graft.functions.GraftFunctions.cosine(col("va"), col("vb")), 6).as("score"))
       .orderBy(col("score").desc, col("a_id"), col("b_id"))
-      .limit(100)
+      .limit(k)
   }
 
   /** The 100 TB path for embedding near-dup — q10's semantics with the
@@ -50,20 +60,23 @@ object Dedup {
     * measured-quadratic query in the engine).
     *
     * `indexDir` must hold an [[IvfIndex]] build of the same corpus.
+    *
+    * Unlike q10, list-blocked pairs CAN span payload labels (vectors
+    * live in their assigned list, not their label's) — the `label`
+    * column is the pair's COMMON label, null when the sides disagree,
+    * never a one-sided claim.
     */
   def nearDupPairsViaIndex(spark: SparkSession, indexDir: String, k: Int = 100): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
     val pts = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
-    val a = pts.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("va"), col("list_id"))
-    val b = pts.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("list_id"))
-    a.join(b, Seq("list_id")) // co-bucketed equi-join: pairs only within a list
-      .filter(col("a_id") < col("b_id"))
-      .select(
-        col("a_id"), col("b_id"), col("label").cast("long").as("label"),
-        round(graft.functions.GraftFunctions.cosine(col("va"), col("vb")), 6).as("score"))
-      .orderBy(col("score").desc, col("a_id"), col("b_id"))
-      .limit(k)
+    val a = pts.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      col("embedding").as("va"), col("list_id"))
+    val b = pts.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("vb"), col("list_id"))
+    val joined = a.join(b, Seq("list_id")) // co-bucketed equi-join: pairs only within a list
+      .withColumn("pair_label",
+        when(col("a_label") === col("b_label"), col("a_label").cast("long")))
+    rankedPairs(joined, k)
   }
 
   val q10OracleSql: String =

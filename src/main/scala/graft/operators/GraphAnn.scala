@@ -50,34 +50,30 @@ object GraphAnn {
   def graphPath(indexDir: String): String = s"$indexDir/graph"
   def graphMetaPath(indexDir: String): String = s"$indexDir/_graph_meta.json"
 
-  /** Record which catalog version the graph was built against, so a probe
-    * can fail fast on a STALE graph — an append after [[buildGraphs]]
-    * adds points the graph has no nodes for, and silently missing them is
-    * the worst failure mode a secondary index has. Same fail-fast-at-DDL
-    * philosophy as [[IvfIndex.IndexMeta]]'s dim guard.
+  /** Record which catalog state the graph was built against — the
+    * catalog's per-build nonce AND its version counter — so a probe can
+    * fail fast on a STALE graph: an append after [[buildGraphs]] adds
+    * points the graph has no nodes for (version mismatch), and a full
+    * index REBUILD resets the version counter to 1, which only the
+    * buildId can distinguish from "same build, untouched". Silently
+    * missing vectors is the worst failure mode a secondary index has;
+    * same fail-fast-at-DDL philosophy as [[IvfIndex.IndexMeta]]'s dim
+    * guard. Uses [[IvfIndex.writeSmallFileAtomic]] — the one
+    * crash-ordering implementation, not a second copy.
     */
-  private def writeGraphMeta(spark: SparkSession, indexDir: String, builtAtVersion: Long): Unit = {
-    import org.apache.hadoop.fs.{Options, Path}
-    val p   = new Path(graphMetaPath(indexDir))
-    val tmp = new Path(graphMetaPath(indexDir) + ".tmp")
-    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"built_at_version":$builtAtVersion}""".getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
-  }
+  final case class GraphMeta(builtForBuild: Long, builtAtVersion: Long)
 
-  def readGraphMeta(spark: SparkSession, indexDir: String): Option[Long] = {
-    import org.apache.hadoop.fs.Path
-    val p  = new Path(graphMetaPath(indexDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in  = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"built_at_version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+  private def writeGraphMeta(spark: SparkSession, indexDir: String, meta: GraphMeta): Unit =
+    IvfIndex.writeSmallFileAtomic(spark, graphMetaPath(indexDir),
+      s"""{"built_for_build":${meta.builtForBuild},"built_at_version":${meta.builtAtVersion}}""")
+
+  def readGraphMeta(spark: SparkSession, indexDir: String): Option[GraphMeta] =
+    IvfIndex.readSmallFile(spark, graphMetaPath(indexDir)).flatMap { txt =>
+      for {
+        b <- IvfIndex.jsonNum(txt, "built_for_build")
+        v <- IvfIndex.jsonNum(txt, "built_at_version")
+      } yield GraphMeta(b, v)
     }
-  }
 
   /** A persisted graph node: vector + adjacency, co-located by list. */
   final case class GraphRow(vec_id: Long, embedding: Array[Float],
@@ -214,6 +210,11 @@ object GraphAnn {
   def buildGraphs(spark: SparkSession, indexDir: String, m: Int = 8, efConstruction: Int = 32): Unit = {
     implicit val enc = Encoders.product[GraphRow]
     implicit val encP = Encoders.product[PointRow]
+    // catalog snapshot BEFORE reading points (pessimistic stamp): an
+    // append landing mid-build bumps the counter past this value, so the
+    // probe guard fails safe instead of blessing a graph that silently
+    // misses the concurrently-appended rows
+    val catalogAtStart = IvfIndex.readMeta(spark, indexDir)
     val points = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
       .select(col("vec_id"), col("embedding"), col("list_id")).as[PointRow]
     points
@@ -224,10 +225,10 @@ object GraphAnn {
         }
       }
       .write.mode("overwrite").partitionBy("list_id").parquet(graphPath(indexDir))
-    // stamp the catalog version this graph reflects (pre-catalog layouts
-    // get version 1, matching a fresh build's counter)
+    // pre-catalog layouts stamp (0, 1), matching a missing catalog
     writeGraphMeta(spark, indexDir,
-      IvfIndex.readMeta(spark, indexDir).map(_.nextVersion).getOrElse(1L))
+      GraphMeta(catalogAtStart.map(_.buildId).getOrElse(0L),
+        catalogAtStart.map(_.nextVersion).getOrElse(1L)))
   }
 
   /** Probe via graph traversal: route queries to their nprobe nearest
@@ -250,25 +251,34 @@ object GraphAnn {
     GraftFunctions.ensureRegistered(spark)
     implicit val encG = Encoders.product[GraphRow]
     implicit val encH = Encoders.product[Hit]
-    // staleness guard: a graph built before the latest append would
-    // silently drop the appended vectors from every result
+    // staleness guard: a graph built before the latest append (version
+    // mismatch) OR against a different build of the index (buildId
+    // mismatch — a rebuild resets the version counter, so the counter
+    // alone cannot catch it) would silently drop vectors from every
+    // result. Both mismatch directions fail; graph files without
+    // metadata (a crashed buildGraphs) fail too, not fall through.
     (readGraphMeta(spark, indexDir), IvfIndex.readMeta(spark, indexDir)) match {
-      case (Some(builtAt), Some(meta)) =>
-        require(builtAt == meta.nextVersion,
-          s"graph index at ${graphPath(indexDir)} is stale (built at catalog version $builtAt, " +
-            s"catalog now ${meta.nextVersion}) — re-run GraphAnn.buildGraphs after append/compact")
-      case _ => () // pre-catalog layouts: no staleness information
+      case (Some(g), Some(meta)) =>
+        require(g.builtForBuild == meta.buildId && g.builtAtVersion == meta.nextVersion,
+          s"graph index at ${graphPath(indexDir)} is stale (built for build ${g.builtForBuild} " +
+            s"version ${g.builtAtVersion}; catalog is build ${meta.buildId} version " +
+            s"${meta.nextVersion}) — re-run GraphAnn.buildGraphs after append/compact/rebuild")
+      case (None, Some(_)) =>
+        throw new IllegalStateException(
+          s"graph index at ${graphPath(indexDir)} has no ${graphMetaPath(indexDir)} " +
+            "(interrupted buildGraphs?) — re-run GraphAnn.buildGraphs")
+      case _ => () // pre-catalog layouts: no staleness information exists
     }
     val routed = IvfIndex.route(spark, indexDir, queries, nprobe).localCheckpoint(true)
-    val lists = routed.select(col("probe_list")).distinct()
-      .collect().map(_.getLong(0)).sorted
     // query batch to the driver — |queries| × nprobe rows, the same
-    // query-scale routing decision every probe variant collects
+    // query-scale routing decision every probe variant collects; the
+    // probed-list IN-list falls out of the same collect
     val qByList: Map[Long, Array[(Long, Array[Float])]] = routed
       .select(col("probe_list"), col("qid"), col("qvec"))
       .collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
       .groupBy(_._1).map { case (l, a) => (l, a.map(_._2).sortBy(_._1)) }
+    val lists = qByList.keys.toArray.sorted
     val bcQ = spark.sparkContext.broadcast(qByList)
 
     val hits = spark.read.parquet(graphPath(indexDir))
@@ -294,22 +304,12 @@ object GraphAnn {
         }
       }
       .toDF()
-    // identical presentation path to IvfIndex.probe: round, bounded-heap
-    // per (query, list), final rank over <= nprobe*ef survivors
-    val scored = hits.select(col("qid"), col("probe_list"), col("vec_id"),
-      round(col("score"), 6).as("score"))
-    val tk = TopK.topKUdaf(k)
-    val perList = scored
-      .groupBy(col("qid"), col("probe_list"))
-      .agg(tk(col("vec_id"), col("score")).as("top"))
-      .select(col("qid"), col("probe_list"), explode(col("top")).as("s"))
-      .select(col("qid"), col("probe_list"), col("s.id").as("vec_id"), col("s.score").as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
-    perList
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("qid"), col("rank"))
+    // THE presentation path — IvfIndex.rankTopK, shared with the scan and
+    // filtered probes, so rounding/tie-breaks cannot drift between them
+    IvfIndex.rankTopK(
+      hits.select(col("qid"), col("probe_list"), col("vec_id"),
+        round(col("score"), 6).as("score")),
+      k)
   }
 
   /** q55_graph_ann_probe — the whole graph machinery under the DuckDB

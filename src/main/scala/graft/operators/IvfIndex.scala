@@ -46,43 +46,63 @@ object IvfIndex {
     * version stamps `nextVersion` and bumps it, so batch N+1 always
     * supersedes batch N without the caller threading a counter.
     */
-  final case class IndexMeta(dim: Int, metric: String, nlist: Long, nextVersion: Long)
+  /** `buildId` is a per-build nonce: a REBUILD over the same dir resets
+    * `nextVersion` to 1, so version counters alone cannot tell "same
+    * build, no appends" from "different corpus entirely" — secondary
+    * artifacts (the [[GraphAnn]] graphs) pin themselves to the buildId
+    * AND the version counter.
+    */
+  final case class IndexMeta(dim: Int, metric: String, nlist: Long,
+                             nextVersion: Long, buildId: Long = 0L)
 
-  private def writeMeta(spark: SparkSession, indexDir: String, meta: IndexMeta): Unit = {
+  /** Atomic small-file write shared by every metadata artifact (catalog,
+    * graph meta): write a temp file, then FileContext atomic-rename with
+    * OVERWRITE — a crash mid-update leaves the old file or the new one,
+    * never a truncated one. FS resolved from the target path, not the
+    * default FS.
+    */
+  private[operators] def writeSmallFileAtomic(spark: SparkSession, path: String, content: String): Unit = {
     import org.apache.hadoop.fs.{Options, Path}
-    val p   = new Path(metaPath(indexDir))
-    val tmp = new Path(metaPath(indexDir) + ".tmp")
+    val p   = new Path(path)
+    val tmp = new Path(path + ".tmp")
     val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val json =
-      s"""{"format_version":1,"dim":${meta.dim},"metric":"${meta.metric}",""" +
-        s""""nlist":${meta.nlist},"next_version":${meta.nextVersion}}"""
     val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    // atomic-rename replace (posix/HDFS): a crash mid-update leaves either
-    // the old meta or the new one, never a truncated file
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
-  /** Read the catalog entry; None for a pre-catalog index layout (metadata
-    * was introduced after the layout format — old indexes stay readable).
-    */
-  def readMeta(spark: SparkSession, indexDir: String): Option[IndexMeta] = {
+  private[operators] def readSmallFile(spark: SparkSession, path: String): Option[String] = {
     import org.apache.hadoop.fs.Path
-    val p  = new Path(metaPath(indexDir))
+    val p  = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val in  = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def num(k: String)  = (s""""$k"\\s*:\\s*(-?\\d+)""".r).findFirstMatchIn(txt).map(_.group(1))
-      def str(k: String)  = (s""""$k"\\s*:\\s*"([^"]*)"""".r).findFirstMatchIn(txt).map(_.group(1))
-      for {
-        dim <- num("dim"); metric <- str("metric")
-        nlist <- num("nlist"); next <- num("next_version")
-      } yield IndexMeta(dim.toInt, metric, nlist.toLong, next.toLong)
+      val in = fs.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
     }
   }
+
+  private[operators] def jsonNum(txt: String, k: String): Option[Long] =
+    (s""""$k"\\s*:\\s*(-?\\d+)""".r).findFirstMatchIn(txt).map(_.group(1).toLong)
+  private[operators] def jsonStr(txt: String, k: String): Option[String] =
+    (s""""$k"\\s*:\\s*"([^"]*)"""".r).findFirstMatchIn(txt).map(_.group(1))
+
+  private def writeMeta(spark: SparkSession, indexDir: String, meta: IndexMeta): Unit =
+    writeSmallFileAtomic(spark, metaPath(indexDir),
+      s"""{"format_version":1,"dim":${meta.dim},"metric":"${meta.metric}",""" +
+        s""""nlist":${meta.nlist},"next_version":${meta.nextVersion},"build_id":${meta.buildId}}""")
+
+  /** Read the catalog entry; None for a pre-catalog index layout (metadata
+    * was introduced after the layout format — old indexes stay readable).
+    */
+  def readMeta(spark: SparkSession, indexDir: String): Option[IndexMeta] =
+    readSmallFile(spark, metaPath(indexDir)).flatMap { txt =>
+      for {
+        dim <- jsonNum(txt, "dim"); metric <- jsonStr(txt, "metric")
+        nlist <- jsonNum(txt, "nlist"); next <- jsonNum(txt, "next_version")
+      } yield IndexMeta(dim.toInt, metric, nlist, next, jsonNum(txt, "build_id").getOrElse(0L))
+    }
 
   /** Rounded-to-6dp per-label mean embedding — same math as q24's coarse
     * step, so both engines argmax identical values.
@@ -143,8 +163,11 @@ object IvfIndex {
     val spark = emb.sparkSession
     val dims  = spark.read.parquet(centroidsPath(indexDir))
       .select(size(col("centroid"))).collect()
+    // per-build nonce (wall clock ^ nanotime): distinguishes a rebuild
+    // from "the same build, untouched" for secondary-artifact pinning
+    val buildId = System.currentTimeMillis() ^ (System.nanoTime() << 20)
     writeMeta(spark, indexDir,
-      IndexMeta(dims.head.getInt(0), "cosine", dims.length.toLong, nextVersion = 1L))
+      IndexMeta(dims.head.getInt(0), "cosine", dims.length.toLong, nextVersion = 1L, buildId))
   }
 
   /** Build the index on an UNLABELED corpus: the coarse quantizer is
@@ -240,9 +263,19 @@ object IvfIndex {
       .join(broadcast(routed), col("list_id") === col("probe_list"))
       .select(col("qid"), col("probe_list"), col("vec_id"),
         round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
-    // Bounded-heap top-k per (query, list) — partial aggregation runs
-    // map-side inside each list partition — then a final rank across the
-    // <= nprobe*k survivors per query (a tiny window input by construction).
+    rankTopK(scored, k)
+  }
+
+  /** Shared presentation tail of EVERY probe variant (scan probe,
+    * filtered probe, graph probe): bounded-heap top-k per (query, probed
+    * list) — partial aggregation runs map-side inside each list
+    * partition — then a final rank across the <= nprobe*k survivors per
+    * query (a tiny window input by construction). One definition so the
+    * rounding/tie-break contract can never drift between variants —
+    * q55's oracle-equality depends on it.
+    * `scored` must have (qid, probe_list, vec_id, score: rounded 6dp).
+    */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val tk = TopK.topKUdaf(k)
     val perList = scored
       .groupBy(col("qid"), col("probe_list"))
@@ -315,18 +348,7 @@ object IvfIndex {
         col("list_id") === col("probe_list") && col("label") === col("qlabel"))
       .select(col("qid"), col("probe_list"), col("vec_id"),
         round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
-    val tk = TopK.topKUdaf(k)
-    val perList = scored
-      .groupBy(col("qid"), col("probe_list"))
-      .agg(tk(col("vec_id"), col("score")).as("top"))
-      .select(col("qid"), col("probe_list"), explode(col("top")).as("s"))
-      .select(col("qid"), col("probe_list"), col("s.id").as("vec_id"), col("s.score").as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
-    perList
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** The filtered points scan for given lists + labels — exposed so specs

@@ -143,6 +143,15 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(r.count() > 0)
     assert(r.groupBy("qid", "vec_id").count().filter(col("count") > 1).count() == 0,
       "rebuilt graph reflects last-writer-wins: no duplicate ids")
+
+    // a full INDEX rebuild resets the version counter to 1 — only the
+    // catalog's per-build nonce can expose the graph as stale
+    IvfIndex.build(spark, emb, dir)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphAnn.probeGraph(spark, dir, qs, k = 3, nprobe = 1, ef = 8).collect()
+    }
+    assert(e2.getMessage.contains("stale"),
+      s"a rebuilt index must invalidate the old graph: ${e2.getMessage}")
   }
 
   test("multiprobe graph search widens like the scan probe") {

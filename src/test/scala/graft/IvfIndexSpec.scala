@@ -192,7 +192,8 @@ class IvfIndexSpec extends AnyFunSuite {
     val meta = IvfIndex.readMeta(spark, dir).getOrElse(fail("build must write _meta.json"))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val nlist = emb.select("label").distinct().count()
-    assert(meta == IvfIndex.IndexMeta(dim, "cosine", nlist, nextVersion = 1L))
+    assert((meta.dim, meta.metric, meta.nlist, meta.nextVersion) == (dim, "cosine", nlist, 1L))
+    assert(meta.buildId != 0L, "build must stamp a per-build nonce")
 
     // two catalog-guarded appends: versions 1 then 2, no caller-side counter
     IvfIndex.append(spark, emb.filter(col("vec_id") === 0), dir)
