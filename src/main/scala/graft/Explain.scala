@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq
                 else Seq("q01_knn_topk_cosine", "q12_payload_enrich_join", "q26_pricing_summary",
                          "q27_top_customers", "q13_event_window_stats",
-                         "q47_detokenize", "q49_quantize_int8")
+                         "q47_detokenize", "q49_quantize_int8",
+                         "q53_multiprobe_index", "q55_graph_ann_probe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -40,6 +40,13 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(bad.count() == 0, "every adjacency edge must point at a node in the same list")
   }
 
+  test("graph probe scan is partition-pruned to the probed lists") {
+    val p = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("list_id"),
+      s"the graph scan must prune to the routed lists' partitions;\n$p")
+  }
+
   test("exhaustive ef reduces beam search to the exact probe (q55's oracle-equality property)") {
     import spark.implicits._
     val viaGraph = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = Int.MaxValue)
