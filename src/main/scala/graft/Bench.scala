@@ -43,6 +43,15 @@ object Bench {
     // a filtered total is a spot check, not a round record.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val splitKeys = Set("q38_build", "q38_probe", "q48_probe", "q53_probe")
+    only.foreach { keys =>
+      // fail LOUD on empty/unknown keys: a typo'd filter would otherwise
+      // print a 0-second "benchmark" that looks like a perfect result
+      val unknown = keys -- SparkEntry.queries.keySet -- splitKeys
+      require(keys.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY: empty or unknown keys [${unknown.mkString(",")}] — " +
+          s"valid keys are the declared query names and ${splitKeys.mkString("/")}")
+    }
     val selected = only.fold(SparkEntry.queries)(keys => SparkEntry.queries.filter(q => keys(q._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Samples).map { _ =>
@@ -63,8 +72,14 @@ object Bench {
     // one timed build, then median-of-Samples probes against the prebuilt
     // index — and are NOT added to `total`, which stays the comparable
     // sum of the declared queries.
+    // the split lifecycle (full IVF build + probe medians) is skipped
+    // when a subset filter selects none of the index-probe family — the
+    // filter exists precisely to avoid paying unselected heavy work
+    val wantSplit = only.forall(keys =>
+      keys.exists(k => k.startsWith("q38") || k.startsWith("q48") || k.startsWith("q53")))
     val split: Seq[(String, Double)] =
-      try {
+      if (!wantSplit) Seq.empty
+      else try {
         import graft.operators.IvfIndex
         import org.apache.spark.sql.functions.col
         def timed(f: => Unit): Double = {
@@ -93,7 +108,10 @@ object Bench {
       }
     val qs = (results ++ split).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a filtered run is marked IN THE DATA — its partial total must never
+    // be mistakable for a full round record
+    val tag = if (only.isDefined) ""","filtered":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$tag}""")
     spark.stop()
   }
 

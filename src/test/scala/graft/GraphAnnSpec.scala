@@ -43,7 +43,10 @@ class GraphAnnSpec extends AnyFunSuite {
   test("graph probe scan is partition-pruned to the probed lists") {
     val p = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = 1, ef = 8)
       .queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("list_id"),
+    // list_id must appear INSIDE a non-empty PartitionFilters bracket —
+    // FileScan always prints the (possibly empty) key, so a substring
+    // check on the key name alone would pass even with pruning regressed
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(p).isDefined,
       s"the graph scan must prune to the routed lists' partitions;\n$p")
   }
 

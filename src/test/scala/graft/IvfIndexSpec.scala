@@ -33,8 +33,8 @@ class IvfIndexSpec extends AnyFunSuite {
   test("probe scan is partition-pruned to the probed lists") {
     val q = IvfIndex.prunedPointsScan(spark, indexDir, Seq(3L))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), "expected partition filters in scan")
-    assert(plan.contains("list_id"), "list_id must appear in the pruning filter")
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(plan).isDefined,
+      "list_id must appear INSIDE a non-empty partition filter (the key prints even when empty)")
     val leaves = q.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!leaves.contains("list_id=1") || leaves.contains("list_id=3"))
   }
@@ -42,8 +42,8 @@ class IvfIndexSpec extends AnyFunSuite {
   test("filtered probe scan prunes on BOTH list partitions and pushed label filter") {
     val q = IvfIndex.filteredPointsScan(spark, indexDir, Seq(3L), Seq(3, 4))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
-      "list_id must prune partitions")
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(plan).isDefined,
+      "list_id must prune partitions (inside a non-empty filter bracket)")
     // (a 1-element IN folds to EqualTo — still pushed; assert the 2-element form)
     assert(plan.contains("PushedFilters") && plan.contains("In(label"),
       s"label IN (...) must be pushed into the parquet scan; got:\n$plan")
@@ -158,7 +158,7 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")))
     val plan = IvfIndex.prunedPointsScan(spark, dir, Seq(dirs.head.stripPrefix("list_id=").toLong))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("list_id"))
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(plan).isDefined)
 
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
