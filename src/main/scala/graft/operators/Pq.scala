@@ -268,16 +268,8 @@ object Pq {
         col("qid") === col("r_qid") && col("list_id") === col("probe_list"))
       .select(col("qid"), col("vec_id"), col("probe_list"),
         round(GraftFunctions.cosine(toDouble(col("qvec")), toDouble(col("embedding"))), 6).as("score"))
-    val tk2 = TopK.topKUdaf(k)
-    reranked
-      .groupBy(col("qid"), col("probe_list"))
-      .agg(tk2(col("vec_id"), col("score")).as("top"))
-      .select(col("qid"), col("probe_list"), explode(col("top")).as("s"))
-      .select(col("qid"), col("probe_list"), col("s.id").as("vec_id"), col("s.score").as("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("qid"), col("rank"))
+    // the shared probe presentation tail — same rounding/tie-breaks as
+    // the scan, filtered and graph probes (IvfIndex.rankTopK)
+    IvfIndex.rankTopK(reranked, k)
   }
 }
