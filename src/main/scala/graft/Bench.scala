@@ -43,7 +43,8 @@ object Bench {
     // a filtered total is a spot check, not a round record.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val splitKeys = Set("q38_build", "q38_probe", "q48_probe", "q53_probe")
+    val splitKeys = Set("q38_build", "q38_probe", "q48_probe", "q53_probe",
+      "q55_graphbuild", "q55_probe", "q57_codes", "q57_probe")
     only.foreach { keys =>
       // fail LOUD on empty/unknown keys: a typo'd filter would otherwise
       // print a 0-second "benchmark" that looks like a perfect result
@@ -66,21 +67,21 @@ object Bench {
       }
       name -> median(times)
     }
-    // Attributable index timing (VERDICT r3 item 5): q38/q48/q53 time
+    // Attributable index timing (VERDICT r3 item 5): q38/q48/q53/q55 time
     // build+persist+probe inside one closure by design, so their headline
     // numbers track write-path noise. These EXTRA keys split the phases —
     // one timed build, then median-of-Samples probes against the prebuilt
     // index — and are NOT added to `total`, which stays the comparable
     // sum of the declared queries.
-    // the split lifecycle (full IVF build + probe medians) is skipped
-    // when a subset filter selects none of the index-probe family — the
-    // filter exists precisely to avoid paying unselected heavy work
-    val wantSplit = only.forall(keys =>
-      keys.exists(k => k.startsWith("q38") || k.startsWith("q48") || k.startsWith("q53")))
+    // Each split key is gated INDIVIDUALLY on a filtered run (ADVICE r4):
+    // selecting q38_probe times the IVF build (the unavoidable shared
+    // prerequisite) but runs/prints no other probe, and the graph
+    // construction runs only when a q55 split key asked for it.
+    val wantedSplit: Set[String] = only.fold(splitKeys)(keys => splitKeys.intersect(keys))
     val split: Seq[(String, Double)] =
-      if (!wantSplit) Seq.empty
+      if (wantedSplit.isEmpty) Seq.empty
       else try {
-        import graft.operators.IvfIndex
+        import graft.operators.{GraphAnn, IvfIndex, Pq}
         import org.apache.spark.sql.functions.col
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -94,11 +95,39 @@ object Bench {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val qf = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
-        Seq(
-          "q38_build" -> buildSec,
-          "q38_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 1))),
-          "q48_probe" -> medOf(force(IvfIndex.probeFiltered(spark, indexDir, qf, k = 3, nprobe = 1, pushLabelFilter = true))),
-          "q53_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 2))))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        if (wantedSplit("q38_build")) out += "q38_build" -> buildSec
+        if (wantedSplit("q38_probe"))
+          out += "q38_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 1)))
+        if (wantedSplit("q48_probe"))
+          out += "q48_probe" -> medOf(force(IvfIndex.probeFiltered(spark, indexDir, qf, k = 3, nprobe = 1, pushLabelFilter = true)))
+        if (wantedSplit("q53_probe"))
+          out += "q53_probe" -> medOf(force(IvfIndex.probe(spark, indexDir, q, k = 3, nprobe = 2)))
+        if (wantedSplit("q55_graphbuild") || wantedSplit("q55_probe")) {
+          // NSW construction is the engine's most expensive single
+          // component (VERDICT r4) — timed separately so a construction
+          // regression cannot hide inside q55's lifecycle number
+          val graphSec = timed(GraphAnn.buildGraphs(spark, indexDir, m = 8, efConstruction = 32))
+          if (wantedSplit("q55_graphbuild")) out += "q55_graphbuild" -> graphSec
+          if (wantedSplit("q55_probe"))
+            out += "q55_probe" -> medOf(force(GraphAnn.probeGraph(spark, indexDir, q, k = 3, nprobe = 1, ef = Int.MaxValue)))
+        }
+        if (wantedSplit("q57_codes") || wantedSplit("q57_probe")) {
+          // PQ lifecycle split: codebook train + code layout write vs the
+          // ADC probe alone (same covering shortlist as the declared q57)
+          val n = emb.count()
+          val cb = Pq.train(spark, emb, m = 8, k = 16,
+            trainFraction = math.min(1.0, 4000.0 / n))
+          val codesSec = timed(Pq.buildCodes(spark, indexDir, cb))
+          if (wantedSplit("q57_codes")) out += "q57_codes" -> codesSec
+          if (wantedSplit("q57_probe")) {
+            val shortlist = spark.read.parquet(IvfIndex.pointsPath(indexDir))
+              .groupBy(col("list_id")).count()
+              .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0).toInt
+            out += "q57_probe" -> medOf(force(Pq.probeCompressed(spark, indexDir, cb, q, k = 3, nprobe = 1, shortlist = shortlist)))
+          }
+        }
+        out.toSeq
       } catch {
         // NonFatal only, and LOUD: silently missing split keys would hide
         // exactly the probe regression this block exists to attribute
@@ -111,7 +140,9 @@ object Bench {
     // a filtered run is marked IN THE DATA — its partial total must never
     // be mistakable for a full round record
     val tag = if (only.isDefined) ""","filtered":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$tag}""")
+    // total appears FIRST (machine contract) and LAST (a tail-truncated
+    // capture of this long line still shows the round's headline number)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$tag,"total_sec":$total}""")
     spark.stop()
   }
 

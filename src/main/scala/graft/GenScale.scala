@@ -12,15 +12,17 @@ import org.apache.spark.sql.functions._
   * driver's own sf0.01 via DuckDB.
   *
   * Design choices that keep scaling honest:
-  *  - `documents.text` is Caesar-rotated per replica: token frequencies
-  *    and lengths are preserved (the vocab grows ~10×, freq distribution
-  *    unchanged) while shingle sets across replicas are disjoint — exact
-  *    and near-dup queries see 10× the corpus, NOT a quadratic blowup of
-  *    artificial cross-replica duplicates.
-  *  - `embeddings.embedding` is circularly rotated per replica (norm and
-  *    component distribution preserved, cosine decorrelated), so k-NN and
-  *    LSH see 10× genuinely distinct points, not 10 exact copies tying at
-  *    similarity 1.0.
+  *  - `documents.text` gets a per-replica affine letter substitution
+  *    (period 312 — no replica aliases back to the original within 312
+  *    copies): token frequencies and lengths are preserved (the vocab
+  *    grows ~10×, freq distribution unchanged) while shingle sets across
+  *    replicas are disjoint — exact and near-dup queries see 10× the
+  *    corpus, NOT a quadratic blowup of artificial cross-replica
+  *    duplicates.
+  *  - `embeddings.embedding` is permuted per replica (rotations, then
+  *    reversed rotations: period 2·dim; norm and component distribution
+  *    preserved, cosine decorrelated), so k-NN and LSH see 10× genuinely
+  *    distinct points, not 10 exact copies tying at similarity 1.0.
   *  - Fact-table keys shift by replica × (max key + 1); the `region`/
   *    `nation` dimensions stay fixed, as TPC-H scales them.
   *
@@ -39,7 +41,14 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, in, out, copies)
+    spark.stop()
+  }
 
+  /** The generator body, separated from `main`'s session lifecycle so the
+    * replica-disjointness guarantees are spec-testable on a live session.
+    */
+  def run(spark: SparkSession, in: String, out: String, copies: Int): Unit = {
     def tbl(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -53,30 +62,52 @@ object GenScale {
     write(tbl("region"), "region")
     write(tbl("nation"), "nation")
 
-    // documents: shifted ids, Caesar-rotated text per replica
+    // documents: shifted ids, affine-substituted text per replica.
+    // Affine cipher c -> a*c + b (mod 26) with a coprime to 26: 12×26 = 312
+    // distinct substitutions, identity ONLY at rep = 0 — a plain Caesar
+    // shift cycles at 26 replicas, silently aliasing replica 26 back onto
+    // the original text and manufacturing exactly the artificial
+    // cross-replica duplicates this generator exists to avoid (ADVICE r4).
     val docs = tbl("documents")
     val dOff = keyOffset(docs, "doc_id")
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(copies <= coprimes.size * 26,
+      s"GenScale: copies=$copies exceeds the affine substitution period ${coprimes.size * 26} — " +
+        "replicas would alias and create exact cross-replica duplicate texts")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val caesar = (0 until copies).map { r =>
-      val lower = alpha.drop(r % 26) + alpha.take(r % 26)
+    val affine = (0 until copies).map { r =>
+      val a = coprimes(r / 26)
+      val b = r % 26
+      val lower = (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
       (r, alpha + alpha.toUpperCase, lower + lower.toUpperCase)
     }
-    val rotated = caesar.foldLeft(lit(null).cast("string")) { case (acc, (r, from, to)) =>
+    val substituted = affine.foldLeft(lit(null).cast("string")) { case (acc, (r, from, to)) =>
       when(col("rep") === r, translate(col("text"), from, to)).otherwise(acc)
     }
     write(replicate(docs)
       .select((col("doc_id") + col("rep") * dOff).as("doc_id"),
-        rotated.as("text"), col("lang"), col("source"), col("n_chars")), "documents")
+        substituted.as("text"), col("lang"), col("source"), col("n_chars")), "documents")
 
-    // embeddings: shifted ids, circularly-rotated vectors per replica
+    // embeddings: shifted ids, permuted vectors per replica. The permutation
+    // group is rotations (rep < dim) then REVERSED rotations (rep >= dim) —
+    // 2·dim distinct permutations, identity only at rep = 0. The previous
+    // stride-7 rotation hit rotation 0 whenever dim divided rep*7 (dim=64,
+    // rep=64 under an sf10-scale run), making replica `dim` an exact copy
+    // of replica 0 (ADVICE r4). Norms and component distributions are
+    // preserved either way; cosine is decorrelated across replicas.
     val emb  = tbl("embeddings")
     val eOff = keyOffset(emb, "vec_id")
     val dim  = emb.select(size(col("embedding"))).head().getInt(0)
-    val rot  = pmod(col("rep") * lit(7), lit(dim)) // stride 7 decorrelates adjacent replicas
+    require(copies <= 2 * dim,
+      s"GenScale: copies=$copies exceeds the $dim-dim permutation period ${2 * dim} — " +
+        "replicas would alias and create exact cross-replica duplicate vectors")
+    val rot  = pmod(col("rep"), lit(dim))
+    val rotated = concat(slice(col("embedding"), rot + 1, lit(dim) - rot),
+      slice(col("embedding"), lit(1), rot))
+    val permuted = when(col("rep") >= dim, reverse(rotated)).otherwise(rotated)
     write(replicate(emb)
       .select((col("vec_id") + col("rep") * eOff).as("vec_id"),
-        concat(slice(col("embedding"), rot + 1, lit(dim) - rot),
-          slice(col("embedding"), lit(1), rot)).as("embedding"),
+        permuted.as("embedding"),
         col("label")), "embeddings")
 
     // events: shifted event/user ids, same time range (10x the traffic)
@@ -116,6 +147,5 @@ object GenScale {
         col("l_shipdate")), "lineitem")
 
     println(s"GenScale: wrote ${copies}x $in -> $out")
-    spark.stop()
   }
 }

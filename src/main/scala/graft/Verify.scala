@@ -15,7 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop subset filter (comma-separated keys); the driver never sets
+    // this — oracle_sql.json below always carries EVERY query either way
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(keys.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY: empty or unknown keys [${unknown.mkString(",")}]")
+    }
+    val selected = only.fold(SparkEntry.queries)(keys => SparkEntry.queries.filter(q => keys(q._1)))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -79,6 +79,22 @@ object Dedup {
     rankedPairs(joined, k)
   }
 
+  /** q56_index_blocked_neardup — [[nearDupPairsViaIndex]] as a declared,
+    * oracle-checked query: build the persisted IVF index over the fixture
+    * embeddings, then rank within-list pairs. This is the 100 TB dedup
+    * path getting its own hard driver signal — q10 (the exact all-pairs
+    * verifier) stays the measured-quadratic reference; this row proves the
+    * sub-quadratic sibling returns exactly the pairs its blocking
+    * contract promises (the oracle recomputes the nearest-centroid
+    * assignment algebraically and joins a×b on the assigned list).
+    */
+  def indexBlockedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_neardup").toString
+    IvfIndex.build(spark, emb, indexDir)
+    nearDupPairsViaIndex(spark, indexDir, k = 100)
+  }
+
   val q10OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -94,4 +110,26 @@ object Dedup {
       |FROM pairs
       |ORDER BY score DESC, a_id, b_id
       |LIMIT 100""".stripMargin
+
+  /** q10's presentation over pairs blocked by the index's nearest-centroid
+    * assignment instead of the payload label — the `asg` CTE is the SAME
+    * algebraic build recomputation q38's oracle uses
+    * ([[IvfIndex.oracleAsgCtes]]), so this oracle and the probe oracles
+    * can never drift on what "the persisted layout" means. Pair label is
+    * common-or-null, exactly [[nearDupPairsViaIndex]]'s contract.
+    */
+  val q56OracleSql: String =
+    s"""${IvfIndex.oracleAsgCtes}, pts AS (
+       |  SELECT e.vec_id, e.label, e.v, a.list_id
+       |  FROM e JOIN asg a ON a.vec_id = e.vec_id
+       |), pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CASE WHEN a.label = b.label THEN CAST(a.label AS BIGINT) END AS label,
+       |         ${IvfIndex.cosSql("a.v", "b.v")} AS score
+       |  FROM pts a JOIN pts b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |)
+       |SELECT a_id, b_id, label, score
+       |FROM pairs
+       |ORDER BY score DESC, a_id, b_id
+       |LIMIT 100""".stripMargin
 }

@@ -113,6 +113,64 @@ object Embed {
       |             x -> x * x), 'sum')), 6) AS norm
       |FROM vec GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q59_cross_modal_search — the reference's shared-embedding-space
+    * convention as a declared, oracle-checked query: a TEXT-derived query
+    * vector searches the (image-modality) embeddings corpus, exactly the
+    * text→image semantic of text_img.py:64-85 (CLIP text tower encodes
+    * the query, `client.search` over the image collection). The first 5
+    * documents' text runs through the [[embedColumn]] socket with the
+    * engine-neutral [[md5CountEncoder]] at the corpus' dim (the toy
+    * stand-in for the text tower — a real CLIP drops into the same
+    * factory), then exact cosine top-5 via [[Knn.topK]] (broadcast
+    * queries; the corpus never shuffles). The oracle recomputes the
+    * encoder AND the search in DuckDB — a hash match proves the
+    * cross-modal path (encode socket → shared space → search) end-to-end.
+    */
+  def crossModalSearch(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dim = graft.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val queries = embedColumn[String](docs, "text", "qvec", md5CountEncoder(dim))
+      .select(col("doc_id").as("qid"), col("qvec"))
+    val corpus = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Knn.topK(queries, corpus, 5)
+  }
+
+  val q59OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents WHERE doc_id < 5
+       |), tri AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+       |           i -> substring(s, CAST(i AS INT), 3))) AS t
+       |  FROM s
+       |), b AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
+       |  FROM tri
+       |), cnt AS (
+       |  SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket
+       |), grid AS (
+       |  SELECT d.doc_id, r.range AS bucket
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 5) d CROSS JOIN range(64) r
+       |), q AS (
+       |  SELECT g.doc_id AS qid,
+       |         list(CAST(COALESCE(cnt.n, 0) AS DOUBLE) ORDER BY g.bucket) AS qvec
+       |  FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.bucket = g.bucket
+       |  GROUP BY g.doc_id
+       |), c AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+       |), sc AS (
+       |  SELECT q.qid, c.vec_id, ${IvfIndex.cosSql("q.qvec", "c.vec")} AS score
+       |  FROM q CROSS JOIN c
+       |)
+       |SELECT qid, vec_id, score, rank
+       |FROM (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM sc)
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   /** Deterministic toy text encoder: char-trigram feature hashing into
     * `dim` buckets, L2-normalized. Stands in for CLIP's text tower
     * (reference: text_img.py:66-71) — same signature, no model weights.

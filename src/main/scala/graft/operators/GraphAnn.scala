@@ -210,6 +210,7 @@ object GraphAnn {
   def buildGraphs(spark: SparkSession, indexDir: String, m: Int = 8, efConstruction: Int = 32): Unit = {
     implicit val enc = Encoders.product[GraphRow]
     implicit val encP = Encoders.product[PointRow]
+    implicit val encK = Encoders.scalaLong
     // catalog snapshot BEFORE reading points (pessimistic stamp): an
     // append landing mid-build bumps the counter past this value, so the
     // probe guard fails safe instead of blessing a graph that silently
@@ -217,12 +218,15 @@ object GraphAnn {
     val catalogAtStart = IvfIndex.readMeta(spark, indexDir)
     val points = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
       .select(col("vec_id"), col("embedding"), col("list_id")).as[PointRow]
+    // groupByKey, NOT repartition(list_id)+mapPartitions: hash
+    // partitioning co-locates MANY lists per shuffle partition, and a
+    // whole-partition toArray would hold all of them at once. flatMapGroups
+    // streams one group at a time, so peak task memory is the single
+    // largest list — the bound the 100 TB story needs.
     points
-      .repartition(col("list_id")) // one partition sees whole lists
-      .mapPartitions { it =>
-        it.toArray.groupBy(_.list_id).iterator.flatMap { case (_, nodes) =>
-          buildListGraph(nodes, m, efConstruction)
-        }
+      .groupByKey(_.list_id)
+      .flatMapGroups { (_: Long, nodes: Iterator[PointRow]) =>
+        buildListGraph(nodes.toArray, m, efConstruction)
       }
       .write.mode("overwrite").partitionBy("list_id").parquet(graphPath(indexDir))
     // pre-catalog layouts stamp (0, 1), matching a missing catalog
@@ -231,13 +235,37 @@ object GraphAnn {
         catalogAtStart.map(_.nextVersion).getOrElse(1L)))
   }
 
+  /** Staleness guard shared by both probe variants: a graph built before
+    * the latest append (version mismatch) OR against a different build of
+    * the index (buildId mismatch — a rebuild resets the version counter,
+    * so the counter alone cannot catch it) would silently drop vectors
+    * from every result. Both mismatch directions fail; graph files
+    * without metadata (a crashed buildGraphs) fail too, not fall through.
+    */
+  private def requireFreshGraph(spark: SparkSession, indexDir: String): Unit =
+    (readGraphMeta(spark, indexDir), IvfIndex.readMeta(spark, indexDir)) match {
+      case (Some(g), Some(meta)) =>
+        require(g.builtForBuild == meta.buildId && g.builtAtVersion == meta.nextVersion,
+          s"graph index at ${graphPath(indexDir)} is stale (built for build ${g.builtForBuild} " +
+            s"version ${g.builtAtVersion}; catalog is build ${meta.buildId} version " +
+            s"${meta.nextVersion}) — re-run GraphAnn.buildGraphs after append/compact/rebuild")
+      case (None, Some(_)) =>
+        throw new IllegalStateException(
+          s"graph index at ${graphPath(indexDir)} has no ${graphMetaPath(indexDir)} " +
+            "(interrupted buildGraphs?) — re-run GraphAnn.buildGraphs")
+      case _ => () // pre-catalog layouts: no staleness information exists
+    }
+
   /** Probe via graph traversal: route queries to their nprobe nearest
     * lists (the SAME routing as [[IvfIndex.probe]] — one implementation,
     * identical tie-breaks), read ONLY the probed lists' graph partitions,
     * beam-search each query inside each routed list, then rank the
     * candidates with the probe's own bounded-heap top-k + final window.
     * Output schema == [[IvfIndex.probe]]: (qid, probe_list, vec_id,
-    * score, rank).
+    * score, rank). This is the INTERACTIVE path: the query batch (qid +
+    * vectors) is collected and broadcast, which a driver can afford at
+    * query scale but not corpus scale — whole-corpus callers use
+    * [[probeGraphBatch]].
     *
     * @param ef beam width, the recall knob; ef >= |list| degenerates to
     *           the exhaustive per-list scan (== IvfIndex.probe output)
@@ -251,24 +279,7 @@ object GraphAnn {
     GraftFunctions.ensureRegistered(spark)
     implicit val encG = Encoders.product[GraphRow]
     implicit val encH = Encoders.product[Hit]
-    // staleness guard: a graph built before the latest append (version
-    // mismatch) OR against a different build of the index (buildId
-    // mismatch — a rebuild resets the version counter, so the counter
-    // alone cannot catch it) would silently drop vectors from every
-    // result. Both mismatch directions fail; graph files without
-    // metadata (a crashed buildGraphs) fail too, not fall through.
-    (readGraphMeta(spark, indexDir), IvfIndex.readMeta(spark, indexDir)) match {
-      case (Some(g), Some(meta)) =>
-        require(g.builtForBuild == meta.buildId && g.builtAtVersion == meta.nextVersion,
-          s"graph index at ${graphPath(indexDir)} is stale (built for build ${g.builtForBuild} " +
-            s"version ${g.builtAtVersion}; catalog is build ${meta.buildId} version " +
-            s"${meta.nextVersion}) — re-run GraphAnn.buildGraphs after append/compact/rebuild")
-      case (None, Some(_)) =>
-        throw new IllegalStateException(
-          s"graph index at ${graphPath(indexDir)} has no ${graphMetaPath(indexDir)} " +
-            "(interrupted buildGraphs?) — re-run GraphAnn.buildGraphs")
-      case _ => () // pre-catalog layouts: no staleness information exists
-    }
+    requireFreshGraph(spark, indexDir)
     val routed = IvfIndex.route(spark, indexDir, queries, nprobe).localCheckpoint(true)
     // query batch to the driver — |queries| × nprobe rows, the same
     // query-scale routing decision every probe variant collects; the
@@ -281,31 +292,101 @@ object GraphAnn {
     val lists = qByList.keys.toArray.sorted
     val bcQ = spark.sparkContext.broadcast(qByList)
 
+    implicit val encK = Encoders.scalaLong
+    // groupByKey streams ONE list's rows per group (peak task memory = the
+    // largest single list), instead of a repartition(list_id) whose hash
+    // partitioning would co-locate many lists into one whole-partition
+    // toArray
     val hits = spark.read.parquet(graphPath(indexDir))
       .filter(col("list_id").isin(lists: _*)) // partition-pruned scan
       .select(col("vec_id"), col("embedding"), col("neighbors"), col("list_id"))
       .as[GraphRow]
-      .repartition(col("list_id"))
-      .mapPartitions { it =>
-        val byList = it.toArray.groupBy(_.list_id)
-        byList.iterator.flatMap { case (listId, rows) =>
-          val qs = bcQ.value.getOrElse(listId, Array.empty)
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val vecs = mutable.LongMap.from(rows.iterator.map(r => (r.vec_id, r.embedding)))
-            val adj  = mutable.LongMap.from(rows.iterator.map(r => (r.vec_id, r.neighbors)))
-            val entry = rows.iterator.map(_.vec_id).min
-            qs.iterator.flatMap { case (qid, qvec) =>
-              val (top, visited) = beamSearch(vecs, adj, entry, qvec, math.min(ef, rows.length))
-              visitedNodes.foreach(_.add(visited.toLong))
-              top.iterator.map { case (id, s) => Hit(qid, listId, id, s) }
-            }
+      .groupByKey(_.list_id)
+      .flatMapGroups { (listId: Long, it: Iterator[GraphRow]) =>
+        val qs = bcQ.value.getOrElse(listId, Array.empty)
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = it.toArray
+          val vecs = mutable.LongMap.from(rows.iterator.map(r => (r.vec_id, r.embedding)))
+          val adj  = mutable.LongMap.from(rows.iterator.map(r => (r.vec_id, r.neighbors)))
+          val entry = rows.iterator.map(_.vec_id).min
+          qs.iterator.flatMap { case (qid, qvec) =>
+            val (top, visited) = beamSearch(vecs, adj, entry, qvec, math.min(ef, rows.length))
+            visitedNodes.foreach(_.add(visited.toLong))
+            top.iterator.map { case (id, s) => Hit(qid, listId, id, s) }
           }
         }
       }
       .toDF()
     // THE presentation path — IvfIndex.rankTopK, shared with the scan and
     // filtered probes, so rounding/tie-breaks cannot drift between them
+    IvfIndex.rankTopK(
+      hits.select(col("qid"), col("probe_list"), col("vec_id"),
+        round(col("score"), 6).as("score")),
+      k)
+  }
+
+  // public: Spark's generated (de)serializers construct these reflectively
+  final case class RoutedQuery(qid: Long, qvec: Array[Float], probe_list: Long)
+
+  /** Batch-scale graph probe: identical semantics to [[probeGraph]] but the
+    * query batch NEVER lands on the driver — routing stays a distributed
+    * join ([[IvfIndex.route]]'s output), and each probed list's graph is
+    * cogrouped with the queries routed to it, so a dedup-style
+    * "probe with the whole corpus" call is bounded by (largest list +
+    * its routed queries) per task instead of |corpus| driver memory.
+    * [[probeGraph]] remains the interactive path (few queries, one
+    * broadcast, no query shuffle); this is the whole-corpus path. Only the
+    * probed-list id set (bounded by nlist, list-scale like every probe
+    * variant's IN-list) is collected for partition pruning.
+    *
+    * Equivalence with [[probeGraph]] on the same inputs is spec-tested
+    * (GraphAnnSpec) — same staleness guard, same beam search, same
+    * presentation tail.
+    */
+  def probeGraphBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                      k: Int = 3, nprobe: Int = 1, ef: Int = 32,
+                      visitedNodes: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    implicit val encG = Encoders.product[GraphRow]
+    implicit val encR = Encoders.product[RoutedQuery]
+    implicit val encH = Encoders.product[Hit]
+    implicit val encK = Encoders.scalaLong
+    requireFreshGraph(spark, indexDir)
+    val routed = IvfIndex.route(spark, indexDir, queries, nprobe).localCheckpoint(true)
+    // list-scale (<= nlist) — the partition-pruning IN-list, NOT the queries
+    val lists = routed.select(col("probe_list")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+    val graphRows = spark.read.parquet(graphPath(indexDir))
+      .filter(col("list_id").isin(lists: _*)) // partition-pruned scan
+      .select(col("vec_id"), col("embedding"), col("neighbors"), col("list_id"))
+      .as[GraphRow]
+      .groupByKey(_.list_id)
+    val routedQs = routed
+      .select(col("qid"), col("qvec"), col("probe_list"))
+      .as[RoutedQuery]
+      .groupByKey(_.probe_list)
+    val hits = graphRows.cogroup(routedQs) { (listId, gIt, qIt) =>
+      val qs = qIt.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val rows = gIt.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = mutable.LongMap.from(rows.iterator.map(r => (r.vec_id, r.embedding)))
+          val adj  = mutable.LongMap.from(rows.iterator.map(r => (r.vec_id, r.neighbors)))
+          val entry = rows.iterator.map(_.vec_id).min
+          // qid order for determinism of accumulator traces; output order
+          // is re-established by rankTopK regardless
+          qs.sortBy(_.qid).iterator.flatMap { q =>
+            val (top, visited) = beamSearch(vecs, adj, entry, q.qvec, math.min(ef, rows.length))
+            visitedNodes.foreach(_.add(visited.toLong))
+            top.iterator.map { case (id, s) => Hit(q.qid, listId, id, s) }
+          }
+        }
+      }
+    }.toDF()
     IvfIndex.rankTopK(
       hits.select(col("qid"), col("probe_list"), col("vec_id"),
         round(col("score"), 6).as("score")),

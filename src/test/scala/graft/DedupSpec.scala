@@ -66,4 +66,31 @@ class DedupSpec extends AnyFunSuite {
     assert(r.columns.toSeq == Seq("a_id", "b_id", "label", "score"))
     assert(r.count() == 10)
   }
+
+  test("pair label is the COMMON label — null when a list-blocked pair spans labels") {
+    import spark.implicits._
+    // list blocking (unlike q10's label blocking) can pair vectors whose
+    // payload labels differ; the contract is common-or-null, never a
+    // one-sided claim. Plant a near-identical pair with DIFFERENT labels
+    // and one with the SAME label among orthogonal fillers.
+    val dim = 8
+    def unit(i: Int): Array[Float] = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    def nudge(v: Array[Float], eps: Float): Array[Float] = {
+      val w = v.clone(); w(dim - 1) += eps; w
+    }
+    val rows = Seq(
+      (1L, 10L, unit(0)), (2L, 20L, nudge(unit(0), 0.01f)), // near pair, labels differ
+      (3L, 30L, unit(1)), (4L, 30L, nudge(unit(1), 0.01f)), // near pair, same label
+      (5L, 40L, unit(2)), (6L, 50L, unit(3))                // fillers
+    ).toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_lbl").toString
+    IvfIndex.buildUnsupervised(spark, rows, dir, nlist = 4, seed = 3L)
+
+    val top = Dedup.nearDupPairsViaIndex(spark, dir, k = 2)
+      .select($"a_id", $"b_id", $"label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(top == Set((1L, 2L, None), (3L, 4L, Some(30L))),
+      s"cross-label pair must carry null, same-label pair its common label; got $top")
+  }
 }

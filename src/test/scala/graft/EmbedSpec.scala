@@ -77,4 +77,19 @@ class EmbedSpec extends AnyFunSuite {
     assert(scores((1L, 2L)) == 1.0)
     assert(scores((1L, 3L)) < 1.0)
   }
+
+  test("declared cross-modal query (q59): 5 text queries x ranked top-5 from the vector corpus") {
+    val out = Embed.crossModalSearch(spark, TestSpark.Sf0001)
+    assert(out.columns.toSeq == Seq("qid", "vec_id", "score", "rank"))
+    val rows = out.collect()
+    assert(rows.length == 25, "5 text-derived queries x top-5 hits")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { hits =>
+      assert(hits.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(hits.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    }
+    // deterministic: the toy text tower and the search are both pure
+    assert(out.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
 }

@@ -170,4 +170,29 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(n2.select("probe_list").distinct().count() >= n1.select("probe_list").distinct().count())
     assert(n2.count() >= n1.count())
   }
+
+  test("probeGraphBatch (cogrouped, no driver query batch) equals probeGraph row-for-row") {
+    // equality must hold in the APPROXIMATE regime too — both paths run
+    // the same beam search from the same entry, so small-ef results agree
+    // exactly, not just the exhaustive reduction
+    for ((ef, nprobe) <- Seq((8, 1), (8, 2), (Int.MaxValue, 1))) {
+      val interactive = GraphAnn.probeGraph(spark, indexDir, queries, k = 3, nprobe = nprobe, ef = ef)
+        .collect().map(_.toSeq).toSeq
+      val batch = GraphAnn.probeGraphBatch(spark, indexDir, queries, k = 3, nprobe = nprobe, ef = ef)
+        .collect().map(_.toSeq).toSeq
+      assert(batch == interactive && batch.nonEmpty,
+        s"batch probe must match the interactive probe at ef=$ef nprobe=$nprobe")
+    }
+  }
+
+  test("probeGraphBatch prunes the graph scan to the probed lists") {
+    val p = GraphAnn.probeGraphBatch(spark, indexDir, queries, k = 3, nprobe = 1, ef = 8)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(p).isDefined,
+      s"the batch graph scan must prune to the routed lists' partitions;\n$p")
+    // the whole-corpus path must never collect query VECTORS: the only
+    // collected object is the probed-list id array (bounded by nlist)
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"batch probe routes via join, not a broadcasted query batch;\n$p")
+  }
 }

@@ -137,4 +137,35 @@ class MultimodalSpec extends AnyFunSuite {
       fs.foreach(f => assert(f.frame.length == 16))
     }
   }
+
+  test("pixelResize is REAL nearest-neighbor resampling through the PNG codec") {
+    import spark.implicits._
+    // integer scale: 4x4 frame of bytes 0..15 halved to 2x2 keeps pixels
+    // at even (x,y): out = [src(0,0), src(2,0), src(0,2), src(2,2)]
+    val sq = Seq(RawDoc(1L, Array.tabulate(16)(_.toByte))).toDS()
+    val half = Multimodal.pixelResize(sq, srcW = 4, srcH = 4, w = 2, h = 2).head()
+    assert(half.width == 2L && half.height == 2L)
+    assert(half.data.toSeq == Seq[Byte](0, 2, 8, 10))
+
+    // non-integer scale (3x3 -> 2x2) exercises the floor index math:
+    // sx = ox*3/2 in {0, 1}, sy likewise -> [src(0,0), src(1,0), src(0,1), src(1,1)]
+    val tri = Seq(RawDoc(2L, Array.tabulate(9)(_.toByte))).toDS()
+    val down = Multimodal.pixelResize(tri, srcW = 3, srcH = 3, w = 2, h = 2).head()
+    assert(down.data.toSeq == Seq[Byte](0, 1, 3, 4))
+
+    // a payload shorter than the frame fills cyclically: pixel i = byte i mod len
+    val cyc = Seq(RawDoc(3L, Array[Byte](10, 20, 30))).toDS()
+    val c = Multimodal.pixelResize(cyc, srcW = 2, srcH = 2, w = 2, h = 2).head()
+    assert(c.data.toSeq == Seq[Byte](10, 20, 30, 10))
+
+    // empty payload: defined empty frame, not a task failure
+    val empty = Seq(RawDoc(4L, Array.emptyByteArray)).toDS()
+    val e = Multimodal.pixelResize(empty, srcW = 4, srcH = 4, w = 2, h = 2).head()
+    assert(e.data.isEmpty && e.width == 2L && e.height == 2L)
+
+    // upsample (2x2 -> 4x4) repeats source pixels: out(x,y) = src(x/2, y/2)
+    val up2 = Multimodal.pixelResize(
+      Seq(RawDoc(5L, Array[Byte](1, 2, 3, 4))).toDS(), srcW = 2, srcH = 2, w = 4, h = 4).head()
+    assert(up2.data.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
 }

@@ -69,4 +69,38 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(q.count() ==
       Tables.embeddings(spark, TestSpark.Sf0001).filter(col("label") === 3).count())
   }
+
+  test("GenScale replicas never alias: 30 copies yield 30 distinct texts and vectors per base row") {
+    // regression for the r4-advice aliasing bugs: a plain Caesar rotation
+    // is the identity at rep 26 (exact duplicate texts), and a stride-7
+    // vector rotation is the identity whenever dim | rep*7 — either one
+    // manufactures the artificial cross-replica duplicates the generator
+    // exists to avoid. 30 copies crosses the old 26-period boundary.
+    val out = java.nio.file.Files.createTempDirectory("graft_genscale").toString
+    GenScale.run(spark, TestSpark.Sf0001, out, copies = 30)
+
+    val baseDocs = Tables.documents(spark, TestSpark.Sf0001)
+    val dOff = baseDocs.agg(max("doc_id")).head().getLong(0) + 1L
+    val scaledDocs = spark.read.parquet(s"$out/documents.parquet")
+    assert(scaledDocs.count() == 30 * baseDocs.count())
+    // replicas of base doc 0 live at doc_id = rep*dOff: all 30 texts distinct
+    val texts = scaledDocs.filter(col("doc_id") % dOff === 0)
+      .select("text").collect().map(_.getString(0))
+    assert(texts.length == 30 && texts.distinct.length == 30,
+      "every replica must carry a distinct substitution of the base text")
+
+    val baseEmb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val eOff = baseEmb.agg(max("vec_id")).head().getLong(0) + 1L
+    val vecs = spark.read.parquet(s"$out/embeddings.parquet")
+      .filter(col("vec_id") % eOff === 0)
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq)
+    assert(vecs.length == 30 && vecs.distinct.length == 30,
+      "every replica must carry a distinct permutation of the base vector")
+
+    // the alias guard fails FAST when copies exceed the substitution period
+    val e = intercept[IllegalArgumentException] {
+      GenScale.run(spark, TestSpark.Sf0001, out, copies = 313)
+    }
+    assert(e.getMessage.contains("alias"))
+  }
 }

@@ -114,6 +114,17 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(a eq b, "sharedVocab must memoize the fitted artifact per (session, dir)")
   }
 
+  test("vocab memo is keyed by session IDENTITY: a cloned session fits its own artifact") {
+    TextPipeline.clearVocabMemo()
+    val a = TextPipeline.sharedVocab(spark, TestSpark.Sf0001)
+    val s2 = spark.newSession() // same context, different session object
+    val b = TextPipeline.sharedVocab(s2, TestSpark.Sf0001)
+    assert(!(a eq b), "distinct sessions must not share fitted artifacts")
+    assert(TextPipeline.sharedVocab(s2, TestSpark.Sf0001) eq b,
+      "the cloned session's own artifact memoizes like any other")
+    TextPipeline.clearVocabMemo()
+  }
+
   test("q54 artifact loop: encode via saveVocab→loadVocab is bit-identical to encode via the live fit") {
     val persisted = TextPipeline.encodePersistedVocab(spark, TestSpark.Sf0001)
       .as[(Long, String)].collect().toSeq
