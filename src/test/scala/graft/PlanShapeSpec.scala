@@ -83,4 +83,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"encoding through the artifact must not demote the dictionary join;\n$p")
   }
+
+  test("q56 index-blocked pairs form via an EQUI-join on list_id, never a cartesian") {
+    val p = plan(graft.operators.Dedup.indexBlockedNearDup(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking exists to avoid the all-pairs product;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k pairs must merge per-partition, not globally sort;\n$p")
+  }
+
+  test("q57 compressed probe prunes the CODE layout's partitions and broadcasts the rerank queries") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_planshape_pq").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    graft.operators.IvfIndex.build(spark, emb, dir)
+    val cb = graft.operators.Pq.train(spark, emb, m = 8, k = 16)
+    graft.operators.Pq.buildCodes(spark, dir, cb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = plan(graft.operators.Pq.probeCompressed(spark, dir, cb, queries, k = 3, nprobe = 1, shortlist = 50))
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(p).isDefined,
+      s"the ADC scan must read only the probed lists' code partitions;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-scale rerank side must broadcast;\n$p")
+  }
+
+  test("q58 pixel resize is scan-local: a typed map, no join, one presentation exchange") {
+    val p = plan(graft.operators.Multimodal.pixelResizeDeclared(spark, TestSpark.Sf0001))
+    assert(p.contains("MapPartitions"), s"the codec socket must plan as MapPartitions;\n$p")
+    assert(!p.contains("Join"), s"resize must not join;\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"only the ORDER BY may exchange — the codec work is per-partition;\n$p")
+  }
+
+  test("q59 cross-modal search broadcasts the text-derived queries; the corpus never shuffles") {
+    val p = plan(graft.operators.Embed.crossModalSearch(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"few-queries×corpus scoring must broadcast the query side;\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"ranking must stay the bounded-heap aggregator;\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for a query-scale broadcast;\n$p")
+  }
 }
