@@ -114,18 +114,15 @@ object Bench {
         }
         if (wantedSplit("q57_codes") || wantedSplit("q57_probe")) {
           // PQ lifecycle split: codebook train + code layout write vs the
-          // ADC probe alone (same covering shortlist as the declared q57)
-          val n = emb.count()
-          val cb = Pq.train(spark, emb, m = 8, k = 16,
-            trainFraction = math.min(1.0, 4000.0 / n))
+          // ADC probe alone — SAME training bound and covering shortlist
+          // as the declared q57 (shared helpers, so the bench cannot
+          // silently time a different probe than the query it attributes)
+          val cb = Pq.lifecycleTrain(spark, emb)
           val codesSec = timed(Pq.buildCodes(spark, indexDir, cb))
           if (wantedSplit("q57_codes")) out += "q57_codes" -> codesSec
-          if (wantedSplit("q57_probe")) {
-            val shortlist = spark.read.parquet(IvfIndex.pointsPath(indexDir))
-              .groupBy(col("list_id")).count()
-              .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0).toInt
-            out += "q57_probe" -> medOf(force(Pq.probeCompressed(spark, indexDir, cb, q, k = 3, nprobe = 1, shortlist = shortlist)))
-          }
+          if (wantedSplit("q57_probe"))
+            out += "q57_probe" -> medOf(force(Pq.probeCompressed(spark, indexDir, cb, q, k = 3, nprobe = 1,
+              shortlist = Pq.coveringShortlist(spark, indexDir))))
         }
         out.toSeq
       } catch {

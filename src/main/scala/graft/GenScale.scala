@@ -58,6 +58,24 @@ object GenScale {
     def keyOffset(df: DataFrame, keyCol: String): Long =
       df.agg(max(col(keyCol))).head().getLong(0) + 1L
 
+    // BOTH alias guards fire BEFORE any write: failing after the (large)
+    // documents write would leave the out dir holding fresh documents next
+    // to stale-or-missing embeddings — a silently mixed-scale dataset.
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(copies <= coprimes.size * 26,
+      s"GenScale: copies=$copies exceeds the affine substitution period ${coprimes.size * 26} — " +
+        "replicas would alias and create exact cross-replica duplicate texts")
+    val emb = tbl("embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // the rotation/reversed-rotation group has 2·dim DISTINCT non-identity-
+    // free elements only for dim >= 3 (dim 2: reversal == rotation-by-1,
+    // so rep 3 is the identity; dim 1: every permutation is the identity)
+    require(dim >= 3,
+      s"GenScale: embedding dim $dim < 3 — the permutation family degenerates and replicas would alias")
+    require(copies <= 2 * dim,
+      s"GenScale: copies=$copies exceeds the $dim-dim permutation period ${2 * dim} — " +
+        "replicas would alias and create exact cross-replica duplicate vectors")
+
     // dimensions stay fixed
     write(tbl("region"), "region")
     write(tbl("nation"), "nation")
@@ -70,10 +88,6 @@ object GenScale {
     // cross-replica duplicates this generator exists to avoid (ADVICE r4).
     val docs = tbl("documents")
     val dOff = keyOffset(docs, "doc_id")
-    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(copies <= coprimes.size * 26,
-      s"GenScale: copies=$copies exceeds the affine substitution period ${coprimes.size * 26} — " +
-        "replicas would alias and create exact cross-replica duplicate texts")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val affine = (0 until copies).map { r =>
       val a = coprimes(r / 26)
@@ -95,12 +109,7 @@ object GenScale {
     // rep=64 under an sf10-scale run), making replica `dim` an exact copy
     // of replica 0 (ADVICE r4). Norms and component distributions are
     // preserved either way; cosine is decorrelated across replicas.
-    val emb  = tbl("embeddings")
     val eOff = keyOffset(emb, "vec_id")
-    val dim  = emb.select(size(col("embedding"))).head().getInt(0)
-    require(copies <= 2 * dim,
-      s"GenScale: copies=$copies exceeds the $dim-dim permutation period ${2 * dim} — " +
-        "replicas would alias and create exact cross-replica duplicate vectors")
     val rot  = pmod(col("rep"), lit(dim))
     val rotated = concat(slice(col("embedding"), rot + 1, lit(dim) - rot),
       slice(col("embedding"), lit(1), rot))

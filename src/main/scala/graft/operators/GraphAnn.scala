@@ -38,12 +38,12 @@ import graft.functions.GraftFunctions
   * sub-linear small-ef regime is spec-tested with recall + visited-node
   * counts, GraphAnnSpec).
   *
-  * At 100 TB: graphs build per-partition with one `mapPartitions` pass
-  * over the co-located layout (no shuffle beyond the build's own
-  * repartition), memory is bounded by list size — the same rows a probe
-  * scan already reads — and search touches nprobe partitions × ef·degree
-  * vectors. Construction cost is O(n·efC·degree) distance evaluations,
-  * the standard NSW bill.
+  * At 100 TB: graphs build with one `groupByKey(list_id)` pass over the
+  * co-located layout (one shuffle; `flatMapGroups` streams ONE list per
+  * group, so peak task memory is the single largest list — not the many
+  * lists a hash partition would co-locate), and search touches nprobe
+  * partitions × ef·degree vectors. Construction cost is O(n·efC·degree)
+  * distance evaluations, the standard NSW bill.
   */
 object GraphAnn {
 

@@ -66,6 +66,12 @@ object Pq {
       unit.limit(maxTrainRows).as[Seq[Double]].collect().map(_.toArray)
     require(sample.length >= k,
       s"PQ training needs at least k=$k sampled vectors, got ${sample.length}")
+    if (sample.length == maxTrainRows)
+      // visible, not silent: trainFraction alone no longer describes the
+      // effective training set once the row cap engages
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"PQ training set capped at maxTrainRows=$maxTrainRows rows " +
+          s"(trainFraction=$trainFraction selected more); raise maxTrainRows for a larger sample")
     val centers = Array.tabulate(m)(j => lloyd(sample, j * subDim, subDim, k, seed + j))
     Codebooks(m, k, subDim, centers)
   }
@@ -339,27 +345,38 @@ object Pq {
     * uncompressed probe bit-for-bit; the lossy small-shortlist regime is
     * property-tested in PqSpec.
     */
+  /** The declared lifecycle's training call: a seeded sample bounded to
+    * ~4k rows — enough for k=16 codewords per subspace, and the covering
+    * shortlist + exact rerank make the declared RESULT independent of
+    * codebook quality anyway. Shared with Bench's q57 split timing so the
+    * bench can never drift from the declared query's definition.
+    */
+  private[graft] def lifecycleTrain(spark: SparkSession, emb: DataFrame): Codebooks = {
+    val n = emb.count()
+    train(spark, emb, m = 8, k = 16, trainFraction = math.min(1.0, 4000.0 / n))
+  }
+
+  /** Covering shortlist for [[probeCompressed]]: no PROBED list holds more
+    * rows than the largest list (counted over raw point versions, an upper
+    * bound of the LWW view) — the bound that provably reduces the
+    * compressed probe to the exact probe. Shared with Bench's q57 split.
+    */
+  private[graft] def coveringShortlist(spark: SparkSession, indexDir: String): Int =
+    spark.read.parquet(IvfIndex.pointsPath(indexDir))
+      .groupBy(col("list_id")).count()
+      .agg(max("count")).head().getLong(0).toInt
+
   def ivfpqProbe(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, sfDir)
     val indexDir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     IvfIndex.build(spark, emb, indexDir)
-    // the covering shortlist + exact rerank make the RESULT independent of
-    // codebook quality, so training samples a bounded slice of the corpus
-    // (seeded, deterministic) — the declared query pays encode + ADC +
-    // rerank, not an unbounded KMeans; PqSpec covers full-corpus training
-    val n = emb.count()
-    val cb = train(spark, emb, m = 8, k = 16,
-      trainFraction = math.min(1.0, 4000.0 / n))
+    val cb = lifecycleTrain(spark, emb)
     buildCodes(spark, indexDir, cb)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    // covering shortlist: no PROBED list holds more rows than the largest
-    // list (counted over raw point versions, an upper bound of the LWW view)
-    val shortlist = spark.read.parquet(IvfIndex.pointsPath(indexDir))
-      .groupBy(col("list_id")).count()
-      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0).toInt
-    probeCompressed(spark, indexDir, cb, queries, k = 3, nprobe = 1, shortlist = shortlist)
+    probeCompressed(spark, indexDir, cb, queries, k = 3, nprobe = 1,
+      shortlist = coveringShortlist(spark, indexDir))
   }
 
   /** Covering shortlist ⇒ the compressed probe == the exact probe. */
