@@ -416,6 +416,82 @@ object TextAnalysis {
        |       regexp_replace(regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g'), '$LongDigitsRe', '[NUM]', 'g') AS redacted
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** q60_decontaminate — benchmark decontamination, the training-data
+    * pipeline pass every LLM corpus runs before training (GPT-3's 13-gram
+    * eval-overlap scrub; here word-8-grams): flag every training document
+    * sharing ANY n-gram with a held-out benchmark set. The fixture corpus
+    * is synthetic and clean, so (exactly like q52 derives its PII column)
+    * the query derives deterministic contamination first: docs with
+    * `doc_id % 97 == 0` form the benchmark; every training doc with
+    * `doc_id % 13 == 2` gets benchmark doc 0's first 8 tokens appended —
+    * then the overlap join must find exactly those plants (plus any
+    * natural overlap). Output: (doc_id, shared_grams, contaminated 0/1).
+    *
+    * The plan is the 100 TB shape: the benchmark gram set is SMALL by
+    * definition (eval suites, not corpora) and broadcasts; corpus grams
+    * join against it BEFORE any distinct, so only matching grams ever
+    * shuffle — the corpus-wide gram stream itself never does (at larger
+    * benchmark sets the broadcast side becomes a bloom filter, same
+    * shape). Short documents (< n tokens) emit no grams and stay clean.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val snippet = docs.filter(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(split(col("text"), "\\s+"), 1, n)).as("snippet"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(snippet)) // 1 deterministic row
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 2, concat(col("text"), lit(" "), col("snippet")))
+          .otherwise(col("text")).as("text"))
+    def grams(df: DataFrame): DataFrame = {
+      val t = split(col("text"), "\\s+")
+      df.select(col("doc_id"),
+        explode(when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", slice(t, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    }
+    val benchGrams = grams(bench).select("gram").distinct()
+    val hits = grams(corpus)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("shared_grams"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        when(coalesce(col("shared_grams"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60OracleSql: String =
+    """WITH snippet AS (
+      |  SELECT array_to_string(list_slice(string_split_regex(lower(text), '\s+'), 1, 8), ' ') AS s
+      |  FROM documents WHERE doc_id = 0
+      |), corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 13 = 2 THEN lower(text) || ' ' || (SELECT s FROM snippet)
+      |              ELSE lower(text) END AS text
+      |  FROM documents WHERE doc_id % 97 <> 0
+      |), cgrams AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+      |           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(list_slice(t, i, i + 7), ' '))
+      |           ELSE [] END) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus)
+      |), bgrams AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 8
+      |           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(list_slice(t, i, i + 7), ' '))
+      |           ELSE [] END) AS g
+      |  FROM (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents WHERE doc_id % 97 = 0)
+      |), hits AS (
+      |  SELECT doc_id, COUNT(DISTINCT g) AS shared FROM cgrams JOIN bgrams USING (g) GROUP BY doc_id
+      |)
+      |SELECT c.doc_id,
+      |       CAST(COALESCE(h.shared, 0) AS BIGINT) AS shared_grams,
+      |       CAST(CASE WHEN COALESCE(h.shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM corpus c LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id""".stripMargin
+
   val q50OracleSql: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token

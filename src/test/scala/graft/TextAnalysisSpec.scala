@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** q60 decontamination mechanism: n-gram overlap against a benchmark set
+  * must catch BOTH the query's deterministic plants and natural overlap,
+  * and must not flag clean or too-short documents.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("decontaminate flags planted AND natural n-gram overlap; short/clean docs stay clean") {
+    import spark.implicits._
+    // hand corpus, n=3 grams. doc 0 is the benchmark (0 % 97 == 0); its
+    // first-3-token snippet is "alpha beta gamma".
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),      // benchmark doc
+      (1L, "one two three four"),          // clean
+      (2L, "p q r"),                       // % 13 == 2: gets the snippet appended -> planted hit
+      (3L, "x beta gamma delta y"),        // NATURAL overlap: gram "beta gamma delta"
+      (5L, "tiny doc")                     // < n tokens: no grams, defined, clean
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = TextAnalysis.decontaminate(spark, dir, n = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L),
+      (2L, 1L, 1L), // only the appended snippet gram matches
+      (3L, 1L, 1L), // the natural "beta gamma delta" gram
+      (5L, 0L, 0L)
+    ), s"got $out")
+  }
+
+  test("declared q60 catches every derived plant; flag and count stay consistent") {
+    import spark.implicits._
+    val out = TextAnalysis.decontaminate(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect()
+    val flagged = out.collect { case (id, _, 1L) => id }.toSet
+    val plants = out.map(_._1).filter(id => id % 13 == 2).toSet
+    // the fixture can contain NATURAL 8-gram overlap with the benchmark
+    // slice (sf0.001 has two such docs) — plants are the floor, not the
+    // whole set
+    assert(plants.subsetOf(flagged) && plants.nonEmpty,
+      s"every planted doc must be flagged; missing ${plants -- flagged}")
+    assert(out.forall { case (_, shared, flag) => (shared > 0) == (flag == 1L) })
+    // benchmark docs themselves are never in the output
+    assert(out.forall(_._1 % 97 != 0))
+  }
+}
