@@ -192,7 +192,7 @@ object IvfIndex {
     */
   def buildUnsupervised(spark: SparkSession, emb: DataFrame, indexDir: String,
                         nlist: Int, seed: Long = 42L,
-                        trainFraction: Double = 1.0): Unit = {
+                        trainFraction: Double = 1.0, maxIter: Int = 20): Unit = {
     GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -200,7 +200,7 @@ object IvfIndex {
     val train0 = if (trainFraction < 1.0) emb.sample(withReplacement = false, trainFraction, seed) else emb
     val train  = train0.select(array_to_vector(toDouble(col("embedding"))).as("features"))
     val model = new KMeans()
-      .setK(nlist).setSeed(seed)
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter) // coarse quantizers converge early; a large-k build can cap it
       .setDistanceMeasure("cosine") // match the probe's routing metric
       .setFeaturesCol("features")
       .fit(train)
