@@ -13,7 +13,9 @@ object Explain {
                 else Seq("q01_knn_topk_cosine", "q12_payload_enrich_join", "q26_pricing_summary",
                          "q27_top_customers", "q13_event_window_stats",
                          "q47_detokenize", "q49_quantize_int8",
-                         "q53_multiprobe_index", "q55_graph_ann_probe")
+                         "q53_multiprobe_index", "q55_graph_ann_probe",
+                         "q56_index_blocked_neardup", "q57_ivfpq_probe",
+                         "q59_cross_modal_search", "q60_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -447,11 +447,15 @@ object TextAnalysis {
           .otherwise(col("text")).as("text"))
     def grams(df: DataFrame): DataFrame = {
       val t = split(col("text"), "\\s+")
+      // array_distinct BEFORE explode: repetitious docs repeat grams, and
+      // every duplicate would probe the broadcast join for nothing —
+      // countDistinct downstream already makes duplicates semantically
+      // irrelevant, so dropping them map-side is free
       df.select(col("doc_id"),
-        explode(when(size(t) >= n,
+        explode(array_distinct(when(size(t) >= n,
           transform(sequence(lit(1), size(t) - (n - 1)),
             i => concat_ws(" ", slice(t, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+          .otherwise(array().cast("array<string>")))).as("gram"))
     }
     val benchGrams = grams(bench).select("gram").distinct()
     val hits = grams(corpus)
