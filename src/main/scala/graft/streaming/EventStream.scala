@@ -108,6 +108,33 @@ object EventStream {
         fresh.write.mode("append").parquet(storeDir)
       }
 
+  /** Streaming vector ingest into the persisted IVF index — the
+    * reference's accumulate-and-flush upsert loop (vector_db.py:79-106)
+    * pointed at the engine's OWN index instead of a remote server: every
+    * micro-batch runs the catalog-guarded [[graft.operators.IvfIndex.append]]
+    * (version auto-assigned from the catalog counter, reserved atomically
+    * per batch; empty batches are version-free no-ops), so the probe's
+    * last-writer-wins view advances once per batch and a stale
+    * [[graft.operators.GraphAnn]] graph fails fast instead of silently
+    * missing the new vectors. Single writer per index, exactly like
+    * [[dedupAgainstStore]]'s store contract — the catalog counter makes a
+    * second concurrent writer fail loudly on version reservation order
+    * rather than corrupt the layout.
+    *
+    * `vectors` needs (vec_id, embedding[, label]); the index must already
+    * exist ([[graft.operators.IvfIndex.build]] or `buildUnsupervised`) —
+    * appends route into the EXISTING centroid layout, the same contract as
+    * the batch append.
+    */
+  def vectorIngest(vectors: DataFrame, indexDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfIndex.append(batch.sparkSession, batch, indexDir)
+      }
+
   // --- stateful sessionization (custom keyed state) -----------------------
 
   /** Input row for [[sessionizeStream]]: one event with its microsecond

@@ -171,4 +171,45 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("id"), col("payload")).as[(Long, String)].collect().toMap
     assert(latest == Map(1L -> "v1", 2L -> "v0"))
   }
+
+  test("streaming vector ingest: micro-batches append into the IVF index, probes see them, graphs go stale") {
+    import spark.implicits._
+    import graft.operators.{GraphAnn, IvfIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_ingest").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft_vec_ckp").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+    GraphAnn.buildGraphs(spark, dir, m = 8, efConstruction = 32)
+    val versionsBefore = IvfIndex.readMeta(spark, dir).get.nextVersion
+
+    // stream two micro-batches: a NEW vector identical to vector 7 (must
+    // co-route and tie at score 1.0) and a re-ingest of id 3 (LWW)
+    val v7 = emb.filter(col("vec_id") === 7)
+      .select($"embedding", $"label").as[(Array[Float], Long)].head()
+    val input = MemoryStream[(Long, Array[Float], Long)]
+    input.addData(Seq((900001L, v7._1, v7._2)))
+    EventStream.vectorIngest(input.toDF().toDF("vec_id", "embedding", "label"), dir, ckp)
+      .start().awaitTermination()
+    input.addData(Seq((3L, v7._1, v7._2))) // id 3 re-ingested with vector 7's embedding
+    EventStream.vectorIngest(input.toDF().toDF("vec_id", "embedding", "label"), dir, ckp)
+      .start().awaitTermination()
+
+    // each non-empty micro-batch burned exactly one catalog version
+    assert(IvfIndex.readMeta(spark, dir).get.nextVersion == versionsBefore + 2)
+
+    // a probe with vector 7 as the query sees BOTH streamed rows at 1.0
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = IvfIndex.probe(spark, dir, q, k = 3, nprobe = 1)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toMap
+    assert(top.get(900001L).contains(1.0), s"streamed new vector must surface at cosine 1.0; got $top")
+    assert(top.get(3L).contains(1.0), s"re-ingested id 3 must rank by its NEW embedding; got $top")
+
+    // the secondary graph index knows it predates the stream
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.probeGraph(spark, dir, q, k = 3, nprobe = 1, ef = 8).collect()
+    }
+    assert(e.getMessage.contains("stale"))
+  }
 }
