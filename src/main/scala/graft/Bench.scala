@@ -15,16 +15,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default matches the target environment (local[32], shuffle
-    // partitions = cpu count — not 200); override via SPARK_GRAFT_CPUS
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = MainSupport.localSession("spark.sql.adaptive.enabled" -> "true")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -83,9 +74,7 @@ object Bench {
       else try {
         import graft.operators.{GraphAnn, IvfIndex, Pq}
         import org.apache.spark.sql.functions.col
-        def timed(f: => Unit): Double = {
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }
+        import MainSupport.timed
         def medOf(f: => Unit): Double = median(
           (1 to Samples).map { _ => val t = timed(f); spark.catalog.clearCache(); t })
         val emb      = Tables.embeddings(spark, sfDir)

@@ -33,14 +33,7 @@ object GenScale {
     val in     = args(0)
     val out    = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
-    val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = MainSupport.localSession("spark.sql.legacy.parquet.nanosAsLong" -> "true")
     run(spark, in, out, copies)
     spark.stop()
   }

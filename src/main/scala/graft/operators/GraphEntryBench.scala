@@ -28,13 +28,7 @@ object GraphEntryBench {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val efs   = args.drop(1).headOption.map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(8, 16, 32))
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.MainSupport.localSession()
 
     val emb = graft.Tables.embeddings(spark, sfDir)
     val indexDir = java.nio.file.Files.createTempDirectory("graft_entry_bench").toString

@@ -20,17 +20,8 @@ object NearDupScaleBench {
     val sfDir = args(0)
     val nlist = args(1).toInt
     val k     = if (args.length > 2) args(2).toInt else 100
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
+    val spark = graft.MainSupport.localSession()
+    import graft.MainSupport.timed
     val emb = graft.Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_scale").toString

@@ -116,10 +116,12 @@ object EventStream {
     * per batch; empty batches are version-free no-ops), so the probe's
     * last-writer-wins view advances once per batch and a stale
     * [[graft.operators.GraphAnn]] graph fails fast instead of silently
-    * missing the new vectors. Single writer per index, exactly like
-    * [[dedupAgainstStore]]'s store contract — the catalog counter makes a
-    * second concurrent writer fail loudly on version reservation order
-    * rather than corrupt the layout.
+    * missing the new vectors. SINGLE-WRITER CONTRACT, exactly like
+    * [[dedupAgainstStore]]'s store: the catalog's version reservation is a
+    * read-modify-write, not a compare-and-swap, so two concurrent writers
+    * on one index can both observe the same counter and stamp colliding
+    * versions — run one ingest stream per index; fan sources in by
+    * unioning them into that one stream.
     *
     * `vectors` needs (vec_id, embedding[, label]); the index must already
     * exist ([[graft.operators.IvfIndex.build]] or `buildUnsupervised`) —
