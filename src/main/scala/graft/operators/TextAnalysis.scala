@@ -469,6 +469,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q61_domain_mix — source re-weighting, the mixing step every
+    * multi-source training corpus runs (Pile-style domain weights; here
+    * the balance-to-smallest policy): per-source keep rates
+    * `rate_s = min_count / count_s` bring every source down to the
+    * smallest one's size IN EXPECTATION, decided per document by a
+    * DETERMINISTIC hash gate — `(doc_id * 2654435761) mod 2^20 < rate·2^20`
+    * — not an RNG, so the sample is reproducible, join-stable, and
+    * oracle-checkable. The smallest source passes whole (rate 1).
+    *
+    * The fixture's sources are perfectly balanced (every rate would be 1),
+    * so — the q15/q52 pattern — the query derives the imbalance every real
+    * corpus has first: a dominant `crawl` source (half the docs re-ingested
+    * under one source, the web-crawl shape) is unioned in, and the gate
+    * must downsample exactly it while passing every minority source whole.
+    *
+    * The plan is the 100 TB shape: one tiny per-source count aggregate
+    * broadcasts back, then the gate is a pure scan-local predicate — no
+    * shuffle of the corpus, no window, no sort (a row_number-based exact
+    * balance would sort every source; the hash gate trades exact counts
+    * for a shuffle-free plan, the right trade at corpus scale).
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val crawl = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit("crawl").as("source"))
+    val docs = base.unionByName(crawl)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val minN = counts.agg(min(col("ns"))).head().getLong(0)
+    val rates = counts.select(col("source"),
+      (lit(minN).cast("double") / col("ns")).as("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) <
+        floor(col("rate") * lit(1048576.0)).cast("long"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61OracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'crawl' AS source FROM documents WHERE doc_id % 2 = 0
+      |), n AS (
+      |  SELECT source, COUNT(*) AS ns FROM corpus GROUP BY source
+      |), r AS (
+      |  SELECT source, (SELECT MIN(ns) FROM n)::DOUBLE / ns AS rate FROM n
+      |)
+      |SELECT d.doc_id, d.source
+      |FROM corpus d JOIN r USING (source)
+      |WHERE (d.doc_id * 2654435761) % 1048576 < CAST(floor(rate * 1048576) AS BIGINT)
+      |ORDER BY d.doc_id""".stripMargin
+
   val q60OracleSql: String =
     """WITH snippet AS (
       |  SELECT array_to_string(list_slice(string_split_regex(lower(text), '\s+'), 1, 8), ' ') AS s

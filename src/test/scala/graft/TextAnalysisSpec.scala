@@ -37,6 +37,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     ), s"got $out")
   }
 
+  test("domain mix keeps minority sources whole and hash-gates the dominant one near its rate") {
+    import spark.implicits._
+    val out = TextAnalysis.domainMix(spark, TestSpark.Sf0001)
+      .as[(Long, String)].collect()
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val baseCounts = Tables.documents(spark, TestSpark.Sf0001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // every minority source passes WHOLE (rate exactly 1 — the gate
+    // `hash < floor(1.0 * 2^20)` admits every doc_id)
+    baseCounts.foreach { case (s, n) =>
+      assert(bySource.get(s).contains(n.toInt), s"minority source $s must be kept whole")
+    }
+    // the dominant crawl source lands near its expected rate (binomial
+    // around min/ns; the gate is deterministic, so this is a fixed number —
+    // the band just documents the intent, not flakiness)
+    val minN = baseCounts.values.min.toInt
+    val crawlKept = bySource.getOrElse("crawl", 0)
+    assert(crawlKept > 0 && crawlKept <= 2 * minN,
+      s"crawl must be downsampled toward $minN, got $crawlKept")
+    // determinism: the same call returns the same sample
+    val again = TextAnalysis.domainMix(spark, TestSpark.Sf0001).as[(Long, String)].collect()
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("declared q60 catches every derived plant; flag and count stay consistent") {
     import spark.implicits._
     val out = TextAnalysis.decontaminate(spark, TestSpark.Sf0001)
