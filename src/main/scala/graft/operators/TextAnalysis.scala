@@ -491,14 +491,20 @@ object TextAnalysis {
     * for a shuffle-free plan, the right trade at corpus scale).
     */
   def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val crawl = base.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), lit("crawl").as("source"))
     val docs = base.unionByName(crawl)
+    // ONE aggregate job: the per-source counts are source-cardinality
+    // (tiny by definition), so they come to the driver once and go back
+    // out as a literal broadcast table — leaving `counts` as a lazy plan
+    // would recompute the corpus aggregate on the join's build side
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val minN = counts.agg(min(col("ns"))).head().getLong(0)
-    val rates = counts.select(col("source"),
-      (lit(minN).cast("double") / col("ns")).as("rate"))
+      .as[(String, Long)].collect()
+    val minN = counts.map(_._2).min
+    val rates = counts.toSeq
+      .map { case (s, ns) => (s, minN.toDouble / ns) }.toDF("source", "rate")
     docs.join(broadcast(rates), Seq("source"))
       .filter(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) <
         floor(col("rate") * lit(1048576.0)).cast("long"))

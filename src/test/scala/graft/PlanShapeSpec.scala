@@ -116,6 +116,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the ORDER BY may exchange — the codec work is per-partition;\n$p")
   }
 
+  test("q61 domain mix: rates broadcast, gate scan-local — no corpus shuffle, no window") {
+    val p = plan(graft.operators.TextAnalysis.domainMix(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the source-cardinality rate table must broadcast;\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for a rate lookup;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the hash gate replaces any window-based exact balance;\n$p")
+  }
+
   test("q59 cross-modal search broadcasts the text-derived queries; the corpus never shuffles") {
     val p = plan(graft.operators.Embed.crossModalSearch(spark, TestSpark.Sf0001))
     assert(p.contains("BroadcastNestedLoopJoin"),
