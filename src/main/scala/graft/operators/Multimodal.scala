@@ -99,6 +99,53 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(path: String, width: Long, height: Long, png: Array[Byte])
+
+  /** Real image RESIZE on real decoded images: PNG (or any ImageIO format)
+    * → decode → nearest-neighbor resample in pixel space (every band) →
+    * re-encode as PNG. This is [[pixelResize]]'s ⌊x·srcW/w⌋ arithmetic
+    * applied to an ACTUAL decoded raster instead of a byte-rendered frame
+    * — the preprocessing resize a training pipeline runs on stored images
+    * (reference: vector_db.py:31-40 reshape/normalize;
+    * text_img.py:32 `Image.open(...).convert("RGB")`). Same partition
+    * socket as [[decodeImages]]: one codec init per partition, one image
+    * in memory at a time; output is a storable PNG column.
+    */
+  def resizeDecoded(images: org.apache.spark.sql.Dataset[ImageFile],
+                    w: Int, h: Int): org.apache.spark.sql.Dataset[ResizedImage] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc: org.apache.spark.sql.Encoder[ResizedImage] = Encoders.product[ResizedImage]
+    images.mapPartitions { files =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      files.map { f =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
+        require(src != null, s"undecodable image payload at ${f.path}")
+        val (sw, sh) = (src.getWidth, src.getHeight)
+        val out = new java.awt.image.BufferedImage(w, h, src.getType match {
+          case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB // custom type: normalize
+          case t => t
+        })
+        val sr = src.getRaster; val or = out.getRaster
+        val bands = math.min(sr.getNumBands, or.getNumBands)
+        var y = 0
+        while (y < h) {
+          val sy = y * sh / h
+          var x = 0
+          while (x < w) {
+            val sx = x * sw / w
+            var b = 0
+            while (b < bands) { or.setSample(x, y, b, sr.getSample(sx, sy, b)); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        ResizedImage(f.path, w.toLong, h.toLong, baos.toByteArray)
+      }
+    }
+  }
+
   /** The reference's full payload path: base64 string column → PNG bytes →
     * decoded metadata (reference: vector_db.py:67-72 encode,
     * vector_db_query.py:87-88 decode). `unbase64` is a codegen'd built-in;

@@ -138,6 +138,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeDecoded resamples ACTUAL decoded PNGs: known pixels land at floor-index positions") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // one 4x4 grayscale PNG with pixel (x,y) = 16y + x — downsample to 2x2
+    // keeps (0,0),(2,0),(0,2),(2,2) = 0, 2, 32, 34
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4) img.getRaster.setSample(x, y, 0, 16 * y + x)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val files = Seq(Multimodal.ImageFile("mem://a.png", baos.toByteArray)).toDS()
+
+    val out = Multimodal.resizeDecoded(files, w = 2, h = 2).head()
+    assert(out.width == 2L && out.height == 2L)
+    // decode the emitted PNG and read the resampled pixels back
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.png))
+    assert(dec.getWidth == 2 && dec.getHeight == 2)
+    val got = for (y <- 0 until 2; x <- 0 until 2) yield dec.getRaster.getSample(x, y, 0)
+    assert(got == Seq(0, 2, 32, 34), s"got $got")
+
+    // upsample path: 2x2 -> 4x4 repeats each source pixel in a 2x2 block
+    val up = Multimodal.resizeDecoded(files, w = 8, h = 8).head()
+    val dec8 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up.png))
+    assert(dec8.getRaster.getSample(1, 1, 0) == 0 && dec8.getRaster.getSample(7, 7, 0) == 51)
+  }
+
   test("pixelResize is REAL nearest-neighbor resampling through the PNG codec") {
     import spark.implicits._
     // integer scale: 4x4 frame of bytes 0..15 halved to 2x2 keeps pixels
