@@ -43,4 +43,30 @@ class PipelineSpec extends AnyFunSuite {
       .select($"qid", $"vec_id", $"score").as[(Long, Long, Double)].collect()
     assert(self.forall { case (q, v, s) => q == v && s == 1.0 })
   }
+
+  test("cross-modal through the index: text-derived queries probe the image-modality index") {
+    import spark.implicits._
+    // the reference's text_img.py story END-TO-END on engine machinery:
+    // the IMAGE corpus (fixture embeddings) is indexed once; TEXT queries
+    // go through the embedColumn tower into the shared space and probe it
+    val corpus = Tables.embeddings(spark, TestSpark.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_xmodal_idx").toString
+    IvfIndex.build(spark, corpus, dir)
+
+    val dim = 64 // the fixtures' embedding dim (same pin as q59 vs its oracle)
+    val queries = Embed.embedColumn[String](
+      Tables.documents(spark, TestSpark.Sf0001).filter(col("doc_id") < 5)
+        .select(col("doc_id"), col("text")),
+      "text", "qvec", Embed.md5CountEncoder(dim))
+      .select(col("doc_id").as("qid"), col("qvec"))
+
+    // probing EVERY list must reproduce q59's exact search on (qid, vec_id)
+    val nlist = spark.read.parquet(IvfIndex.centroidsPath(dir)).count().toInt
+    val viaIndex = IvfIndex.probe(spark, dir, queries, k = 5, nprobe = nlist)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = Embed.crossModalSearch(spark, TestSpark.Sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex == exact && exact.size == 25,
+      s"index-backed cross-modal search must agree with the declared exact q59; idx=$viaIndex exact=$exact")
+  }
 }
