@@ -54,6 +54,13 @@ object DedupExtras {
     // 8-overlapping-windows-of-one-md5 form was cheaper but its members
     // were correlated, weakening the banding's recall guarantee
     // (VERDICT r2 item 8).
+    // Shape note (measured, round 5): explode + groupBy(doc_id) LOOKS like
+    // it shuffles the whole shingle stream, but HashAggregate's map-side
+    // partial min means the shuffle carries only (doc_id, 8 partial mins)
+    // per map partition — already scale-bounded. The tempting HOF
+    // alternative (array_min over transform, zero shuffle) measured 2×
+    // SLOWER at sf0.1 because higher-order lambdas evaluate interpreted
+    // while this explode/aggregate pipeline is whole-stage codegen'd.
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"sig$i"))
