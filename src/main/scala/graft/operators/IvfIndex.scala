@@ -606,4 +606,30 @@ object IvfIndex {
 
   /** q38's oracle with the routing rank widened to the two nearest lists. */
   val q53OracleSql: String = probeOracleSql(nprobe = 2, filtered = false)
+
+  /** DESCRIBE the persisted collection — the engine's `get_collection`
+    * introspection surface (reference: the qdrant client's collection
+    * metadata the scripts consult via `collection_exists`,
+    * vector_db.py:20): one row per list with the LIVE (last-writer-wins)
+    * point count and raw stored row count, the catalog fields repeated on
+    * every row for single-result-set consumption. `stored_rows >
+    * live_points` quantifies compaction debt ([[compact]] resets it).
+    * Works on pre-catalog layouts (catalog columns null).
+    */
+  def describe(spark: SparkSession, indexDir: String): DataFrame = {
+    val raw = spark.read.parquet(pointsPath(indexDir))
+    val stored = raw.groupBy(col("list_id")).agg(count(lit(1)).as("stored_rows"))
+    val live = latestPoints(raw).groupBy(col("list_id")).agg(count(lit(1)).as("live_points"))
+    val meta = readMeta(spark, indexDir)
+    stored.join(live, Seq("list_id"), "outer")
+      .select(
+        col("list_id"),
+        coalesce(col("live_points"), lit(0L)).as("live_points"),
+        coalesce(col("stored_rows"), lit(0L)).as("stored_rows"),
+        lit(meta.map(m => Int.box(m.dim)).orNull).cast("int").as("dim"),
+        lit(meta.map(_.metric).orNull).cast("string").as("metric"),
+        lit(meta.map(m => Long.box(m.nlist)).orNull).cast("long").as("nlist"),
+        lit(meta.map(m => Long.box(m.nextVersion)).orNull).cast("long").as("next_version"))
+      .orderBy(col("list_id"))
+  }
 }

@@ -130,6 +130,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(compacted.filter(col("vec_id") === 0).head().getAs[Long]("version") == 1L)
   }
 
+  test("describe reports live vs stored counts, catalog fields, and compaction debt") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_describe").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+    val n = emb.count()
+
+    val d0 = IvfIndex.describe(spark, dir)
+    assert(d0.columns.toSeq ==
+      Seq("list_id", "live_points", "stored_rows", "dim", "metric", "nlist", "next_version"))
+    val t0 = d0.agg(sum("live_points"), sum("stored_rows")).head()
+    assert(t0.getLong(0) == n && t0.getLong(1) == n, "fresh build: live == stored == corpus")
+    val meta0 = d0.select("dim", "metric", "nlist", "next_version").distinct().head()
+    assert(meta0.getInt(0) == 64 && meta0.getString(1) == "cosine" && meta0.getLong(3) == 1L)
+
+    // a re-upsert creates compaction debt visible in describe
+    IvfIndex.append(spark, emb.filter(col("vec_id") === 0), dir)
+    val d1 = IvfIndex.describe(spark, dir)
+    val t1 = d1.agg(sum("live_points"), sum("stored_rows")).head()
+    assert(t1.getLong(0) == n && t1.getLong(1) == n + 1,
+      "one superseded row: live unchanged, stored +1")
+    assert(d1.select("next_version").head().getLong(0) == 2L, "append advanced the catalog")
+
+    // compact pays the debt down
+    IvfIndex.compact(spark, dir)
+    val t2 = IvfIndex.describe(spark, dir).agg(sum("live_points"), sum("stored_rows")).head()
+    assert(t2.getLong(0) == n && t2.getLong(1) == n)
+  }
+
   test("probing ALL lists equals exact brute-force k-NN (completeness)") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
