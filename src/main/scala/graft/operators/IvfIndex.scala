@@ -618,14 +618,22 @@ object IvfIndex {
     */
   def describe(spark: SparkSession, indexDir: String): DataFrame = {
     val raw = spark.read.parquet(pointsPath(indexDir))
-    val stored = raw.groupBy(col("list_id")).agg(count(lit(1)).as("stored_rows"))
-    val live = latestPoints(raw).groupBy(col("list_id")).agg(count(lit(1)).as("live_points"))
+    // ONE scan, one window, no join: the LWW window already visits every
+    // row, so live (rn == 1) and stored counts fall out of the same pass
+    val versioned =
+      if (raw.columns.contains("version")) raw else raw.withColumn("version", lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("version").desc)
     val meta = readMeta(spark, indexDir)
-    stored.join(live, Seq("list_id"), "outer")
+    versioned
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("list_id"))
+      .agg(count(when(col("rn") === 1, lit(1))).as("live_points"),
+        count(lit(1)).as("stored_rows"))
       .select(
         col("list_id"),
-        coalesce(col("live_points"), lit(0L)).as("live_points"),
-        coalesce(col("stored_rows"), lit(0L)).as("stored_rows"),
+        col("live_points"),
+        col("stored_rows"),
         lit(meta.map(m => Int.box(m.dim)).orNull).cast("int").as("dim"),
         lit(meta.map(_.metric).orNull).cast("string").as("metric"),
         lit(meta.map(m => Long.box(m.nlist)).orNull).cast("long").as("nlist"),

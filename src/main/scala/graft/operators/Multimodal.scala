@@ -71,6 +71,17 @@ object Multimodal {
     *
     * Input is the `binaryFile` source's shape (S7): (path, content).
     */
+  /** ONE definition of the decode contract shared by [[decodeImages]] and
+    * [[resizeDecoded]]: in-memory stream, fail-fast on undecodable bytes.
+    * Callers must have run `ImageIO.setUseCache(false)` once per
+    * partition.
+    */
+  private def decodeOne(f: ImageFile): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
+    require(img != null, s"undecodable image payload at ${f.path}")
+    img
+  }
+
   def decodeImages(images: org.apache.spark.sql.Dataset[ImageFile]): org.apache.spark.sql.Dataset[ImageMeta] = {
     import org.apache.spark.sql.Encoders
     implicit val enc: org.apache.spark.sql.Encoder[ImageMeta] = Encoders.product[ImageMeta]
@@ -79,8 +90,7 @@ object Multimodal {
       // are in-memory byte arrays
       javax.imageio.ImageIO.setUseCache(false)
       files.map { f =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
-        require(img != null, s"undecodable image payload at ${f.path}")
+        val img = decodeOne(f)
         val raster = img.getRaster
         val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
         var sum = 0.0
@@ -110,29 +120,47 @@ object Multimodal {
     * text_img.py:32 `Image.open(...).convert("RGB")`). Same partition
     * socket as [[decodeImages]]: one codec init per partition, one image
     * in memory at a time; output is a storable PNG column.
+    *
+    * Color handling: 8-bit gray and direct-color RGB rasters are resampled
+    * with their sample values untouched; anything else (palette-indexed,
+    * gray+alpha, 16-bit, CMYK — types whose RAW samples are not pixel
+    * values) is first converted THROUGH ITS COLOR MODEL onto an RGB canvas
+    * (the `convert("RGB")` step the reference performs, text_img.py:32),
+    * so palette indices are never copied into a foreign palette and 16-bit
+    * samples are never masked.
     */
   def resizeDecoded(images: org.apache.spark.sql.Dataset[ImageFile],
                     w: Int, h: Int): org.apache.spark.sql.Dataset[ResizedImage] = {
+    import java.awt.image.BufferedImage
     import org.apache.spark.sql.Encoders
     implicit val enc: org.apache.spark.sql.Encoder[ResizedImage] = Encoders.product[ResizedImage]
     images.mapPartitions { files =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       files.map { f =>
-        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
-        require(src != null, s"undecodable image payload at ${f.path}")
+        val decoded = decodeOne(f)
+        // canonicalize: raw samples are only meaningful pixel values for
+        // 8-bit gray / direct-color types; everything else goes through
+        // the color model once (drawImage applies palette + color space)
+        val src = decoded.getType match {
+          case BufferedImage.TYPE_BYTE_GRAY | BufferedImage.TYPE_INT_RGB |
+               BufferedImage.TYPE_3BYTE_BGR | BufferedImage.TYPE_INT_BGR => decoded
+          case _ =>
+            val c = new BufferedImage(decoded.getWidth, decoded.getHeight,
+              BufferedImage.TYPE_INT_RGB)
+            val g = c.createGraphics()
+            try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+            c
+        }
         val (sw, sh) = (src.getWidth, src.getHeight)
-        val out = new java.awt.image.BufferedImage(w, h, src.getType match {
-          case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB // custom type: normalize
-          case t => t
-        })
+        val out = new BufferedImage(w, h, src.getType)
         val sr = src.getRaster; val or = out.getRaster
-        val bands = math.min(sr.getNumBands, or.getNumBands)
+        val bands = sr.getNumBands // == out's: same type by construction
         var y = 0
         while (y < h) {
-          val sy = y * sh / h
+          val sy = (y.toLong * sh / h).toInt // long math: huge strips cannot overflow
           var x = 0
           while (x < w) {
-            val sx = x * sw / w
+            val sx = (x.toLong * sw / w).toInt
             var b = 0
             while (b < bands) { or.setSample(x, y, b, sr.getSample(sx, sy, b)); b += 1 }
             x += 1
@@ -316,10 +344,10 @@ object Multimodal {
           val out = new Array[Byte](w * h)
           var oy = 0
           while (oy < h) {
-            val sy = oy * srcH / h
+            val sy = (oy.toLong * srcH / h).toInt // long math, as resizeDecoded
             var ox = 0
             while (ox < w) {
-              out(oy * w + ox) = src.getSample(ox * srcW / w, sy, 0).toByte
+              out(oy * w + ox) = src.getSample((ox.toLong * srcW / w).toInt, sy, 0).toByte
               ox += 1
             }
             oy += 1

@@ -157,10 +157,27 @@ class MultimodalSpec extends AnyFunSuite {
     val got = for (y <- 0 until 2; x <- 0 until 2) yield dec.getRaster.getSample(x, y, 0)
     assert(got == Seq(0, 2, 32, 34), s"got $got")
 
-    // upsample path: 2x2 -> 4x4 repeats each source pixel in a 2x2 block
+    // upsample path: 4x4 -> 8x8 repeats each source pixel in a 2x2 block
     val up = Multimodal.resizeDecoded(files, w = 8, h = 8).head()
     val dec8 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up.png))
     assert(dec8.getRaster.getSample(1, 1, 0) == 0 && dec8.getRaster.getSample(7, 7, 0) == 51)
+
+    // palette-indexed PNG: raw samples are palette INDICES, not colors —
+    // the canonicalization must convert through the color model, so the
+    // resized image carries the palette's COLORS, not re-mapped indices
+    val pal = new java.awt.image.IndexColorModel(8, 2,
+      Array[Byte](10, 200.toByte), Array[Byte](20, 100), Array[Byte](30, 50))
+    val idx = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_INDEXED, pal)
+    for (y <- 0 until 4; x <- 0 until 4) idx.getRaster.setSample(x, y, 0, (x + y) % 2)
+    val pbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(idx, "png", pbaos)
+    val pres = Multimodal.resizeDecoded(
+      Seq(Multimodal.ImageFile("mem://pal.png", pbaos.toByteArray)).toDS(), w = 2, h = 2).head()
+    val pdec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pres.png))
+    // out(0,0) = src(0,0) = palette entry 0 = RGB(10,20,30); out(1,0) = src(2,0) = entry 0 too;
+    // out(0,1) = src(0,2) = entry 0; src(1,1)-style odd positions never sampled at stride 2
+    assert((pdec.getRGB(0, 0) & 0xffffff) == ((10 << 16) | (20 << 8) | 30),
+      f"palette colors must survive the resize, got ${pdec.getRGB(0, 0)}%08x")
   }
 
   test("pixelResize is REAL nearest-neighbor resampling through the PNG codec") {
