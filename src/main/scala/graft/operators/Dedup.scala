@@ -95,6 +95,27 @@ object Dedup {
     nearDupPairsViaIndex(spark, indexDir, k = 100)
   }
 
+  /** q62_scaled_neardup — the SCALE-READY embedding near-dup path under the
+    * oracle (VERDICT r5 item 1): the same [[nearDupPairsViaIndex]] ranking
+    * q56 declares, but over [[IvfIndex.buildSignBit]] — a sign-bit coarse
+    * quantizer whose nlist = 2^b grows with the corpus (b derived from the
+    * row count, ~200 rows/list at every scale), so the within-list pair
+    * budget Σ|list|² is LINEAR in n instead of q56's fixed-nlist quadratic.
+    * The quantizer is pure arithmetic (bit i of list_id = [embedding(i) >
+    * 0]) — DuckDB recomputes the assignment exactly, which is what puts the
+    * TRUE 100 TB dedup shape under the hard hash signal where q56's
+    * label build (the oracle-friendly floor) and `buildUnsupervised`'s
+    * KMeans (scale-safe but not externally recomputable) could not.
+    * Measured scaling lives in BASELINE.md; q56 stays as the label-blocked
+    * sibling, q10 as the exact within-block verifier.
+    */
+  def scaledNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_signbit").toString
+    IvfIndex.buildSignBit(spark, emb, indexDir)
+    nearDupPairsViaIndex(spark, indexDir, k = 100)
+  }
+
   val q10OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -120,6 +141,42 @@ object Dedup {
     */
   val q56OracleSql: String =
     s"""${IvfIndex.oracleAsgCtes}, pts AS (
+       |  SELECT e.vec_id, e.label, e.v, a.list_id
+       |  FROM e JOIN asg a ON a.vec_id = e.vec_id
+       |), pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CASE WHEN a.label = b.label THEN CAST(a.label AS BIGINT) END AS label,
+       |         ${IvfIndex.cosSql("a.v", "b.v")} AS score
+       |  FROM pts a JOIN pts b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |)
+       |SELECT a_id, b_id, label, score
+       |FROM pairs
+       |ORDER BY score DESC, a_id, b_id
+       |LIMIT 100""".stripMargin
+
+  /** q56's presentation over the SIGN-BIT assignment: `b` is recomputed
+    * from the corpus count with the same integer-only formula as
+    * [[IvfIndex.buildSignBit]] (bit_length via DuckDB `bin()`, no float
+    * log), `list_id` by the same bit arithmetic — so the oracle and the
+    * persisted layout agree on every list boundary, at every corpus size.
+    */
+  val q62OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), nb AS (
+       |  SELECT LEAST(CASE WHEN (COUNT(*) - 1) // 200 = 0 THEN 0
+       |               ELSE length(bin((COUNT(*) - 1) // 200)) END,
+       |               MIN(len(v))) AS b
+       |  FROM e
+       |), asg AS (
+       |  SELECT vec_id,
+       |         CAST(COALESCE(list_aggregate(list_transform(range(0, nb.b),
+       |                i -> CASE WHEN v[CAST(i + 1 AS INT)] > 0
+       |                          THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |                          ELSE CAST(0 AS BIGINT) END),
+       |              'sum'), 0) AS BIGINT) AS list_id
+       |  FROM e CROSS JOIN nb
+       |), pts AS (
        |  SELECT e.vec_id, e.label, e.v, a.list_id
        |  FROM e JOIN asg a ON a.vec_id = e.vec_id
        |), pairs AS (

@@ -154,20 +154,95 @@ object IvfIndex {
     assigned
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
-    // catalog entry LAST, derived from the just-written centroid table
-    // (tiny: nlist rows, one read + one job — collecting the in-memory
-    // `centroids` plan would re-run the full corpus aggregation instead).
-    // Ordering is fail-safe: a crashed build leaves a layout with NO
-    // catalog ("pre-catalog" error on append), never a catalog that
-    // claims a build that didn't finish.
-    val spark = emb.sparkSession
-    val dims  = spark.read.parquet(centroidsPath(indexDir))
+    writeCatalogFromCentroids(emb.sparkSession, indexDir)
+  }
+
+  /** Catalog entry LAST, derived from the just-written centroid table
+    * (tiny: nlist rows, one read + one job — collecting an in-memory
+    * centroid plan would re-run the full corpus aggregation instead).
+    * Ordering is fail-safe: a crashed build leaves a layout with NO
+    * catalog ("pre-catalog" error on append), never a catalog that
+    * claims a build that didn't finish. Shared by every build variant.
+    */
+  private def writeCatalogFromCentroids(spark: SparkSession, indexDir: String): Unit = {
+    val dims = spark.read.parquet(centroidsPath(indexDir))
       .select(size(col("centroid"))).collect()
     // per-build nonce (wall clock ^ nanotime): distinguishes a rebuild
     // from "the same build, untouched" for secondary-artifact pinning
     val buildId = System.currentTimeMillis() ^ (System.nanoTime() << 20)
     writeMeta(spark, indexDir,
       IndexMeta(dims.head.getInt(0), "cosine", dims.length.toLong, nextVersion = 1L, buildId))
+  }
+
+  /** Build the index with a SIGN-BIT coarse quantizer — the
+    * oracle-expressible scaled-nlist build (VERDICT r5 item 1): `list_id`
+    * = the `b` sign bits of dims 0..b-1 (bit i set iff embedding(i) > 0),
+    * with `b` derived from the corpus size so per-list occupancy stays
+    * near `targetListRows`. nlist = 2^b grows WITH the corpus, which is
+    * the property that keeps the index-blocked near-dup pair budget
+    * Σ|list|² linear in n (each list holds ~targetListRows rows at every
+    * scale) — the fixed-nlist label build makes it quadratic
+    * (BASELINE.md "q56's nlist knob": 727 s vs 18.2 s at sf10).
+    *
+    * This is random-hyperplane LSH (the SimHash family, Charikar 2002)
+    * with axis-aligned hyperplanes over the first b dims — PURE
+    * ARITHMETIC, no trained model, so an external engine recomputes the
+    * assignment exactly (q62's DuckDB oracle does), unlike
+    * [[buildUnsupervised]]'s MLlib KMeans centroids which exist only
+    * inside this JVM. The reference anchor is the same cosine space
+    * every near-dup variant ranks in (vector_db.py:23).
+    *
+    * `b = bit_length(⌊(n-1)/targetListRows⌋)` — the smallest b with
+    * 2^b·targetListRows ≥ n, integer arithmetic only, so the engine and
+    * the oracle cannot disagree on a float log edge case (n ≤
+    * targetListRows ⇒ b = 0 ⇒ one list, the all-pairs floor).
+    *
+    * The layout is a full index citizen: points `partitionBy(list_id)`,
+    * per-orthant mean centroids (so [[probe]]/[[describe]]/[[append]]
+    * keep working — appends route by nearest centroid, the orthant mean
+    * for a sign-bit build), catalog entry last. Sign patterns with no
+    * vectors simply have no partition. Returns b.
+    */
+  /** The code width `b` of [[buildSignBit]]: the smallest b with
+    * 2^b · targetListRows ≥ n — `bit_length(⌊(n-1)/targetListRows⌋)`,
+    * integer arithmetic only (the oracle mirrors it via DuckDB `bin()`).
+    */
+  private[graft] def signBitWidth(n: Long, targetListRows: Int): Int = {
+    val t = if (n <= 1) 0L else (n - 1) / targetListRows
+    64 - java.lang.Long.numberOfLeadingZeros(t) // bit_length; 0 when t == 0
+  }
+
+  def buildSignBit(spark: SparkSession, emb: DataFrame, indexDir: String,
+                   targetListRows: Int = 200): Int = {
+    GraftFunctions.ensureRegistered(spark)
+    // count and dim in ONE pass; b caps at dim — there are only 2^dim
+    // orthants, and reading sign bit `i >= dim` would be an out-of-bounds
+    // array access (an error under ANSI mode, not a null)
+    val stats = emb.agg(count(lit(1)), min(size(col("embedding")))).head()
+    val b = math.min(signBitWidth(stats.getLong(0), targetListRows), stats.getInt(1))
+    val listExpr =
+      if (b == 0) lit(0L)
+      else (0 until b).map(i =>
+        when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val labelCol = if (emb.columns.contains("label")) col("label") else lit(-1)
+    emb
+      .select(labelCol.as("label"), col("vec_id"), col("embedding"),
+        lit(0L).as("version"), listExpr.as("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
+    // per-list (orthant) mean centroids, computed FROM the persisted layout
+    // — one scan of what was just written, same rounding as centroidsOf
+    spark.read.parquet(pointsPath(indexDir))
+      .select(col("list_id").as("label"), posexplode(toDouble(col("embedding"))))
+      .toDF("label", "pos", "x")
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("a"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("a")))), s => round(s.getField("a"), 6))
+        .as("centroid"))
+      .write.mode("overwrite").parquet(centroidsPath(indexDir))
+    writeCatalogFromCentroids(spark, indexDir)
+    b
   }
 
   /** Build the index on an UNLABELED corpus: the coarse quantizer is

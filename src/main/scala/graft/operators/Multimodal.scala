@@ -384,10 +384,11 @@ object Multimodal {
     """SELECT doc_id,
       |       CAST(8 AS BIGINT) AS width,
       |       CAST(4 AS BIGINT) AS height,
-      |       array_to_string(list_transform(range(0, 32),
-      |         i -> substring(text,
-      |                CAST((((i // 8) * 7 // 4) * 13 + ((i % 8) * 13 // 8)) % len(text) + 1 AS INT),
-      |                1)), '') AS resized
+      |       CASE WHEN len(text) = 0 THEN ''
+      |            ELSE array_to_string(list_transform(range(0, 32),
+      |              i -> substring(text,
+      |                     CAST((((i // 8) * 7 // 4) * 13 + ((i % 8) * 13 // 8)) % len(text) + 1 AS INT),
+      |                     1)), '') END AS resized
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Oracle replicates the stub arithmetic in SQL (fixture text is ASCII,

@@ -59,19 +59,27 @@ object Pq {
     val subDim = dim / m
 
     val unit0 = emb.select(normalize(toDouble(col("embedding"))).as("u"))
-    val unit  = if (trainFraction < 1.0) unit0.sample(withReplacement = false, trainFraction, seed) else unit0
-    // deterministic for a fixed layout: seeded sample, then first
-    // maxTrainRows rows in scan order
+    // When trainFraction alone would select more than maxTrainRows rows,
+    // TIGHTEN THE FRACTION instead of limit()-truncating in scan order: a
+    // corpus ordered by label/cluster would otherwise train on a biased
+    // prefix (ADVICE r5). The 5% margin keeps the expected draw near the
+    // cap; the limit() below stays only as the hard bound on the driver's
+    // bill. One extra count() job — training is the offline step, and the
+    // sample stays seeded-deterministic for a fixed layout.
+    val n = emb.count()
+    val expected = n * trainFraction
+    val f =
+      if (expected > maxTrainRows) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"PQ training set capped at ~maxTrainRows=$maxTrainRows rows via a seeded sample " +
+            s"(trainFraction=$trainFraction over $n rows selected more); raise maxTrainRows for a larger sample")
+        math.min(1.0, trainFraction * maxTrainRows * 1.05 / expected)
+      } else trainFraction
+    val unit = if (f < 1.0) unit0.sample(withReplacement = false, f, seed) else unit0
     val sample: Array[Array[Double]] =
       unit.limit(maxTrainRows).as[Seq[Double]].collect().map(_.toArray)
     require(sample.length >= k,
       s"PQ training needs at least k=$k sampled vectors, got ${sample.length}")
-    if (sample.length == maxTrainRows)
-      // visible, not silent: trainFraction alone no longer describes the
-      // effective training set once the row cap engages
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"PQ training set capped at maxTrainRows=$maxTrainRows rows " +
-          s"(trainFraction=$trainFraction selected more); raise maxTrainRows for a larger sample")
     val centers = Array.tabulate(m)(j => lloyd(sample, j * subDim, subDim, k, seed + j))
     Codebooks(m, k, subDim, centers)
   }

@@ -493,8 +493,12 @@ object TextAnalysis {
   def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    // derived-crawl ids offset by max(doc_id)+1, not a fixed literal: a
+    // corpus with ids >= the literal would silently collide with the union
+    // (ADVICE r5). One tiny max aggregate; the oracle mirrors it.
+    val offset = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val crawl = base.filter(col("doc_id") % 2 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), lit("crawl").as("source"))
+      .select((col("doc_id") + offset).as("doc_id"), lit("crawl").as("source"))
     val docs = base.unionByName(crawl)
     // ONE aggregate job: the per-source counts are source-cardinality
     // (tiny by definition), so they come to the driver once and go back
@@ -516,7 +520,8 @@ object TextAnalysis {
     """WITH corpus AS (
       |  SELECT doc_id, source FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'crawl' AS source FROM documents WHERE doc_id % 2 = 0
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), 'crawl' AS source
+      |  FROM documents WHERE doc_id % 2 = 0
       |), n AS (
       |  SELECT source, COUNT(*) AS ns FROM corpus GROUP BY source
       |), r AS (

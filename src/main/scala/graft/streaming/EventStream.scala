@@ -123,6 +123,16 @@ object EventStream {
     * versions — run one ingest stream per index; fan sources in by
     * unioning them into that one stream.
     *
+    * DELIVERY IS AT-LEAST-ONCE (ADVICE r5): foreachBatch commits the
+    * checkpoint AFTER the batch body, so a crash between
+    * [[graft.operators.IvfIndex.append]] and the commit replays the batch
+    * on restart, appending the same vectors again under a NEW version.
+    * Probe results stay correct — [[graft.operators.IvfIndex.latestPoints]]
+    * is last-writer-wins per vec_id — but `stored_rows` (compaction debt in
+    * [[graft.operators.IvfIndex.describe]]) and the version counter inflate
+    * by the replayed batch until a [[graft.operators.IvfIndex.compact]]
+    * (or [[graft.operators.IvfIndex.maintain]]) pass rewrites the layout.
+    *
     * `vectors` needs (vec_id, embedding[, label]); the index must already
     * exist ([[graft.operators.IvfIndex.build]] or `buildUnsupervised`) —
     * appends route into the EXISTING centroid layout, the same contract as

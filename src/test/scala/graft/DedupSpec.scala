@@ -93,4 +93,44 @@ class DedupSpec extends AnyFunSuite {
     assert(top == Set((1L, 2L, None), (3L, 4L, Some(30L))),
       s"cross-label pair must carry null, same-label pair its common label; got $top")
   }
+
+  test("sign-bit scaled near-dup: pair budget grows linearly with the corpus, planted dups co-bucket") {
+    import spark.implicits._
+    val dim = 16
+    def corpus(n: Int, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+    }
+    def pairBudget(dir: String): Long = spark.read.parquet(IvfIndex.pointsPath(dir))
+      .groupBy("list_id").count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+      .head().getLong(0)
+
+    // 4x the data: the scaled quantizer adds 2 sign bits (4x the lists),
+    // holding per-list occupancy ~constant — pair budget grows ~4x where a
+    // FIXED-nlist blocking would grow 16x (that gap is q56 vs q62 at 100 TB)
+    val dS = java.nio.file.Files.createTempDirectory("graft_sb_s").toString
+    val dB = java.nio.file.Files.createTempDirectory("graft_sb_b").toString
+    IvfIndex.buildSignBit(spark, corpus(1600, 1), dS)
+    IvfIndex.buildSignBit(spark, corpus(6400, 1), dB)
+    val (bs, bb) = (pairBudget(dS), pairBudget(dB))
+    info(f"pair budget: n=1600 -> $bs, n=6400 -> $bb (x${bb.toDouble / bs}%.1f; quadratic would be x16)")
+    assert(bb.toDouble / bs < 8.0,
+      s"4x data must grow the pair budget ~4x under the scaled quantizer, got ${bb.toDouble / bs}")
+
+    // planted near-dups: clones nudged on the LAST dim — never a sign dim
+    // at this corpus size — MUST share all sign bits and surface on top
+    val base = corpus(500, 2)
+    val dups = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === dim - 1, x + 0.01f).otherwise(x)).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sb_planted").toString
+    IvfIndex.buildSignBit(spark, base.unionByName(dups), dir)
+    val top = Dedup.nearDupPairsViaIndex(spark, dir, k = 30)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(top.count { case (a, b) => b == a + 1000L } == 30,
+      s"all 30 planted pairs must co-bucket under sign bits and dominate the top-30; got ${top.toSeq}")
+  }
 }

@@ -295,4 +295,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(n2.select("probe_list").distinct().count() >= n1.select("probe_list").distinct().count())
     assert(n2.count() >= n1.count())
   }
+
+  test("sign-bit build: width formula boundaries, exact assignment, probe-compatible layout") {
+    // b = bit_length(⌊(n-1)/target⌋): smallest b with 2^b·target >= n —
+    // the integer-exact boundaries the q62 oracle mirrors via bin()
+    assert(IvfIndex.signBitWidth(0, 200) == 0)
+    assert(IvfIndex.signBitWidth(200, 200) == 0)
+    assert(IvfIndex.signBitWidth(201, 200) == 1)
+    assert(IvfIndex.signBitWidth(400, 200) == 1)
+    assert(IvfIndex.signBitWidth(401, 200) == 2)
+    assert(IvfIndex.signBitWidth(25600, 200) == 7)
+    assert(IvfIndex.signBitWidth(25601, 200) == 8)
+
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_signbit_spec").toString
+    val b = IvfIndex.buildSignBit(spark, emb, dir)
+    assert(b == IvfIndex.signBitWidth(emb.count(), 200))
+
+    // every persisted list_id is exactly the point's sign-bit code
+    val pts = spark.read.parquet(IvfIndex.pointsPath(dir))
+    val code = (0 until b).map(i =>
+      when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    assert(pts.filter(col("list_id") =!= code).count() == 0)
+    assert(pts.count() == emb.count())
+
+    // full index citizen: catalog, describe, and probes work against it
+    val meta = IvfIndex.readMeta(spark, dir).get
+    assert(meta.nlist == pts.select("list_id").distinct().count())
+    assert(IvfIndex.describe(spark, dir).count() == meta.nlist)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(IvfIndex.probe(spark, dir, queries, k = 3, nprobe = 1).count() > 0)
+  }
+
+  test("sign-bit width caps at dim: 2^dim orthants, never an out-of-bounds sign read") {
+    import spark.implicits._
+    val dim = 3
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 3000)
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_signbit_cap").toString
+    val b = IvfIndex.buildSignBit(spark, rows, dir) // uncapped width would be 4
+    assert(b == dim)
+    assert(spark.read.parquet(IvfIndex.pointsPath(dir))
+      .select("list_id").distinct().count() <= (1L << dim))
+  }
 }
