@@ -141,27 +141,37 @@ object Embed {
     Knn.topK(queries, corpus, 5)
   }
 
+  /** The shared text-encoder CTEs of q59 AND q63: documents 0..4 through
+    * the md5 trigram count encoder at the corpus dim (64), producing
+    * `q(qid, qvec DOUBLE[])` — ONE definition, so the exact search oracle
+    * (q59) and the index-probe oracle (q63, composed into
+    * [[IvfIndex.probeOracleSqlWith]]) can never drift on what "the text
+    * tower" computes.
+    */
+  private val textQueryCtes: String =
+    """enc_s AS (
+      |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents WHERE doc_id < 5
+      |), enc_tri AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+      |           i -> substring(s, CAST(i AS INT), 3))) AS t
+      |  FROM enc_s
+      |), enc_b AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
+      |  FROM enc_tri
+      |), enc_cnt AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS n FROM enc_b GROUP BY doc_id, bucket
+      |), enc_grid AS (
+      |  SELECT d.doc_id, r.range AS bucket
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 5) d CROSS JOIN range(64) r
+      |), q AS (
+      |  SELECT g.doc_id AS qid,
+      |         list(CAST(COALESCE(c.n, 0) AS DOUBLE) ORDER BY g.bucket) AS qvec
+      |  FROM enc_grid g LEFT JOIN enc_cnt c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
+      |  GROUP BY g.doc_id
+      |)""".stripMargin
+
   val q59OracleSql: String =
-    s"""WITH s AS (
-       |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents WHERE doc_id < 5
-       |), tri AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
-       |           i -> substring(s, CAST(i AS INT), 3))) AS t
-       |  FROM s
-       |), b AS (
-       |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
-       |  FROM tri
-       |), cnt AS (
-       |  SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket
-       |), grid AS (
-       |  SELECT d.doc_id, r.range AS bucket
-       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 5) d CROSS JOIN range(64) r
-       |), q AS (
-       |  SELECT g.doc_id AS qid,
-       |         list(CAST(COALESCE(cnt.n, 0) AS DOUBLE) ORDER BY g.bucket) AS qvec
-       |  FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.bucket = g.bucket
-       |  GROUP BY g.doc_id
-       |), c AS (
+    s"""WITH $textQueryCtes, c AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
        |), sc AS (
        |  SELECT q.qid, c.vec_id, ${IvfIndex.cosSql("q.qvec", "c.vec")} AS score
@@ -173,6 +183,36 @@ object Embed {
        |      FROM sc)
        |WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  /** q63_cross_modal_index — the reference's FULL text_img.py story
+    * (encode → index → search) as one declared, oracle-checked query
+    * (VERDICT r5 item 3): the image-modality corpus is built into the
+    * persisted IVF index, text queries go through the [[embedColumn]]
+    * tower into the shared space (q59's encoder), and the search is the
+    * real partition-pruned [[IvfIndex.probe]] at nprobe = 1 — not the
+    * exact scan q59 declares. The oracle composes q59's encoder CTEs with
+    * q38's assignment/routing/probe CTEs
+    * ([[IvfIndex.probeOracleSqlWith]]), so a hash match proves encoder,
+    * index layout, routing, pruning, and ranking agree end-to-end.
+    * Reference: text_img.py:64-85 (CLIP text tower → `client.search` on
+    * the image collection), vector_db.py:20-24 (the persisted collection).
+    */
+  def crossModalIndexSearch(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dim = 64 // pinned with the oracle's bucket arithmetic, as in q59
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_xmodal_index").toString
+    IvfIndex.build(spark, corpus, indexDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val queries = embedColumn[String](docs, "text", "qvec", md5CountEncoder(dim))
+      .select(col("doc_id").as("qid"), col("qvec"))
+    IvfIndex.probe(spark, indexDir, queries, k = 5, nprobe = 1)
+  }
+
+  /** q38's probe oracle with q59's text-encoder CTEs as the query batch. */
+  val q63OracleSql: String =
+    IvfIndex.probeOracleSqlWith(textQueryCtes, nprobe = 1, filtered = false, k = 5)
 
   /** Deterministic toy text encoder: char-trigram feature hashing into
     * `dim` buckets, L2-normalized. Stands in for CLIP's text tower

@@ -75,6 +75,25 @@ object GraphAnn {
       } yield GraphMeta(b, v)
     }
 
+  /** True when graphs EXIST for this index but [[probeGraph]]'s freshness
+    * guard would reject them: pinned to an older build/version, or their
+    * metadata is missing (interrupted [[buildGraphs]]). False when no
+    * graphs were ever built (nothing to maintain) or the layout is
+    * pre-catalog (no staleness information exists — same as the guard).
+    * This is the decision bit [[IvfIndex.maintain]] keys its rebuild on.
+    */
+  def graphsStale(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(graphPath(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else (readGraphMeta(spark, indexDir), IvfIndex.readMeta(spark, indexDir)) match {
+      case (Some(g), Some(m)) =>
+        g.builtForBuild != m.buildId || g.builtAtVersion != m.nextVersion
+      case (None, Some(_)) => true // graph files without metadata: rebuild
+      case _ => false              // pre-catalog layout
+    }
+  }
+
   /** A persisted graph node: vector + adjacency, co-located by list. */
   final case class GraphRow(vec_id: Long, embedding: Array[Float],
                             neighbors: Array[Long], list_id: Long)

@@ -136,7 +136,13 @@ object IvfIndex {
   private def writeIndex(emb: DataFrame, centroids: DataFrame, indexDir: String): Unit = {
     centroids.write.mode("overwrite").parquet(centroidsPath(indexDir))
 
-    val labelCol = if (emb.columns.contains("label")) col("label") else lit(-1)
+    // label normalized to LONG in the persisted layout: build and every
+    // append batch must agree on ONE parquet physical type — a caller
+    // whose batch carries int labels onto a long layout (or vice versa)
+    // would otherwise poison every later full-layout scan
+    // (compact/maintain read ALL files under one inferred schema)
+    val labelCol =
+      if (emb.columns.contains("label")) col("label").cast("long") else lit(-1L)
     val assigned = emb
       .crossJoin(broadcast(centroids.select(col("label").as("cl"), col("centroid"))))
       .select(col("vec_id"), labelCol.as("label"), col("embedding"), col("cl"),
@@ -224,7 +230,9 @@ object IvfIndex {
       if (b == 0) lit(0L)
       else (0 until b).map(i =>
         when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val labelCol = if (emb.columns.contains("label")) col("label") else lit(-1)
+    // long label, like writeIndex: one parquet type across build + appends
+    val labelCol =
+      if (emb.columns.contains("label")) col("label").cast("long") else lit(-1L)
     emb
       .select(labelCol.as("label"), col("vec_id"), col("embedding"),
         lit(0L).as("version"), listExpr.as("list_id"))
@@ -484,11 +492,14 @@ object IvfIndex {
         m.copy(nextVersion = math.max(m.nextVersion, version + 1L)))
     }
     val centroids = spark.read.parquet(centroidsPath(indexDir))
-    // tolerate unlabeled vectors, like writeIndex: an index built with
-    // buildUnsupervised is appended to without any label column
+    // tolerate unlabeled vectors, like writeIndex — and normalize label to
+    // LONG like writeIndex, so an append can never drift the layout's
+    // parquet type (the mixed-type layout fails exactly at the next
+    // full-layout scan: compact or maintain)
     val labeled =
-      if (newVectors.columns.contains("label")) newVectors
-      else newVectors.withColumn("label", lit(-1))
+      if (newVectors.columns.contains("label"))
+        newVectors.withColumn("label", col("label").cast("long"))
+      else newVectors.withColumn("label", lit(-1L))
     labeled
       .crossJoin(broadcast(centroids.select(col("label").as("cl"), col("centroid"))))
       .select(col("vec_id"), col("label"), col("embedding"), col("cl"),
@@ -553,6 +564,44 @@ object IvfIndex {
     fs.delete(bak, true)
   }
 
+  /** What a [[maintain]] pass found and did — returned so ingest pipelines
+    * can log/alert on it (the reference reads the analogous counters from
+    * Qdrant's collection info).
+    */
+  final case class MaintainReport(storedRows: Long, livePoints: Long,
+                                  compacted: Boolean, graphsRebuilt: Boolean)
+
+  /** Maintenance policy around streaming/batch ingest (VERDICT r5 item 5)
+    * — the server-side upkeep the reference's collection gets from Qdrant
+    * for free (compaction + index refresh), as ONE idempotent call:
+    *
+    *  1. measure compaction debt (stored rows vs live LWW points, one
+    *     aggregate over the layout) and [[compact]] when the ratio
+    *     crosses `debtRatio` — re-upserts and at-least-once streaming
+    *     replays ([[graft.streaming.EventStream.vectorIngest]]) both
+    *     accumulate exactly this debt;
+    *  2. rebuild the [[GraphAnn]] graphs when they exist and are STALE
+    *     (appends bumped the catalog version past the graph's pin — the
+    *     state probeGraph fails fast on). Runs AFTER the compact so the
+    *     construction pass scans the already-purged layout. Indexes that
+    *     never built graphs skip this step entirely.
+    *
+    * Call it on whatever cadence ingest warrants (every N batches, cron);
+    * a no-op pass costs one aggregate + two metadata reads. Single-writer,
+    * like append/compact themselves.
+    */
+  def maintain(spark: SparkSession, indexDir: String, debtRatio: Double = 1.2,
+               graphM: Int = 8, graphEfConstruction: Int = 32): MaintainReport = {
+    val raw = spark.read.parquet(pointsPath(indexDir))
+    val counts = raw.agg(count(lit(1)), countDistinct(col("vec_id"))).head()
+    val (stored, live) = (counts.getLong(0), counts.getLong(1))
+    val needCompact = live > 0 && stored.toDouble > live.toDouble * debtRatio
+    if (needCompact) compact(spark, indexDir)
+    val staleGraphs = GraphAnn.graphsStale(spark, indexDir)
+    if (staleGraphs) GraphAnn.buildGraphs(spark, indexDir, graphM, graphEfConstruction)
+    MaintainReport(stored, live, needCompact, staleGraphs)
+  }
+
   /** q38_ivf_index_probe — the full lifecycle as a declared, oracle-checked
     * query: build the persisted index from the fixture embeddings into a
     * fresh temp directory, then probe it with the first 10 vectors. The
@@ -607,6 +656,98 @@ object IvfIndex {
     probe(spark, indexDir, queries, k = 3, nprobe = 2)
   }
 
+  /** q64_recall_audit — the lossy ANN regime's driver-visible number
+    * (VERDICT r5 item 4): per-query recall@10 of the partition-pruned
+    * probe at nprobe 1 and 2 against the EXACT brute-force top-10, both
+    * sides computed in-query. This is the quality knob a vector-DB user
+    * actually reads (the reference's HNSW ef trade,
+    * vector_db_query.py:78-82): nprobe=1 misses every true neighbor that
+    * lives outside the query's first list, and the emitted recall
+    * quantifies exactly that loss — per query, hash-verified, no longer
+    * spec-only. Both the probe side and the exact side are
+    * oracle-expressible (the asg/routing CTEs + the q01 scan), so unlike
+    * the graph/PQ lossy regimes (seeded builds an external engine cannot
+    * replay — those stay property-tested with their recall curves in
+    * BASELINE.md), this one runs under the full hash gate.
+    *
+    * Emits (qid, nprobe, hits, recall), one row per query per nprobe —
+    * the recall-vs-nprobe curve as a result set. The exact side is
+    * localCheckpointed: it is query-scale (|queries|·k rows) and feeds
+    * two probe joins; recomputing it would double the corpus scans.
+    */
+  def recallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_recall").toString
+    build(spark, emb, indexDir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.topK(queries, emb.select(col("vec_id"), col("embedding")), k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
+    def hitsAt(np: Int): DataFrame =
+      probe(spark, indexDir, queries, k = k, nprobe = np)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        .withColumn("nprobe", lit(np.toLong))
+    val hits = hitsAt(1).unionByName(hitsAt(2))
+    // dense (qid × nprobe) grid: a query whose probed list holds NO true
+    // neighbor must still emit its zero-recall row
+    queries.select(col("qid"))
+      .crossJoin(Seq(1L, 2L).toDF("nprobe"))
+      .join(hits, Seq("qid", "nprobe"), "left")
+      .select(col("qid"), col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .orderBy(col("qid"), col("nprobe"))
+  }
+
+  /** The lossy probe (routing rank ≤ nprobe) and the exact top-10 both
+    * recomputed algebraically, recall joined per (qid, nprobe).
+    * (lazy: declared above `oracleAsgCtes` — a strict val would
+    * interpolate null under the object's top-to-bottom initialization)
+    */
+  lazy val q64OracleSql: String =
+    s"""$oracleAsgCtes, q AS (
+       |  SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 20
+       |), np AS (
+       |  SELECT CAST(unnest([1, 2]) AS BIGINT) AS nprobe
+       |), route AS (
+       |  SELECT q.qid, q.qvec, c.label AS probe_list,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY
+       |           ${cosSql("q.qvec", "c.centroid")} DESC, c.label ASC) AS rn
+       |  FROM q CROSS JOIN cent c
+       |), lossy AS (
+       |  SELECT qid, nprobe, vec_id FROM (
+       |    SELECT r.qid, n.nprobe, e.vec_id,
+       |           row_number() OVER (PARTITION BY r.qid, n.nprobe ORDER BY
+       |             ${cosSql("r.qvec", "e.v")} DESC, e.vec_id) AS rank
+       |    FROM route r
+       |    JOIN np n ON r.rn <= n.nprobe
+       |    JOIN asg a ON a.list_id = r.probe_list
+       |    JOIN e ON e.vec_id = a.vec_id
+       |  ) WHERE rank <= 10
+       |), exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             ${cosSql("q.qvec", "c.v")} DESC, c.vec_id) AS rank
+       |    FROM q CROSS JOIN e c
+       |  ) WHERE rank <= 10
+       |), hits AS (
+       |  SELECT l.qid, l.nprobe, COUNT(*) AS h
+       |  FROM lossy l JOIN exact x ON x.qid = l.qid AND x.vec_id = l.vec_id
+       |  GROUP BY l.qid, l.nprobe
+       |)
+       |SELECT q.qid, n.nprobe,
+       |       CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       |       round(COALESCE(h.h, 0) / 10.0, 6) AS recall
+       |FROM q CROSS JOIN np n
+       |LEFT JOIN hits h ON h.qid = q.qid AND h.nprobe = n.nprobe
+       |ORDER BY q.qid, n.nprobe""".stripMargin
+
   private[operators] def cosSql(a: String, b: String): String =
     s"""round(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
        |      THEN 0.0
@@ -642,14 +783,18 @@ object IvfIndex {
     * route(`nprobe`) + probe algebraically from the raw table. `filtered`
     * composes the payload predicate (candidate.label = query.label) into
     * the scoring join — exactly [[probeFiltered]]'s semantics.
+    *
+    * `queryCtes` supplies the CTE(s) producing `q(qid, qvec[, qlabel])` —
+    * the default is the fixture's first-10-vectors query batch; q63 plugs
+    * in q59's text-encoder CTEs instead, so the cross-modal probe oracle
+    * shares every routing/scoring/ranking line with q38's rather than
+    * maintaining a divergent copy.
     */
-  private def probeOracleSql(nprobe: Int, filtered: Boolean): String = {
-    val qCols     = if (filtered) ", label AS qlabel" else ""
+  private[operators] def probeOracleSqlWith(queryCtes: String, nprobe: Int,
+                                            filtered: Boolean, k: Int): String = {
     val probeCols = if (filtered) "qid, qvec, qlabel" else "qid, qvec"
     val labelPred = if (filtered) " AND e.label = p.qlabel" else ""
-    s"""$oracleAsgCtes, q AS (
-       |  SELECT vec_id AS qid, v AS qvec$qCols FROM e WHERE vec_id < 10
-       |), probe AS (
+    s"""$oracleAsgCtes, $queryCtes, probe AS (
        |  SELECT $probeCols, label AS probe_list
        |  FROM (
        |    SELECT ${probeCols.split(", ").map("q." + _).mkString(", ")}, c.label,
@@ -668,8 +813,15 @@ object IvfIndex {
        |FROM (SELECT qid, probe_list, vec_id, score,
        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
        |      FROM scored)
-       |WHERE rank <= 3
+       |WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
+  }
+
+  private def probeOracleSql(nprobe: Int, filtered: Boolean): String = {
+    val qCols = if (filtered) ", label AS qlabel" else ""
+    probeOracleSqlWith(
+      s"q AS (\n  SELECT vec_id AS qid, v AS qvec$qCols FROM e WHERE vec_id < 10\n)",
+      nprobe, filtered, k = 3)
   }
 
   val q38OracleSql: String = probeOracleSql(nprobe = 1, filtered = false)

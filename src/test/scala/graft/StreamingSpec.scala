@@ -211,5 +211,22 @@ class StreamingSpec extends AnyFunSuite {
       GraphAnn.probeGraph(spark, dir, q, k = 3, nprobe = 1, ef = 8).collect()
     }
     assert(e.getMessage.contains("stale"))
+
+    // ONE maintain pass restores the whole collection without any manual
+    // compact/buildGraphs calls: the re-ingested id 3 left a superseded
+    // row (debt), and the graphs are stale — maintain must fix both
+    val report = IvfIndex.maintain(spark, dir, debtRatio = 1.0)
+    assert(report.storedRows > report.livePoints, "the LWW re-ingest must show as compaction debt")
+    assert(report.compacted, s"debt past the ratio must trigger compact; got $report")
+    assert(report.graphsRebuilt, s"stale graphs must trigger a rebuild; got $report")
+    // graph probe works again, full-ef equals the exact probe, streamed rows present
+    val viaGraph = GraphAnn.probeGraph(spark, dir, q, k = 3, nprobe = 1, ef = Int.MaxValue)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toMap
+    assert(viaGraph.get(900001L).contains(1.0) && viaGraph.get(3L).contains(1.0),
+      s"post-maintain graph probe must see the streamed vectors; got $viaGraph")
+    // compaction purged the superseded row; a second pass is a no-op
+    val again = IvfIndex.maintain(spark, dir, debtRatio = 1.0)
+    assert(again.storedRows == again.livePoints && !again.compacted && !again.graphsRebuilt,
+      s"maintain must be idempotent once debt and staleness are cleared; got $again")
   }
 }
