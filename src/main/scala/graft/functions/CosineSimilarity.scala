@@ -140,15 +140,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName    = "graft_cosine"
   val NormalizeName = "graft_l2_normalize"
+  val BloomAggName          = "graft_bloom_agg"
+  val BloomMightContainName = "graft_bloom_might_contain"
 
   /** Idempotently register graft expressions on a session. Checks the
     * registry first: re-registering on every operator call logs a
     * `SimpleFunctionRegistry ... replaced` warning per query, burying real
     * warnings in the bench/verify tails.
+    *
+    * The two bloom entries expose Spark's OWN codegen'd runtime-filter
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain` —
+    * public Catalyst classes that Spark injects for join runtime filters
+    * but does not put in the session registry) so
+    * [[graft.operators.TextAnalysis.decontaminateBloom]] gets a scan-side
+    * bloom membership test without a Scala UDF.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     registerIfAbsent(spark, CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)))
     registerIfAbsent(spark, NormalizeName, exprs => L2Normalize(exprs.head))
+    registerIfAbsent(spark, BloomAggName, exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)))
+    registerIfAbsent(spark, BloomMightContainName, exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
   }
 
   private[functions] def registerIfAbsent(

@@ -434,7 +434,11 @@ object TextAnalysis {
     * benchmark sets the broadcast side becomes a bloom filter, same
     * shape). Short documents (< n tokens) emit no grams and stay clean.
     */
-  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
+  /** The derived (benchmark, corpus-with-plants) pair shared by
+    * [[decontaminate]] and [[decontaminateBloom]] — one definition, so the
+    * equivalence test compares the algorithms, not two derivations.
+    */
+  private def decontamInputs(spark: SparkSession, sfDir: String, n: Int): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), lower(col("text")).as("text"))
     val bench = docs.filter(col("doc_id") % 97 === 0)
@@ -445,28 +449,76 @@ object TextAnalysis {
       .select(col("doc_id"),
         when(col("doc_id") % 13 === 2, concat(col("text"), lit(" "), col("snippet")))
           .otherwise(col("text")).as("text"))
-    def grams(df: DataFrame): DataFrame = {
-      val t = split(col("text"), "\\s+")
-      // array_distinct BEFORE explode: repetitious docs repeat grams, and
-      // every duplicate would probe the broadcast join for nothing —
-      // countDistinct downstream already makes duplicates semantically
-      // irrelevant, so dropping them map-side is free
-      df.select(col("doc_id"),
-        explode(array_distinct(when(size(t) >= n,
-          transform(sequence(lit(1), size(t) - (n - 1)),
-            i => concat_ws(" ", slice(t, i, lit(n)))))
-          .otherwise(array().cast("array<string>")))).as("gram"))
-    }
-    val benchGrams = grams(bench).select("gram").distinct()
-    val hits = grams(corpus)
-      .join(broadcast(benchGrams), Seq("gram"))
-      .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("shared_grams"))
+    (bench, corpus)
+  }
+
+  /** Per-doc distinct word-n-grams, exploded. array_distinct BEFORE
+    * explode: repetitious docs repeat grams, and every duplicate would
+    * probe the membership test for nothing — countDistinct downstream
+    * already makes duplicates semantically irrelevant, so dropping them
+    * map-side is free.
+    */
+  private def wordGrams(df: DataFrame, n: Int): DataFrame = {
+    val t = split(col("text"), "\\s+")
+    df.select(col("doc_id"),
+      explode(array_distinct(when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))).as("gram"))
+  }
+
+  /** Shared presentation tail: per-doc shared-gram counts left-joined back
+    * so clean docs emit their explicit zero row.
+    */
+  private def decontamTail(corpus: DataFrame, hits: DataFrame): DataFrame =
     corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
         when(coalesce(col("shared_grams"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
       .orderBy(col("doc_id"))
+
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
+    val (bench, corpus) = decontamInputs(spark, sfDir, n)
+    val benchGrams = wordGrams(bench, n).select("gram").distinct()
+    val hits = wordGrams(corpus, n)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("shared_grams"))
+    decontamTail(corpus, hits)
+  }
+
+  /** [[decontaminate]] with the bloom-filter pre-cut the q60 docstring
+    * names for larger benchmark suites (VERDICT r5 item 6): the benchmark
+    * grams aggregate into a bloom filter (~`bitsPerGram` BITS per gram vs
+    * the 60+ BYTES a broadcast hash-join row costs — the constant-factor
+    * lever), the corpus gram stream drops every non-member scan-side
+    * through the codegen'd `might_contain(lit(bloom), xxhash64(gram))`
+    * (no UDF), and only the surviving ~fpp fraction plus true matches
+    * reach the exact confirm join — which removes the bloom's false
+    * positives, so the result EQUALS [[decontaminate]] row-for-row
+    * (equivalence-tested in TextAnalysisSpec). The declared q60 keeps the
+    * plain broadcast join: at the fixture's benchmark size the bloom's
+    * extra aggregate pass costs more than it saves; this is the
+    * larger-suite escape hatch, benchmarked in BASELINE.md.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String, n: Int = 8,
+                         bitsPerGram: Long = 10L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.{BloomAggName, BloomMightContainName}
+    val (bench, corpus) = decontamInputs(spark, sfDir, n)
+    val benchGrams = wordGrams(bench, n).select("gram").distinct()
+      .localCheckpoint(true) // two consumers: the bloom aggregate + the confirm join
+    val items = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams
+      .agg(call_function(BloomAggName, xxhash64(col("gram")),
+        lit(items), lit(math.max(items * bitsPerGram, 64L))).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val candidates = wordGrams(corpus, n)
+      .filter(call_function(BloomMightContainName, lit(bloom), xxhash64(col("gram"))))
+    val hits = candidates
+      .join(broadcast(benchGrams), Seq("gram")) // exact confirm: kills false positives
+      .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("shared_grams"))
+    decontamTail(corpus, hits)
   }
 
   /** q61_domain_mix — source re-weighting, the mixing step every

@@ -76,4 +76,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     // benchmark docs themselves are never in the output
     assert(out.forall(_._1 % 97 != 0))
   }
+
+  test("decontaminateBloom equals decontaminate row-for-row: the exact confirm join kills false positives") {
+    import spark.implicits._
+    val exact = TextAnalysis.decontaminate(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    // a deliberately TINY, dense filter (1 bit/gram => high fpp) so the
+    // false-positive path is actually exercised, not just absent
+    val bloomDense = TextAnalysis.decontaminateBloom(spark, TestSpark.Sf0001, bitsPerGram = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(bloomDense == exact,
+      "bloom pre-cut + exact confirm must reproduce the broadcast-join result under heavy FPs")
+    val bloomNormal = TextAnalysis.decontaminateBloom(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(bloomNormal == exact)
+  }
 }
