@@ -843,6 +843,38 @@ object IvfIndex {
     * live_points` quantifies compaction debt ([[compact]] resets it).
     * Works on pre-catalog layouts (catalog columns null).
     */
+  /** q65_describe_collection — [[describe]] as a declared, oracle-checked
+    * query (round 6): build the persisted index from the fixture, then
+    * DESCRIBE it. The oracle recomputes the per-list live counts from the
+    * shared `asg` CTE and the catalog fields from the fixture's shape
+    * (dim = |embedding|, nlist = |labels|, fresh build ⇒ stored == live,
+    * next_version = 1) — so the introspection surface (the reference's
+    * `get_collection`) is hash-verified, not just spec-trusted. Partition
+    * column read-back is cast to long explicitly: parquet partition
+    * inference types `list_id=<n>` directories as int.
+    */
+  def describeDeclared(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_describe").toString
+    build(spark, emb, indexDir)
+    describe(spark, indexDir)
+      .withColumn("list_id", col("list_id").cast("long"))
+      .orderBy(col("list_id"))
+  }
+
+  lazy val q65OracleSql: String =
+    s"""$oracleAsgCtes, counts AS (
+       |  SELECT list_id, COUNT(*) AS c FROM asg GROUP BY list_id
+       |)
+       |SELECT CAST(list_id AS BIGINT) AS list_id,
+       |       c AS live_points,
+       |       c AS stored_rows,
+       |       (SELECT CAST(len(v) AS INT) FROM e LIMIT 1) AS dim,
+       |       'cosine' AS metric,
+       |       (SELECT COUNT(*) FROM cent) AS nlist,
+       |       CAST(1 AS BIGINT) AS next_version
+       |FROM counts ORDER BY list_id""".stripMargin
+
   def describe(spark: SparkSession, indexDir: String): DataFrame = {
     val raw = spark.read.parquet(pointsPath(indexDir))
     // ONE scan, one window, no join: the LWW window already visits every
