@@ -135,4 +135,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the corpus must never shuffle for a query-scale broadcast;\n$p")
   }
+
+  test("q62 scaled pairs keep q56's shape: equi-join on list_id, no cartesian, heap-merged top-k") {
+    val p = plan(graft.operators.Dedup.scaledNearDup(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"sign-bit blocking exists to avoid the all-pairs product;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k pairs must merge per-partition, not globally sort;\n$p")
+  }
+
+  test("q63 index-backed cross-modal probe prunes the image corpus' list partitions") {
+    val p = plan(graft.operators.Embed.crossModalIndexSearch(spark, TestSpark.Sf0001))
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(p).isDefined,
+      s"the probe must read only the routed lists — that is the point of going through the index;\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"ranking must stay the bounded-heap aggregator;\n$p")
+  }
+
+  test("q66 salted join never broadcasts or sorts the salted fact side into a cartesian") {
+    val p = plan(graft.operators.Skew.saltedJoinDeclared(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the salted join must stay an equi-join on (key, salt);\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the aggregate tail must stay a hash aggregate, no window;\n$p")
+  }
 }
