@@ -137,14 +137,27 @@ object EventStream {
     * exist ([[graft.operators.IvfIndex.build]] or `buildUnsupervised`) —
     * appends route into the EXISTING centroid layout, the same contract as
     * the batch append.
+    *
+    * `maintainEvery = N > 0` runs [[graft.operators.IvfIndex.maintain]]
+    * after every N-th micro-batch (compact past the debt ratio, rebuild
+    * stale graphs) — the in-stream rendering of the reference's
+    * server-side collection upkeep, so a graph-probing reader never needs
+    * a manual rebuild between batches. Default 0 = off: maintenance cost
+    * (a graph rebuild is the engine's most expensive component) is then
+    * the operator's explicit, separately-scheduled decision.
     */
-  def vectorIngest(vectors: DataFrame, indexDir: String, checkpointDir: String): DataStreamWriter[Row] =
+  def vectorIngest(vectors: DataFrame, indexDir: String, checkpointDir: String,
+                   maintainEvery: Int = 0, debtRatio: Double = 1.2): DataStreamWriter[Row] =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.IvfIndex.append(batch.sparkSession, batch, indexDir)
+        if (maintainEvery > 0 && batchId % maintainEvery == (maintainEvery - 1).toLong) {
+          graft.operators.IvfIndex.maintain(batch.sparkSession, indexDir, debtRatio)
+          () // foreachBatch needs (DataFrame, Long) => Unit, not => MaintainReport
+        }
       }
 
   // --- stateful sessionization (custom keyed state) -----------------------

@@ -228,5 +228,18 @@ class StreamingSpec extends AnyFunSuite {
     val again = IvfIndex.maintain(spark, dir, debtRatio = 1.0)
     assert(again.storedRows == again.livePoints && !again.compacted && !again.graphsRebuilt,
       s"maintain must be idempotent once debt and staleness are cleared; got $again")
+
+    // in-stream maintenance (maintainEvery=1): the next streamed batch
+    // triggers maintain inside foreachBatch, so the graph probe works
+    // immediately after the stream — no manual calls at all
+    input.addData(Seq((900002L, v7._1, v7._2)))
+    EventStream.vectorIngest(input.toDF().toDF("vec_id", "embedding", "label"), dir, ckp,
+      maintainEvery = 1).start().awaitTermination()
+    // k=4: vectors 3/7/900001/900002 all tie at cosine 1.0 and the
+    // tie-break is ascending vec_id, so k=3 would drop 900002 legitimately
+    val fresh = GraphAnn.probeGraph(spark, dir, q, k = 4, nprobe = 1, ef = Int.MaxValue)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(fresh.contains(900002L),
+      s"in-stream maintain must leave the graph fresh AND containing the new vector; got $fresh")
   }
 }
