@@ -27,12 +27,31 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-    docs.unionByName(copies)
+    dupGroupsOf(docs.unionByName(copies)).orderBy(col("keeper_id"))
+  }
+
+  /** Composable core of q15 for ANY (doc_id, text, …) corpus: duplicate
+    * groups by full-text md5, keeper = min id. The curation-pipeline
+    * building block ([[dedupSurvivorsOf]] is the apply side).
+    */
+  def dupGroupsOf(corpus: DataFrame): DataFrame =
+    corpus
       .groupBy(md5(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select(col("fingerprint"), col("keeper_id"), col("n_copies"))
-      .orderBy(col("keeper_id"))
+
+  /** Exact-dedup apply side over ANY corpus: the surviving rows (one per
+    * distinct text — its min-id keeper), all caller columns preserved.
+    * The q45 semi-join shape, returned as rows instead of counts: what a
+    * pipeline actually feeds to the next stage. Shuffles only
+    * (doc_id, 16-byte fingerprint) — never text.
+    */
+  def dedupSurvivorsOf(corpus: DataFrame): DataFrame = {
+    val fp = corpus.withColumn("_fp", md5(col("text")))
+    val keepers = fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("keeper_id"))
+      .select(col("keeper_id"))
+    fp.join(keepers, fp("doc_id") === keepers("keeper_id"), "left_semi").drop("_fp")
   }
 
   /** q45_dedup_purge — the apply side of exact dedup, and the engine's
@@ -112,11 +131,15 @@ object TextAnalysis {
     * literal dimension table; the per-doc regroup shuffles one count per
     * (doc, candidate).
     */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q19 for ANY (doc_id, text, …) corpus. */
+  def langIdOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val profiles = LangProfiles.flatMap { case (l, ts) => ts.map(t => (l, t)) }.toDF("cand_lang", "ptok")
     val cands    = LangProfiles.map(_._1).toDF("cand_lang")
-    val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), explode(tokenArr(col("text"))).as("tok"))
     val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val hits = toks
@@ -169,9 +192,15 @@ object TextAnalysis {
     * weighted composite — the standard pre-training corpus quality filter
     * shape (length/punct/stopword signals).
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q20 for ANY (doc_id, text, …) corpus — the quality
+    * gate of a curation pipeline (filter on the `quality` composite).
+    */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val stop = EnStopwords.map(s => s"'$s'").mkString("(", ",", ")")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), posexplode(tokenArr(col("text"))))
       .toDF("doc_id", "pos", "tok")
       .groupBy(col("doc_id"))
@@ -385,20 +414,28 @@ object TextAnalysis {
     * scan-local, codegen'd, zero shuffle before the presentation sort.
     */
   def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .withColumn("dirty", concat(
-        substring(col("text"), 1, 40),
-        when(pmod(col("doc_id"), lit(3)) =!= 0,
-          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(2)) === 0,
-          concat(lit(" acct 00"), (col("doc_id") * 7919 + 100000).cast("string"))).otherwise(lit(""))))
-      .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("dirty"), lit(LongDigitsRe), lit(0))).cast("long").as("n_long_digits"),
-        regexp_replace(regexp_replace(col("dirty"), EmailRe, "[EMAIL]"), LongDigitsRe, "[NUM]")
-          .as("redacted"))
+    piiScrubOf(
+      Tables.documents(spark, sfDir)
+        .withColumn("dirty", concat(
+          substring(col("text"), 1, 40),
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" acct 00"), (col("doc_id") * 7919 + 100000).cast("string"))).otherwise(lit("")))),
+      textCol = "dirty")
       .orderBy(col("doc_id"))
+
+  /** Composable core of q52 for ANY corpus: PII counts + redacted text
+    * over `textCol` — the scrub stage of a curation pipeline. Pure per-row
+    * expressions, zero shuffle.
+    */
+  def piiScrubOf(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongDigitsRe), lit(0))).cast("long").as("n_long_digits"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"), LongDigitsRe, "[NUM]")
+        .as("redacted"))
 
   val q52OracleSql: String =
     s"""WITH d AS (
@@ -480,6 +517,16 @@ object TextAnalysis {
 
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame = {
     val (bench, corpus) = decontamInputs(spark, sfDir, n)
+    decontaminateAgainst(corpus, bench, n)
+  }
+
+  /** Composable core of q60 for ANY (corpus, benchmark) pair of
+    * (doc_id, text, …) frames: per-corpus-doc shared-n-gram counts against
+    * the benchmark's gram set, zero rows for clean docs. Text
+    * normalization (lowercasing) is the caller's decision — the declared
+    * q60 lowercases both sides.
+    */
+  def decontaminateAgainst(corpus: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
     val benchGrams = wordGrams(bench, n).select("gram").distinct()
     val hits = wordGrams(corpus, n)
       .join(broadcast(benchGrams), Seq("gram"))
@@ -543,7 +590,6 @@ object TextAnalysis {
     * for a shuffle-free plan, the right trade at corpus scale).
     */
   def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     // derived-crawl ids offset by max(doc_id)+1, not a fixed literal: a
     // corpus with ids >= the literal would silently collide with the union
@@ -551,11 +597,22 @@ object TextAnalysis {
     val offset = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val crawl = base.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + offset).as("doc_id"), lit("crawl").as("source"))
-    val docs = base.unionByName(crawl)
-    // ONE aggregate job: the per-source counts are source-cardinality
-    // (tiny by definition), so they come to the driver once and go back
-    // out as a literal broadcast table — leaving `counts` as a lazy plan
-    // would recompute the corpus aggregate on the join's build side
+    domainMixOf(base.unionByName(crawl))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composable core of q61 for ANY (doc_id, source, …) corpus: the
+    * balance-to-smallest hash gate, all caller columns preserved on the
+    * kept rows. ONE aggregate job: the per-source counts are
+    * source-cardinality (tiny by definition), so they come to the driver
+    * once and go back out as a literal broadcast table — leaving the
+    * counts as a lazy plan would recompute the corpus aggregate on the
+    * join's build side.
+    */
+  def domainMixOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
       .as[(String, Long)].collect()
     val minN = counts.map(_._2).min
@@ -564,8 +621,7 @@ object TextAnalysis {
     docs.join(broadcast(rates), Seq("source"))
       .filter(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) <
         floor(col("rate") * lit(1048576.0)).cast("long"))
-      .select(col("doc_id"), col("source"))
-      .orderBy(col("doc_id"))
+      .select(docs.columns.map(col).toSeq: _*)
   }
 
   val q61OracleSql: String =

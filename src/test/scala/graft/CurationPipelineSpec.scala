@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Embed, IvfIndex, TextAnalysis}
+
+/** The full training-data curation story as ONE composition over the
+  * library's public corpus-parameterized operators — the workflow a user
+  * of the reference would actually run at 100 TB, on a corpus the fixtures
+  * never saw: scrub (PII) → exact dedup → decontaminate (benchmark
+  * overlap) → domain mix → embed → persisted sign-bit index → near-dup
+  * audit + ANN search. Each stage is oracle- or spec-verified on its own
+  * elsewhere; this proves they SNAP TOGETHER through their public
+  * signatures, with every planted artifact caught by exactly the stage
+  * built to catch it.
+  */
+class CurationPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("scrub -> dedup -> decontaminate -> mix -> embed -> index -> search composes end-to-end") {
+    import spark.implicits._
+
+    // raw corpus: 3 sources (web dominant), with planted artifacts
+    //  - ids 900/901: exact duplicates of ids 0/1 (dedup must drop them)
+    //  - id 5: contains an email + account number (scrub must redact)
+    //  - id 7: contains the benchmark snippet (decontaminate must flag)
+    val base = (0 until 120).map { i =>
+      val src = if (i % 10 < 6) "web" else if (i % 10 < 9) "books" else "code"
+      // the doc{i} token makes every base text distinct BY CONSTRUCTION —
+      // only the two planted copies below may be exact duplicates
+      val words = s"doc$i " + (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      (i.toLong, src, words)
+    }
+    val benchSnippet = "alpha beta gamma delta epsilon zeta eta theta"
+    val raw = (base ++ Seq(
+      (900L, "web", base(0)._3),
+      (901L, "books", base(1)._3))).toDF("doc_id", "source", "text")
+      .withColumn("text",
+        when(col("doc_id") === 5, concat(col("text"), lit(" reach me at jane.doe@corp.example.com acct 1234567")))
+          .when(col("doc_id") === 7, concat(col("text"), lit(s" $benchSnippet")))
+          .otherwise(col("text")))
+    val bench = Seq((5000L, s"prefix words $benchSnippet suffix words")).toDF("doc_id", "text")
+
+    // stage 1: PII scrub — flags found, text redacted, nothing else touched
+    val scrubbed = raw.drop("text")
+      .join(TextAnalysis.piiScrubOf(raw), Seq("doc_id"))
+      .withColumnRenamed("redacted", "text")
+    val pii = scrubbed.filter(col("n_emails") > 0 || col("n_long_digits") > 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(pii == Set(5L), s"only the planted PII doc may flag; got $pii")
+    assert(scrubbed.filter(col("text").contains("@")).count() == 0, "emails must be gone post-scrub")
+
+    // stage 2: exact dedup — the two planted copies drop, keepers stay
+    val deduped = TextAnalysis.dedupSurvivorsOf(scrubbed.select(col("doc_id"), col("source"), col("text")))
+    val ids = deduped.select($"doc_id").as[Long].collect().toSet
+    assert(!ids.contains(900L) && !ids.contains(901L), "planted duplicates must not survive")
+    assert(ids.contains(0L) && ids.contains(1L), "min-id keepers must survive")
+    assert(deduped.count() == 120)
+
+    // stage 3: decontamination — the planted benchmark overlap flags; drop it
+    val flags = TextAnalysis.decontaminateAgainst(deduped, bench, n = 8)
+    val contaminated = flags.filter(col("contaminated") === 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(contaminated == Set(7L), s"exactly the planted overlap must flag; got $contaminated")
+    val clean = deduped.join(flags.filter(col("contaminated") === 0).select("doc_id"), Seq("doc_id"))
+
+    // stage 4: domain mixing — the dominant web source downsamples toward
+    // the smallest source; minority sources pass whole
+    val mixed = TextAnalysis.domainMixOf(clean)
+    val bySource = mixed.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val cleanBySource = clean.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val minSrc = cleanBySource.minBy(_._2)._1
+    assert(bySource(minSrc) == cleanBySource(minSrc), "the smallest source passes whole")
+    assert(bySource("web") < cleanBySource("web"), "the dominant source must downsample")
+
+    // stage 5+6: embed the kept docs, build the persisted sign-bit index
+    val emb = Embed.embedColumn[String](
+      mixed.select(col("doc_id"), col("text")), "text", "embedding", Embed.hashingTextEncoder(32))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation_idx").toString
+    IvfIndex.buildSignBit(spark, emb, dir)
+    assert(spark.read.parquet(IvfIndex.pointsPath(dir)).count() == mixed.count())
+
+    // near-dup audit over the index finds no high-cosine pairs (the exact
+    // dups were already removed upstream — the stages agree)
+    val topPair = Dedup.nearDupPairsViaIndex(spark, dir, k = 1)
+      .select($"score").as[Double].collect()
+    assert(topPair.isEmpty || topPair.head < 0.999,
+      s"no exact duplicate may survive to the embedding index; top pair ${topPair.headOption}")
+
+    // stage 7: ANN search — a kept document used as the query must find
+    // itself at cosine 1.0 through the persisted index
+    val someId = mixed.select($"doc_id").as[Long].head()
+    val q = emb.filter(col("vec_id") === someId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val hit = IvfIndex.probe(spark, dir, q, k = 1, nprobe = 1)
+      .select($"vec_id", $"score").as[(Long, Double)].head()
+    assert(hit == (someId, 1.0), s"self-search through the index must hit at 1.0; got $hit")
+  }
+}
