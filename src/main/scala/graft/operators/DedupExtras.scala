@@ -24,10 +24,11 @@ object DedupExtras {
   val JaccardThreshold = 0.5
 
   /** Distinct word-3-gram shingle set per document (docs with <3 tokens have
-    * no shingles and drop out) — the standard shingling step.
+    * no shingles and drop out) — the standard shingling step. Works on ANY
+    * (doc_id, text, …) frame.
     */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextPipeline.tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
@@ -39,14 +40,21 @@ object DedupExtras {
     * for candidates → exact Jaccard verification ≥ 0.5 → top-50 pairs by
     * (jaccard desc, a, b).
     */
-  def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLshDedup(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshDedupOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q16 for ANY (doc_id, text, …) corpus — the
+    * sub-quadratic TEXT near-dup stage of a curation pipeline (the
+    * embedding-space sibling is [[Dedup.nearDupPairsViaIndex]]).
+    */
+  def minhashLshDedupOf(docs: DataFrame): DataFrame = {
     // The shingle sets feed three plan branches (signature build + both
     // sides of the verification join); cache so Spark doesn't recompute the
     // tokenize+shingle subtree per branch. The cache is OPERATOR-SCOPED:
     // the (tiny, ≤50-row) result is materialized eagerly below and the
     // cache released in the finally, so a library caller embedding this in
     // a long-lived session leaks no cached blocks (VERDICT r2 item 4).
-    val sh = shingleSets(spark, sfDir).cache()
+    val sh = shingleSetsOf(docs).cache()
     try {
     // 8 INDEPENDENT salted digests per shingle — md5(i || ':' || s) — one
     // min per member. Costs 8 digests/shingle (measured within noise at
@@ -136,8 +144,12 @@ object DedupExtras {
     * one shuffle on doc_id with 16 partial sums, then one tiny shuffle on
     * the 16-bit fingerprint space.
     */
-  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+  def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    simhashFingerprintOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q17 for ANY (doc_id, text, …) corpus. */
+  def simhashFingerprintOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     // nibble k (k=0..3) as 0..15 from hex char k of the md5
@@ -194,8 +206,14 @@ object DedupExtras {
     * from |a|+|b|−|a∩b|. Pairs with empty intersection have jaccard 0 and
     * are excluded by construction — hence the nonzero-overlap contract.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q18 for ANY (doc_id, lang, source, text, …) corpus
+    * — blocked exact verification; the block key is (lang, source).
+    */
+  def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), col("lang"), col("source"), TextPipeline.tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"), expr(

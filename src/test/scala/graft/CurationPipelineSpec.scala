@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Embed, IvfIndex, TextAnalysis}
+import graft.operators.{Dedup, DedupExtras, Embed, IvfIndex, TextAnalysis}
 
 /** The full training-data curation story as ONE composition over the
   * library's public corpus-parameterized operators — the workflow a user
@@ -27,15 +27,20 @@ class CurationPipelineSpec extends AnyFunSuite {
     //  - id 7: contains the benchmark snippet (decontaminate must flag)
     val base = (0 until 120).map { i =>
       val src = if (i % 10 < 6) "web" else if (i % 10 < 9) "books" else "code"
-      // the doc{i} token makes every base text distinct BY CONSTRUCTION —
-      // only the two planted copies below may be exact duplicates
-      val words = s"doc$i " + (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      // doc-unique filler words: no two BASE docs share a single token, so
+      // the only duplicate/near-dup/contamination relations in the corpus
+      // are the planted ones below
+      val words = s"doc$i " + (0 until 30).map(j => s"w${i}x$j").mkString(" ")
       (i.toLong, src, words)
     }
     val benchSnippet = "alpha beta gamma delta epsilon zeta eta theta"
+    //  - id 902: a NEAR-duplicate of id 2 (one word changed) — exact dedup
+    //    must NOT drop it; the MinHash stage must pair it with 2
+    val nearDupText = base(2)._3.split(" ").dropRight(1).mkString(" ") + " changedword"
     val raw = (base ++ Seq(
       (900L, "web", base(0)._3),
-      (901L, "books", base(1)._3))).toDF("doc_id", "source", "text")
+      (901L, "books", base(1)._3),
+      (902L, "web", nearDupText))).toDF("doc_id", "source", "text")
       .withColumn("text",
         when(col("doc_id") === 5, concat(col("text"), lit(" reach me at jane.doe@corp.example.com acct 1234567")))
           .when(col("doc_id") === 7, concat(col("text"), lit(s" $benchSnippet")))
@@ -52,10 +57,21 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(scrubbed.filter(col("text").contains("@")).count() == 0, "emails must be gone post-scrub")
 
     // stage 2: exact dedup — the two planted copies drop, keepers stay
-    val deduped = TextAnalysis.dedupSurvivorsOf(scrubbed.select(col("doc_id"), col("source"), col("text")))
-    val ids = deduped.select($"doc_id").as[Long].collect().toSet
+    val exactDeduped = TextAnalysis.dedupSurvivorsOf(scrubbed.select(col("doc_id"), col("source"), col("text")))
+    val ids = exactDeduped.select($"doc_id").as[Long].collect().toSet
     assert(!ids.contains(900L) && !ids.contains(901L), "planted duplicates must not survive")
-    assert(ids.contains(0L) && ids.contains(1L), "min-id keepers must survive")
+    assert(ids.contains(0L) && ids.contains(1L) && ids.contains(902L),
+      "min-id keepers AND the near-dup (not exact) must survive exact dedup")
+    assert(exactDeduped.count() == 121)
+
+    // stage 2b: MinHash/LSH near-dup — catches what exact dedup cannot:
+    // the one-word-changed plant pairs with its original; purge the b side
+    val nearPairs = DedupExtras.minhashLshDedupOf(exactDeduped)
+    val pairs = nearPairs.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 902L)),
+      s"exactly the planted near-dup pair must surface; got $pairs")
+    val deduped = exactDeduped.join(
+      nearPairs.select(col("b_id").as("doc_id")), Seq("doc_id"), "left_anti")
     assert(deduped.count() == 120)
 
     // stage 3: decontamination — the planted benchmark overlap flags; drop it
