@@ -36,11 +36,13 @@ class CurationPipelineSpec extends AnyFunSuite {
     val benchSnippet = "alpha beta gamma delta epsilon zeta eta theta"
     //  - id 902: a NEAR-duplicate of id 2 (one word changed) — exact dedup
     //    must NOT drop it; the MinHash stage must pair it with 2
+    //  - id 903: junk (all punctuation) — the quality gate must drop it
     val nearDupText = base(2)._3.split(" ").dropRight(1).mkString(" ") + " changedword"
     val raw = (base ++ Seq(
       (900L, "web", base(0)._3),
       (901L, "books", base(1)._3),
-      (902L, "web", nearDupText))).toDF("doc_id", "source", "text")
+      (902L, "web", nearDupText),
+      (903L, "web", "!!! ??? ... --- ;;; ((( ))) [[[ ]]] !!!"))).toDF("doc_id", "source", "text")
       .withColumn("text",
         when(col("doc_id") === 5, concat(col("text"), lit(" reach me at jane.doe@corp.example.com acct 1234567")))
           .when(col("doc_id") === 7, concat(col("text"), lit(s" $benchSnippet")))
@@ -56,8 +58,15 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(pii == Set(5L), s"only the planted PII doc may flag; got $pii")
     assert(scrubbed.filter(col("text").contains("@")).count() == 0, "emails must be gone post-scrub")
 
+    // stage 1b: quality gate — the all-punctuation plant scores near zero
+    // (punct_ratio 1.0, no stopwords) and is the only doc under the bar
+    val quality = TextAnalysis.qualityScoreOf(scrubbed)
+    val junk = quality.filter(col("quality") < 0.4).select($"doc_id").as[Long].collect().toSet
+    assert(junk == Set(903L), s"exactly the planted junk doc may fail the gate; got $junk")
+    val gated = scrubbed.join(quality.filter(col("quality") >= 0.4).select("doc_id"), Seq("doc_id"))
+
     // stage 2: exact dedup — the two planted copies drop, keepers stay
-    val exactDeduped = TextAnalysis.dedupSurvivorsOf(scrubbed.select(col("doc_id"), col("source"), col("text")))
+    val exactDeduped = TextAnalysis.dedupSurvivorsOf(gated.select(col("doc_id"), col("source"), col("text")))
     val ids = exactDeduped.select($"doc_id").as[Long].collect().toSet
     assert(!ids.contains(900L) && !ids.contains(901L), "planted duplicates must not survive")
     assert(ids.contains(0L) && ids.contains(1L) && ids.contains(902L),
@@ -89,6 +98,15 @@ class CurationPipelineSpec extends AnyFunSuite {
     val minSrc = cleanBySource.minBy(_._2)._1
     assert(bySource(minSrc) == cleanBySource(minSrc), "the smallest source passes whole")
     assert(bySource("web") < cleanBySource("web"), "the dominant source must downsample")
+
+    // stage 4b: tokenize — fit the vocab on the KEPT corpus, encode to
+    // fixed-length id sequences (SOS/EOS/PAD framing); 31-token docs fit
+    // comfortably under SeqLen, so every kept doc encodes
+    val vocab = graft.operators.TextPipeline.fitVocab(mixed.select(col("doc_id"), col("text")))
+    val encoded = graft.operators.TextPipeline.encodeWith(mixed.select(col("doc_id"), col("text")), vocab)
+    assert(encoded.count() == mixed.count(), "every kept doc must encode")
+    assert(encoded.select(size($"token_ids")).distinct().as[Int].head() == 64,
+      "sequences must pad to the fixed length")
 
     // stage 5+6: embed the kept docs, build the persisted sign-bit index
     val emb = Embed.embedColumn[String](
