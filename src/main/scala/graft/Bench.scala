@@ -37,7 +37,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val splitKeys = Set("q38_build", "q38_probe", "q48_probe", "q53_probe",
-      "q55_graphbuild", "q55_probe", "q57_codes", "q57_probe")
+      "q55_graphbuild", "q55_probe", "q57_codes", "q57_probe",
+      "q62_build", "q62_pairs")
     only.foreach { keys =>
       // fail LOUD on empty/unknown keys: a typo'd filter would otherwise
       // print a 0-second "benchmark" that looks like a perfect result
@@ -102,6 +103,17 @@ object Bench {
           if (wantedSplit("q55_graphbuild")) out += "q55_graphbuild" -> graphSec
           if (wantedSplit("q55_probe"))
             out += "q55_probe" -> medOf(force(GraphAnn.probeGraph(spark, indexDir, q, k = 3, nprobe = 1, ef = Int.MaxValue)))
+        }
+        if (wantedSplit("q62_build") || wantedSplit("q62_pairs")) {
+          // sign-bit near-dup lifecycle split: the scan-local quantizer
+          // build (no training pass) vs the co-bucketed pair ranking —
+          // separately attributable so a regression in either half of the
+          // 100 TB dedup path cannot hide inside q62's lifecycle number
+          val sbDir = java.nio.file.Files.createTempDirectory("graft_bench_signbit").toString
+          val sbBuildSec = timed(IvfIndex.buildSignBit(spark, emb, sbDir))
+          if (wantedSplit("q62_build")) out += "q62_build" -> sbBuildSec
+          if (wantedSplit("q62_pairs"))
+            out += "q62_pairs" -> medOf(force(graft.operators.Dedup.nearDupPairsViaIndex(spark, sbDir, k = 100)))
         }
         if (wantedSplit("q57_codes") || wantedSplit("q57_probe")) {
           // PQ lifecycle split: codebook train + code layout write vs the
