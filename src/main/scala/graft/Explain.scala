@@ -15,7 +15,9 @@ object Explain {
                          "q47_detokenize", "q49_quantize_int8",
                          "q53_multiprobe_index", "q55_graph_ann_probe",
                          "q56_index_blocked_neardup", "q57_ivfpq_probe",
-                         "q59_cross_modal_search", "q60_decontaminate")
+                         "q59_cross_modal_search", "q60_decontaminate",
+                         "q62_scaled_neardup", "q63_cross_modal_index",
+                         "q64_recall_audit", "q66_salted_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
