@@ -214,6 +214,21 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[RollingHash].getCanonicalName, RollingHash.Name),
       (exprs: Seq[Expression]) =>
         RollingHash(exprs.head, RollingHash.DefaultBase, RollingHash.DefaultModulus)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.BloomAggName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getCanonicalName,
+        GraftFunctions.BloomAggName),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.BloomMightContainName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getCanonicalName,
+        GraftFunctions.BloomMightContainName),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.StripCosineCasts)
     e.injectOptimizerRule(_ => graft.plans.StripRedundantNormalize)
   }

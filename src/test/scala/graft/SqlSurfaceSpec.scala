@@ -40,4 +40,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getSeq[Double](0) == Seq(0.6, 0.8))
     assert(row.getSeq[Double](1) == Seq(0.0, 0.0))
   }
+
+  test("bloom filter functions are callable from SQL: build on one set, probe another") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    (0 until 100).map(i => s"member$i").toDF("w").createOrReplaceTempView("members")
+    // members must all hit; the disjoint probe set should ~all miss
+    // (fpp bounded well below 1 at 10 bits/element)
+    // the bloom side must be a constant or scalar subquery (the
+    // BloomFilterMightContain contract) — hence (SELECT ... ) inline
+    val r = spark.sql(
+      """WITH bf AS (
+        |  SELECT graft_bloom_agg(xxhash64(w), 100L, 1000L) AS b FROM members
+        |)
+        |SELECT
+        |  (SELECT COUNT(*) FROM members m
+        |   WHERE graft_bloom_might_contain((SELECT b FROM bf), xxhash64(m.w))) AS hits,
+        |  (SELECT COUNT(*) FROM (SELECT concat('other', w) AS w FROM members) o
+        |   WHERE graft_bloom_might_contain((SELECT b FROM bf), xxhash64(o.w))) AS false_hits""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 100, "every member must hit its own bloom filter")
+    assert(r.getLong(1) < 50, s"a disjoint set must mostly miss; got ${r.getLong(1)}/100 false positives")
+  }
 }
