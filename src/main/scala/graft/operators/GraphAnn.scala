@@ -308,7 +308,7 @@ object GraphAnn {
       .collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
       .groupBy(_._1).map { case (l, a) => (l, a.map(_._2).sortBy(_._1)) }
-    val lists = qByList.keys.toArray.sorted
+    val lists = qByList.keys.toSeq.sorted
     val bcQ = spark.sparkContext.broadcast(qByList)
 
     implicit val encK = Encoders.scalaLong
@@ -375,7 +375,7 @@ object GraphAnn {
     val routed = IvfIndex.route(spark, indexDir, queries, nprobe).localCheckpoint(true)
     // list-scale (<= nlist) — the partition-pruning IN-list, NOT the queries
     val lists = routed.select(col("probe_list")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted.toSeq
 
     val graphRows = spark.read.parquet(graphPath(indexDir))
       .filter(col("list_id").isin(lists: _*)) // partition-pruned scan

@@ -334,7 +334,7 @@ object IvfIndex {
     // The routing decision: nprobe × |queries| ints — this literal IN-list
     // is what turns the list_id predicate into a static partition filter.
     val lists = routed.select(col("probe_list")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted.toSeq
     // LWW over the pruned rows: a re-upserted id inside a probed list never
     // surfaces stale. A re-upsert whose embedding MOVED lists leaves a stale
     // row in the old list until [[compact]] runs — the documented
@@ -409,9 +409,9 @@ object IvfIndex {
       .localCheckpoint(true)
 
     val lists = routed.select(col("probe_list")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted.toSeq
     val qlabels = routed.select(col("qlabel")).distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
+      .collect().map(_.get(0)).sortBy(_.toString).toSeq
     // ORDER MATTERS: last-writer-wins FIRST, label cut AFTER — filtering
     // versions by label before LWW would resurrect a superseded row whose
     // OLD label matches the query. The scan-level label pushdown

@@ -294,7 +294,7 @@ object Pq {
     // materialized batch instead of re-running the centroid crossJoin
     val routed = IvfIndex.route(spark, indexDir, queries, nprobe).localCheckpoint(true)
     val lists = routed.select(col("probe_list")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted.toSeq
     // per-query ADC tables + each query's own probed-list set (query-scale)
     val probeSets: Map[Long, Set[Long]] = routed.select(col("qid"), col("probe_list"))
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -594,7 +594,7 @@ object TextAnalysis {
     // derived-crawl ids offset by max(doc_id)+1, not a fixed literal: a
     // corpus with ids >= the literal would silently collide with the union
     // (ADVICE r5). One tiny max aggregate; the oracle mirrors it.
-    val offset = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val crawl = base.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + offset).as("doc_id"), lit("crawl").as("source"))
     domainMixOf(base.unionByName(crawl))
