@@ -548,6 +548,14 @@ object TextAnalysis {
     * extra aggregate pass costs more than it saves; this is the
     * larger-suite escape hatch, benchmarked in BASELINE.md.
     */
+  /** q67_decontaminate_bloom — [[decontaminateBloom]] as its own declared
+    * row (round 6): the oracle is EXACTLY q60's (the bloom pre-cut +
+    * exact confirm provably reproduce the broadcast join — the q57/q66
+    * equivalence-oracle pattern), so the driver hash-verifies that the
+    * codegen'd bloom path, false positives and all, returns the identical
+    * decontamination result. The declared q60 keeps the plain join as the
+    * small-suite default; this row is the large-suite path's hard signal.
+    */
   def decontaminateBloom(spark: SparkSession, sfDir: String, n: Int = 8,
                          bitsPerGram: Long = 10L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
