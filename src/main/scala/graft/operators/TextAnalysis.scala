@@ -632,6 +632,109 @@ object TextAnalysis {
       .select(docs.columns.map(col).toSeq: _*)
   }
 
+  /** q68_sentence_dedup — SUB-document exact dedup, the boilerplate-removal
+    * pass (round 6): document-level dedup (q15) cannot touch a sentence
+    * repeated across distinct documents — the web-boilerplate shape
+    * ("subscribe to our newsletter") that document-granularity passes
+    * leave in every page. Each document splits into sentences; a sentence
+    * survives only at its GLOBAL first occurrence (min (doc_id, pos),
+    * deterministic); documents reassemble from their surviving sentences
+    * in original order. Emits (doc_id, n_sentences, n_kept, cleaned).
+    *
+    * The fixture's texts are single sentences, so — the q32/q52 derivation
+    * pattern — the query derives multi-sentence documents first (words
+    * regrouped into 8-token sentences) and plants the boilerplate on
+    * every doc_id % 7 == 3; the pass must strip all but the first plant.
+    *
+    * 100 TB shape: sentences shuffle by 16-byte fingerprint for the
+    * first-occurrence aggregate (map-side combined min), survivors
+    * semi-join on (fp, key) — no window over the corpus — and the rebuild
+    * regroups by doc_id. Both shuffles carry sentence-scale rows.
+    */
+  def sentenceDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), "\\s+")
+    val multi = concat_ws(". ",
+      transform(sequence(lit(0), floor((size(t) - 1) / 8).cast("int")),
+        i => concat_ws(" ", slice(t, i * 8 + 1, lit(8)))))
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(multi, lit(". subscribe to our newsletter for updates")))
+          .otherwise(multi).as("text"))
+    sentenceDedupOf(corpus)
+  }
+
+  /** Composable core of q68 for ANY (doc_id, text, …) corpus with
+    * '. '-separated sentences.
+    */
+  def sentenceDedupOf(corpus: DataFrame): DataFrame = {
+    val sents = corpus
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+      .toDF("doc_id", "pos", "sentence")
+      .filter(length(trim(col("sentence"))) > 0)
+      .withColumn("fp", md5(trim(col("sentence"))))
+      // global-order key: (doc_id, pos) packed into one long so the
+      // first-occurrence reduce is a plain min (map-side combined) and
+      // the oracle recomputes it with integer arithmetic
+      .withColumn("k", col("doc_id") * 1000000L + col("pos"))
+    val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
+    val kept = sents.join(firsts, Seq("fp", "k"), "left_semi")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(". ",
+          transform(array_sort(collect_list(struct(col("pos"), col("sentence")))),
+            s => s.getField("sentence"))).as("cleaned"))
+    val totals = sents.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"))
+    corpus.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q68OracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 3
+      |              THEN m || '. subscribe to our newsletter for updates'
+      |              ELSE m END AS text
+      |  FROM (
+      |    SELECT doc_id,
+      |           array_to_string(list_transform(range(0, (len(t) - 1) // 8 + 1),
+      |             i -> array_to_string(list_slice(t, CAST(i * 8 + 1 AS INT), CAST(i * 8 + 8 AS INT)), ' ')), '. ') AS m
+      |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+      |  )
+      |), sp AS (
+      |  SELECT doc_id, string_split(text, '. ') AS parts FROM corpus
+      |), s0 AS (
+      |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS sentence FROM sp
+      |), f AS (
+      |  SELECT doc_id, pos, sentence, md5(trim(sentence)) AS fp,
+      |         doc_id * 1000000 + pos AS k
+      |  FROM s0 WHERE len(trim(sentence)) > 0
+      |), firsts AS (
+      |  SELECT fp, MIN(k) AS k FROM f GROUP BY fp
+      |), kept AS (
+      |  SELECT f.doc_id, f.pos, f.sentence FROM f JOIN firsts USING (fp, k)
+      |), rebuilt AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(sentence, '. ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id
+      |), totals AS (
+      |  SELECT doc_id, COUNT(*) AS n_sentences FROM f GROUP BY doc_id
+      |)
+      |SELECT c.doc_id,
+      |       CAST(COALESCE(t.n_sentences, 0) AS BIGINT) AS n_sentences,
+      |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       COALESCE(r.cleaned, '') AS cleaned
+      |FROM corpus c
+      |LEFT JOIN totals t USING (doc_id)
+      |LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
   val q61OracleSql: String =
     """WITH corpus AS (
       |  SELECT doc_id, source FROM documents

@@ -77,6 +77,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.forall(_._1 % 97 != 0))
   }
 
+  test("sentence dedup keeps only the GLOBAL first occurrence; documents reassemble in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha one. shared boiler. alpha two"),
+      (2L, "beta one. shared boiler. beta two"), // cross-doc boilerplate: stripped here
+      (3L, "shared boiler"),                     // entirely boilerplate: zero survivors
+      (4L, "gamma one. gamma one. gamma two")    // in-doc repeat dedups too
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.sentenceDedupOf(corpus)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 3L, 3L, "alpha one. shared boiler. alpha two")),
+      s"doc 1 holds the first occurrence and keeps everything; got ${m(1L)}")
+    assert(m(2L) == ((2L, 3L, 2L, "beta one. beta two")), s"got ${m(2L)}")
+    assert(m(3L) == ((3L, 1L, 0L, "")), s"got ${m(3L)}")
+    assert(m(4L) == ((4L, 3L, 2L, "gamma one. gamma two")), s"got ${m(4L)}")
+  }
+
   test("decontaminateBloom equals decontaminate row-for-row: the exact confirm join kills false positives") {
     import spark.implicits._
     val exact = TextAnalysis.decontaminate(spark, TestSpark.Sf0001)
