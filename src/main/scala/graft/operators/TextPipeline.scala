@@ -531,4 +531,57 @@ object TextPipeline {
       |            ELSE round(list_aggregate(list_transform(toks, x -> CAST(len(x) AS DOUBLE)), 'sum') / len(toks), 6)
       |       END AS avg_tok_len
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q69_pack_sequences — training-sequence packing (round 6), the step
+    * between tokenize and train: documents concatenate greedily into
+    * fixed-budget training sequences (here 256 tokens), each doc assigned
+    * the pack its RUNNING PREFIX starts in — the standard
+    * pack-by-cumulative-length rule, deterministic for a fixed order.
+    *
+    * The scale decision is WHERE the running sum runs: a global cumsum is
+    * a single-ordering anti-pattern (one task sorts the corpus), so docs
+    * pack within (lang, shard) groups — shard = doc_id mod 8, the
+    * per-output-file sharding every real pipeline packs inside anyway.
+    * Group count scales with the corpus (K knob), each window is
+    * corpus/|lang|/K rows, and packs never span shards (padding waste at
+    * shard boundaries is the documented, bounded price). Emits one row
+    * per doc: (lang, shard, doc_id, n_tokens, pack_id, pack_offset).
+    */
+  def packSequences(spark: SparkSession, sfDir: String, budget: Int = 256,
+                    shards: Int = 8): DataFrame =
+    packSequencesOf(Tables.documents(spark, sfDir), budget, shards)
+
+  /** Composable core of q69 for ANY (doc_id, lang, text, …) corpus. */
+  def packSequencesOf(docs: DataFrame, budget: Int = 256, shards: Int = 8): DataFrame = {
+    val sized = docs
+      .select(col("lang"), pmod(col("doc_id"), lit(shards)).cast("long").as("shard"),
+        col("doc_id"), size(tokenArr(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sized
+      .withColumn("prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        floor(col("prefix") / budget).cast("long").as("pack_id"),
+        pmod(col("prefix"), lit(budget.toLong)).as("pack_offset"))
+      .orderBy(col("lang"), col("shard"), col("doc_id"))
+  }
+
+  val q69OracleSql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id % 8 AS shard, doc_id,
+      |         CAST(len(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), p AS (
+      |  SELECT lang, shard, doc_id, n_tokens,
+      |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      |  FROM d
+      |)
+      |SELECT lang, shard, doc_id, n_tokens,
+      |       prefix // 256 AS pack_id,
+      |       prefix % 256 AS pack_offset
+      |FROM p
+      |ORDER BY lang, shard, doc_id""".stripMargin
 }

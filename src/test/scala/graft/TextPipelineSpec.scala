@@ -142,4 +142,27 @@ class TextPipelineSpec extends AnyFunSuite {
       assert(resp == text.drop(40).take(60).trim)
     }
   }
+
+  test("sequence packing follows the greedy prefix rule inside each (lang, shard) group") {
+    import org.apache.spark.sql.functions.col
+    // one lang, doc_ids all ≡ 0 mod 8 (a single shard), 40 tokens per doc:
+    // prefixes 0,40,80,... so with budget 100 the pack boundaries are known
+    val docs = (0 until 6).map(i => (i * 8L, "en", (0 until 40).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextPipeline.packSequencesOf(docs, budget = 100, shards = 8)
+      .select($"doc_id", $"n_tokens", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // prefix: 0,40,80,120,160,200 → pack floor(prefix/100): 0,0,0,1,1,2
+    assert(out == Seq(
+      (0L, 40L, 0L, 0L), (8L, 40L, 0L, 40L), (16L, 40L, 0L, 80L),
+      (24L, 40L, 1L, 20L), (32L, 40L, 1L, 60L), (40L, 40L, 2L, 0L)),
+      s"got $out")
+    // packs never span (lang, shard) groups: a second shard restarts at 0
+    val two = TextPipeline.packSequencesOf(
+      docs.unionByName(Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")),
+      budget = 100, shards = 8)
+    val shard1 = two.filter(col("shard") === 1)
+      .select($"pack_id", $"pack_offset").as[(Long, Long)].collect().toSeq
+    assert(shard1 == Seq((0L, 0L)), s"a fresh shard must restart its packing; got $shard1")
+  }
 }
