@@ -108,6 +108,13 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(encoded.select(size($"token_ids")).distinct().as[Int].head() == 64,
       "sequences must pad to the fixed length")
 
+    // stage 4c: pack the kept docs into training sequences — every doc
+    // lands in a pack, offsets stay under the budget
+    val packed = graft.operators.TextPipeline.packSequencesOf(
+      mixed.select(col("doc_id"), lit("en").as("lang"), col("text")), budget = 128)
+    assert(packed.count() == mixed.count(), "every kept doc must pack")
+    assert(packed.filter($"pack_offset" >= 128 || $"pack_offset" < 0).count() == 0)
+
     // stage 5+6: embed the kept docs, build the persisted sign-bit index
     val emb = Embed.embedColumn[String](
       mixed.select(col("doc_id"), col("text")), "text", "embedding", Embed.hashingTextEncoder(32))

@@ -159,4 +159,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"the aggregate tail must stay a hash aggregate, no window;\n$p")
   }
+
+  test("q68 sentence dedup: fingerprint min-aggregate + semi-join, no corpus window, no cartesian") {
+    val p = plan(graft.operators.TextAnalysis.sentenceDedup(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"first-occurrence selection must stay join-shaped;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the global first-occurrence must be a min AGGREGATE, not a window over the sentence stream;\n$p")
+  }
+
+  test("q69 packing windows hash-partition by (lang, shard) — never a single global ordering") {
+    val df = graft.operators.TextPipeline.packSequences(spark, TestSpark.Sf0001)
+    val p  = plan(df)
+    assert(p.contains("hashpartitioning(lang"),
+      s"the running sum must shuffle by the (lang, shard) group key;\n$p")
+    // the only allowed single-partition stage is the tiny presentation sort
+    val windowIdx = p.indexOf("RunningWindowFunction") max p.indexOf("Window")
+    assert(windowIdx >= 0 && !p.substring(windowIdx).contains("SinglePartition"),
+      s"no single-partition exchange may feed or follow the packing window;\n$p")
+  }
 }
