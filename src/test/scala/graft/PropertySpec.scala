@@ -77,4 +77,34 @@ class PropertySpec extends AnyFunSuite {
     assert(v.map(_._2).distinct.length == v.length, "ids unique")
     assert(v.map(_._2).sorted.toSeq == v.indices.map(_.toLong), "ids dense 0..n-1")
   }
+
+  test("sentence dedup is idempotent: a second pass over the cleaned corpus changes nothing") {
+    import spark.implicits._
+    // generated corpora with REPEATED sentences across docs (scalacheck
+    // picks sentence ids from a small pool, so collisions are plentiful)
+    val gen = Gen.listOfN(20, Gen.listOfN(5, Gen.choose(0, 12)))
+    val sentencesPool = (0 until 13).map(i => s"sentence $i body")
+    forAllSamples(gen, samples = 5) { docsSpec =>
+      val corpus = docsSpec.zipWithIndex
+        .map { case (ss, i) => (i.toLong, ss.map(sentencesPool).mkString(". ")) }
+        .toDF("doc_id", "text")
+      val once = graft.operators.TextAnalysis.sentenceDedupOf(corpus)
+      // feed the CLEANED texts back through the pass
+      val again = graft.operators.TextAnalysis.sentenceDedupOf(
+        once.select(col("doc_id"), col("cleaned").as("text")))
+      val a = once.select($"doc_id", $"n_kept", $"cleaned").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val b = again.select($"doc_id", $"n_kept", $"cleaned").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      // every survivor of pass 1 is already the global first occurrence of
+      // its fingerprint, so pass 2 must keep everything (n_sentences of
+      // pass 2 == n_kept of pass 1) and rebuild identical text
+      assert(a == b, s"second pass must be the identity;\nonce:  $a\nagain: $b")
+    }
+  }
+
+  /** Evaluate a deterministic block over a few scalacheck samples. */
+  private def forAllSamples[A](gen: Gen[A], samples: Int)(body: A => Unit): Unit =
+    (0 until samples).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L + i))
+        .getOrElse(fail("generator exhausted")))
+    }
 }
