@@ -7,6 +7,7 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 """
 import json, sys, math
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 from pathlib import Path
@@ -23,8 +24,20 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def _is_int(x) -> bool:
+    return isinstance(x, (int, np.integer)) and not isinstance(x, (bool, np.bool_))
+
+def _is_float(x) -> bool:
+    return isinstance(x, (float, np.floating))
+
 def values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
+    # The driver's value hash is TYPE-sensitive: DuckDB HUGEINT surfacing as
+    # float64 0.0 vs Spark long 0 fails it, but numpy's `0 == 0.0` is true —
+    # that masking shipped q69 red in round 6 (VERDICT r6 item 2). Reject
+    # int-vs-float cross-type equality outright.
+    if (_is_int(a) and _is_float(b)) or (_is_float(a) and _is_int(b)):
+        return False
+    if _is_float(a) and _is_float(b):
         if math.isnan(a) and math.isnan(b):
             return True
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
@@ -65,6 +78,19 @@ def main():
             continue
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns differ spark={list(s.columns)} duck={list(d.columns)}")
+            failures += 1
+            continue
+        # Dtype-kind diff: catches numeric-type drift (e.g. DuckDB HUGEINT →
+        # float64 vs Spark int64) even where every value happens to compare
+        # equal numerically. Kind-level ('i' vs 'f'), not width-level, so
+        # int32-vs-int64 doesn't false-alarm.
+        kind_bad = [(c, s[c].dtype, d[c].dtype) for c in s.columns
+                    if s[c].dtype.kind != d[c].dtype.kind
+                    and not (s[c].dtype.kind in "iuf" and d[c].dtype.kind == "O" and d[c].isna().any())
+                    and not (d[c].dtype.kind in "iuf" and s[c].dtype.kind == "O" and s[c].isna().any())]
+        if kind_bad:
+            c, sk, dk = kind_bad[0]
+            print(f"FAIL {name}: dtype drift col {c}: spark={sk} duck={dk}")
             failures += 1
             continue
         if len(s) != len(d):

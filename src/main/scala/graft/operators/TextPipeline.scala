@@ -580,8 +580,8 @@ object TextPipeline {
       |  FROM d
       |)
       |SELECT lang, shard, doc_id, n_tokens,
-      |       prefix // 256 AS pack_id,
-      |       prefix % 256 AS pack_offset
+      |       CAST(prefix // 256 AS BIGINT) AS pack_id,
+      |       CAST(prefix % 256 AS BIGINT) AS pack_offset
       |FROM p
       |ORDER BY lang, shard, doc_id""".stripMargin
 }
