@@ -672,11 +672,17 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
       .toDF("doc_id", "pos", "sentence")
       .filter(length(trim(col("sentence"))) > 0)
-      .withColumn("fp", md5(trim(col("sentence"))))
-      // global-order key: (doc_id, pos) packed into one long so the
-      // first-occurrence reduce is a plain min (map-side combined) and
-      // the oracle recomputes it with integer arithmetic
-      .withColumn("k", col("doc_id") * 1000000L + col("pos"))
+      // raw 16-byte fingerprint (not the 32-char hex) — halves the bytes
+      // the sentence stream shuffles for the first-occurrence aggregate
+      .withColumn("fp", unhex(md5(trim(col("sentence")))))
+      // global-order key: (doc_id, pos) packed into DECIMAL(38,0) —
+      // fixed-width 16 bytes, so the first-occurrence reduce stays a
+      // map-side-combined HashAggregate (a struct/binary key would demote
+      // it to SortAggregate, sorting the sentence stream by fp for
+      // nothing), while the 10^12 stride makes the packing exact for any
+      // doc under a trillion sentences and any doc_id under 10^26
+      .withColumn("k",
+        col("doc_id").cast("decimal(20,0)") * lit(1000000000000L) + col("pos"))
     val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
     val kept = sents.join(firsts, Seq("fp", "k"), "left_semi")
     val rebuilt = kept.groupBy(col("doc_id"))
@@ -712,8 +718,8 @@ object TextAnalysis {
       |), s0 AS (
       |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS sentence FROM sp
       |), f AS (
-      |  SELECT doc_id, pos, sentence, md5(trim(sentence)) AS fp,
-      |         doc_id * 1000000 + pos AS k
+      |  SELECT doc_id, pos, sentence, unhex(md5(trim(sentence))) AS fp,
+      |         CAST(doc_id AS HUGEINT) * 1000000000000 + pos AS k
       |  FROM s0 WHERE len(trim(sentence)) > 0
       |), firsts AS (
       |  SELECT fp, MIN(k) AS k FROM f GROUP BY fp
