@@ -22,6 +22,13 @@ object Dedup {
     * synthetic fixtures top out near cosine 0.45). `orderBy + limit`
     * compiles to TakeOrderedAndProject — a distributed per-partition top-k
     * merge, not a single-partition global sort.
+    *
+    * DECLARED ROLE (round 7, settled): this is the exact CANDIDATE-BUCKET
+    * VERIFIER of the dedup family — all-pairs inside label blocks,
+    * deliberately quadratic in block size, kept as the ground truth the
+    * bucketed siblings' recall is measured against (DedupSpec). It is
+    * never the shape run corpus-wide at scale; the scale paths are
+    * [[scaledNearDup]] (q62, embedding space) and MinHash/LSH (q16, text).
     */
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -81,12 +88,20 @@ object Dedup {
 
   /** q56_index_blocked_neardup — [[nearDupPairsViaIndex]] as a declared,
     * oracle-checked query: build the persisted IVF index over the fixture
-    * embeddings, then rank within-list pairs. This is the 100 TB dedup
-    * path getting its own hard driver signal — q10 (the exact all-pairs
-    * verifier) stays the measured-quadratic reference; this row proves the
-    * sub-quadratic sibling returns exactly the pairs its blocking
-    * contract promises (the oracle recomputes the nearest-centroid
-    * assignment algebraically and joins a×b on the assigned list).
+    * embeddings, then rank within-list pairs. The row proves the blocked
+    * sibling returns exactly the pairs its blocking contract promises
+    * (the oracle recomputes the nearest-centroid assignment algebraically
+    * and joins a×b on the assigned list).
+    *
+    * DECLARED ROLE (round 7, settled): the ORACLE-VERIFIABLE FLOOR of the
+    * blocked-dedup family. Its label-derived fixed-nlist build exists
+    * BECAUSE the oracle can recompute it exactly — it is not scale-tuned
+    * (measured exp 1.94 at sf10, BASELINE.md round-5 table) and is not
+    * the shape to run at 100 TB. The scale shape is [[scaledNearDup]]
+    * (q62): the SAME ranking over the nlist∝n sign-bit build, under the
+    * hard hash signal since round 6 and measured linear. q56 stays
+    * declared so the family keeps one row whose full build+rank layout an
+    * external engine re-derives from scratch.
     */
   def indexBlockedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
