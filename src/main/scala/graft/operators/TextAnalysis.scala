@@ -547,6 +547,14 @@ object TextAnalysis {
     * plain broadcast join: at the fixture's benchmark size the bloom's
     * extra aggregate pass costs more than it saves; this is the
     * larger-suite escape hatch, benchmarked in BASELINE.md.
+    *
+    * Sizing note: Spark clamps BloomFilterAggregate's arguments to the
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * SQLConf caps (defaults 4M items / 67M bits ≈ 6.7M grams at the
+    * default 10 bits/gram). This operator raises those caps to the
+    * suite's actual size before aggregating — results are identical
+    * either way (the confirm join is exact); the raise preserves the
+    * declared bits-per-gram and the pre-cut's selectivity.
     */
   /** q67_decontaminate_bloom — [[decontaminateBloom]] as its own declared
     * row (round 6): the oracle is EXACTLY q60's (the bloom pre-cut +
@@ -564,9 +572,22 @@ object TextAnalysis {
     val benchGrams = wordGrams(bench, n).select("gram").distinct()
       .localCheckpoint(true) // two consumers: the bloom aggregate + the confirm join
     val items = math.max(benchGrams.count(), 1L)
+    val bits  = math.max(items * bitsPerGram, 64L)
+    // Spark's BloomFilterAggregate SILENTLY clamps its numItems/numBits
+    // arguments to spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,
+    // maxNumBits} (defaults 4M items / 67M bits ≈ 6.7M grams at 10
+    // bits/gram). A clamped filter stays CORRECT — the exact confirm join
+    // kills the extra false positives — but the promised fpp (and the
+    // pre-cut's selectivity) quietly degrades, so raise the caps to what
+    // this suite actually needs instead of shipping a degraded filter.
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"  -> bits)
+      .foreach { case (key, needed) =>
+        if (spark.conf.get(key).toLong < needed) spark.conf.set(key, needed)
+      }
     val bloom = benchGrams
       .agg(call_function(BloomAggName, xxhash64(col("gram")),
-        lit(items), lit(math.max(items * bitsPerGram, 64L))).as("bf"))
+        lit(items), lit(bits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     val candidates = wordGrams(corpus, n)
       .filter(call_function(BloomMightContainName, lit(bloom), xxhash64(col("gram"))))

@@ -108,4 +108,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(bloomNormal == exact)
   }
+
+  test("decontaminateBloom raises the SQLConf bloom caps instead of shipping a clamped filter") {
+    import spark.implicits._
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      // caps far below the suite's gram count: without the raise,
+      // BloomFilterAggregate would silently clamp numItems/numBits
+      spark.conf.set(itemsKey, 2L)
+      spark.conf.set(bitsKey, 64L)
+      val exact = TextAnalysis.decontaminate(spark, TestSpark.Sf0001)
+        .as[(Long, Long, Long)].collect().toSeq
+      val bloom = TextAnalysis.decontaminateBloom(spark, TestSpark.Sf0001)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(bloom == exact)
+      assert(spark.conf.get(itemsKey).toLong > 2L,
+        "the operator must raise maxNumItems to the suite size")
+      assert(spark.conf.get(bitsKey).toLong > 64L,
+        "the operator must raise maxNumBits to items * bitsPerGram")
+    } finally {
+      spark.conf.set(itemsKey, items0)
+      spark.conf.set(bitsKey, bits0)
+    }
+  }
 }
