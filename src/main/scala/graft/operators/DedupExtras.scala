@@ -45,15 +45,30 @@ object DedupExtras {
 
   /** Composable core of q16 for ANY (doc_id, text, …) corpus — the
     * sub-quadratic TEXT near-dup stage of a curation pipeline (the
-    * embedding-space sibling is [[Dedup.nearDupPairsViaIndex]]).
+    * embedding-space sibling is [[Dedup.nearDupPairsViaIndex]]): the
+    * verified pair set, presented as the top-50 by (jaccard desc, a, b).
     */
-  def minhashLshDedupOf(docs: DataFrame): DataFrame = {
+  def minhashLshDedupOf(docs: DataFrame): DataFrame =
+    minhashVerifiedPairsOf(docs)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+
+  /** ALL MinHash-band candidate pairs passing exact Jaccard verification —
+    * the un-ranked pair set (a_id, b_id, jaccard), a_id < b_id, that a
+    * DEDUP DECISION consumes (q16 presents its top-50; a removal pass like
+    * [[TextAnalysis.fuzzySentenceDedupOf]] anti-joins on it). Materialized
+    * (localCheckpoint) because the shingle cache below is operator-scoped:
+    * the pair set is decision-scale (≈ duplicate pairs, not corpus scale),
+    * the right thing to persist at 100 TB too.
+    */
+  def minhashVerifiedPairsOf(docs: DataFrame,
+                             threshold: Double = JaccardThreshold): DataFrame = {
     // The shingle sets feed three plan branches (signature build + both
     // sides of the verification join); cache so Spark doesn't recompute the
     // tokenize+shingle subtree per branch. The cache is OPERATOR-SCOPED:
-    // the (tiny, ≤50-row) result is materialized eagerly below and the
-    // cache released in the finally, so a library caller embedding this in
-    // a long-lived session leaks no cached blocks (VERDICT r2 item 4).
+    // the result is materialized eagerly below and the cache released in
+    // the finally, so a library caller embedding this in a long-lived
+    // session leaks no cached blocks (VERDICT r2 item 4).
     val sh = shingleSetsOf(docs).cache()
     try {
     // 8 INDEPENDENT salted digests per shingle — md5(i || ':' || s) — one
@@ -98,9 +113,7 @@ object DedupExtras {
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("sha"), col("shb")))
           / size(array_union(col("sha"), col("shb"))).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(50)
+      .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     } finally sh.unpersist()
   }

@@ -101,6 +101,45 @@ object TensorOps {
             "j -> cast(case when j <= i then 1 else 0 end as bigint)))")), " ").as("causal_mask"))
       .orderBy(col("vec_id"))
 
+  /** q71_greedy_decode — the reference's greedy decode LOOP (T3;
+    * reference: transformer_sample.py:562-595: iterate argmax-next until
+    * EOS or the length budget) as a dataflow operator; q42 declares one
+    * step, this row runs the whole loop. The model call is stubbed by a
+    * deterministic affine next-token map (t → (7t+3) mod 32, EOS = 0) —
+    * the same honest-stub convention as the multimodal codec socket: the
+    * loop structure, both stopping conditions (EOS hit vs budget
+    * exhausted), and the per-row state threading are real; a real scorer
+    * replaces the transition, nothing else changes. Scan-local: ONE
+    * `aggregate` HOF over the step-budget sequence with an array
+    * accumulator — no shuffle, no UDF, no driver-side loop, rows decode
+    * partition-parallel (each row's loop is independent, exactly why
+    * batch greedy decode parallelizes).
+    */
+  def greedyDecode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("aggregate(sequence(1, 11), array(cast(vec_id % 32 as bigint)), " +
+          "(acc, i) -> case when element_at(acc, -1) = 0 then acc " +
+          "else concat(acc, array((7 * element_at(acc, -1) + 3) % 32)) end)").as("toks"))
+      .select(
+        col("vec_id"),
+        array_join(transform(col("toks"), _.cast("string")), " ").as("tokens"),
+        (size(col("toks")) - 1).cast("long").as("n_steps"),
+        (element_at(col("toks"), -1) === 0).as("hit_eos"))
+      .orderBy(col("vec_id"))
+
+  val q71OracleSql: String =
+    """WITH RECURSIVE dec(vec_id, step, tok) AS (
+      |  SELECT vec_id, 0 AS step, CAST(vec_id % 32 AS BIGINT) AS tok FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, step + 1, (7 * tok + 3) % 32 FROM dec WHERE tok <> 0 AND step < 11
+      |)
+      |SELECT vec_id,
+      |       string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY step) AS tokens,
+      |       CAST(MAX(step) AS BIGINT) AS n_steps,
+      |       bool_or(tok = 0) AS hit_eos
+      |FROM dec GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val q42OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v,

@@ -685,11 +685,12 @@ object TextAnalysis {
     sentenceDedupOf(corpus)
   }
 
-  /** Composable core of q68 for ANY (doc_id, text, …) corpus with
-    * '. '-separated sentences.
+  /** Shared sentence-unit derivation of q68/q70: one row per non-empty
+    * sentence occurrence, with the raw 16-byte fingerprint and the
+    * DECIMAL(38,0) global-order key.
     */
-  def sentenceDedupOf(corpus: DataFrame): DataFrame = {
-    val sents = corpus
+  private def sentenceUnits(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
       .toDF("doc_id", "pos", "sentence")
       .filter(length(trim(col("sentence"))) > 0)
@@ -704,8 +705,12 @@ object TextAnalysis {
       // doc under a trillion sentences and any doc_id under 10^26
       .withColumn("k",
         col("doc_id").cast("decimal(20,0)") * lit(1000000000000L) + col("pos"))
-    val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
-    val kept = sents.join(firsts, Seq("fp", "k"), "left_semi")
+
+  /** Shared rebuild tail of q68/q70: surviving sentence occurrences regroup
+    * into their documents in original order; every corpus doc emits a row.
+    */
+  private def sentenceRebuild(corpus: DataFrame, sents: DataFrame,
+                              kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(". ",
@@ -720,6 +725,51 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Composable core of q68 for ANY (doc_id, text, …) corpus with
+    * '. '-separated sentences.
+    */
+  def sentenceDedupOf(corpus: DataFrame): DataFrame = {
+    val sents  = sentenceUnits(corpus)
+    val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
+    val kept   = sents.join(firsts, Seq("fp", "k"), "left_semi")
+    sentenceRebuild(corpus, sents, kept)
+  }
+
+  /** q70's core for ANY corpus — [[sentenceDedupOf]]'s exact pass extended
+    * with the FUZZY layer real boilerplate removal needs: an exact pass
+    * cannot touch "please subscribe to our newsletter for updates today"
+    * when the corpus already carries "subscribe to our newsletter for
+    * updates". The MinHash/LSH core ([[DedupExtras.minhashVerifiedPairsOf]],
+    * q16's machinery corpus-parameterized) runs at SENTENCE granularity
+    * over the distinct sentence texts — corpus-scale work stays the exact
+    * pass's fingerprint aggregate; the fuzzy layer only sees one row per
+    * DISTINCT sentence, each keyed by its first-occurrence k.
+    *
+    * Removal rule: a distinct sentence is dropped when ANY
+    * earlier-first-occurrence sentence verifies as its near-dup (Jaccard ≥
+    * `minJaccard` on word 3-shingles) — edge-dominated removal, the
+    * deterministic one-pass shape (no connected-components iteration; a
+    * dominated text is removed even if its dominator was itself removed,
+    * at worst dropping slightly more than a component-rooted pass would).
+    * Sentences under 3 tokens cannot shingle and pass through the fuzzy
+    * layer untouched (the exact pass still applies).
+    */
+  def fuzzySentenceDedupOf(corpus: DataFrame,
+                           minJaccard: Double = DedupExtras.JaccardThreshold): DataFrame = {
+    val sents  = sentenceUnits(corpus)
+    val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
+    val exact  = sents.join(firsts, Seq("fp", "k"), "left_semi")
+    // one row per DISTINCT sentence text: its first occurrence carries it
+    val distinctTexts = exact
+      .select(col("k").as("doc_id"), trim(col("sentence")).as("text"))
+    val pairs = DedupExtras.minhashVerifiedPairsOf(distinctTexts, minJaccard)
+    // a_id < b_id and k orders by (doc_id, pos): b is always the LATER
+    // first occurrence — the dominated side
+    val dominated = pairs.select(col("b_id").as("k")).distinct()
+    val kept = exact.join(dominated, Seq("k"), "left_anti")
+    sentenceRebuild(corpus, sents, kept)
   }
 
   val q68OracleSql: String =
@@ -761,6 +811,104 @@ object TextAnalysis {
       |LEFT JOIN totals t USING (doc_id)
       |LEFT JOIN rebuilt r USING (doc_id)
       |ORDER BY c.doc_id""".stripMargin
+
+  /** q70_fuzzy_sentence_dedup — [[fuzzySentenceDedupOf]] as a declared,
+    * oracle-checked query (round 7): the q68 derived corpus plus a SECOND
+    * planted boilerplate, a near-VARIANT of the first ("please … today" —
+    * word-3-shingle Jaccard 4/6 against the base) on every
+    * doc_id % 11 == 5. The exact pass alone would keep the variant's first
+    * occurrence; the fuzzy layer must remove every copy (dominated by the
+    * base boilerplate's earlier first occurrence in doc 3), while the
+    * 8-token body sentences dedup exactly as in q68. The oracle recomputes
+    * the ENTIRE pipeline — sentence split, fingerprint min, distinct-text
+    * MinHash signatures, banding, candidate join, exact Jaccard
+    * verification, dominated anti-join, ordered rebuild — in DuckDB, with
+    * the SAME NumHashes/Bands/threshold constants as q16's oracle.
+    */
+  def fuzzySentenceDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), "\\s+")
+    val multi = concat_ws(". ",
+      transform(sequence(lit(0), floor((size(t) - 1) / 8).cast("int")),
+        i => concat_ws(" ", slice(t, i * 8 + 1, lit(8)))))
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(multi,
+          when(col("doc_id") % 7 === 3,
+            lit(". subscribe to our newsletter for updates")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 5,
+            lit(". please subscribe to our newsletter for updates today")).otherwise(lit("")))
+          .as("text"))
+    fuzzySentenceDedupOf(corpus)
+  }
+
+  val q70OracleSql: String = {
+    import DedupExtras.{Bands, JaccardThreshold, NumHashes}
+    val sigSelect = (0 until NumHashes).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT k, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sigs").mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |         m || CASE WHEN doc_id % 7 = 3 THEN '. subscribe to our newsletter for updates' ELSE '' END
+       |           || CASE WHEN doc_id % 11 = 5 THEN '. please subscribe to our newsletter for updates today' ELSE '' END AS text
+       |  FROM (
+       |    SELECT doc_id,
+       |           array_to_string(list_transform(range(0, (len(t) - 1) // 8 + 1),
+       |             i -> array_to_string(list_slice(t, CAST(i * 8 + 1 AS INT), CAST(i * 8 + 8 AS INT)), ' ')), '. ') AS m
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+       |  )
+       |), sp AS (
+       |  SELECT doc_id, string_split(text, '. ') AS parts FROM corpus
+       |), s0 AS (
+       |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos, unnest(parts) AS sentence FROM sp
+       |), f AS (
+       |  SELECT doc_id, pos, sentence, unhex(md5(trim(sentence))) AS fp,
+       |         CAST(doc_id AS HUGEINT) * 1000000000000 + pos AS k
+       |  FROM s0 WHERE len(trim(sentence)) > 0
+       |), firsts AS (
+       |  SELECT fp, MIN(k) AS k FROM f GROUP BY fp
+       |), dt AS (
+       |  SELECT f.k AS k, trim(f.sentence) AS stext FROM f JOIN firsts USING (fp, k)
+       |), shg AS (
+       |  SELECT k, list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT k, regexp_extract_all(stext, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM dt)
+       |  WHERE len(toks) >= 3
+       |), ex AS (
+       |  SELECT k, unnest(sh) AS s FROM shg
+       |), sigs AS (
+       |  SELECT k, $sigSelect FROM ex GROUP BY k
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.k AS a_id, b.k AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.k < b.k
+       |), dominated AS (
+       |  SELECT DISTINCT c.b_id AS k
+       |  FROM cand c
+       |  JOIN shg sa ON sa.k = c.a_id
+       |  JOIN shg sb ON sb.k = c.b_id
+       |  WHERE round(len(list_intersect(sa.sh, sb.sh))
+       |              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) >= $JaccardThreshold
+       |), kept AS (
+       |  SELECT doc_id, pos, sentence
+       |  FROM f JOIN firsts USING (fp, k)
+       |  WHERE k NOT IN (SELECT k FROM dominated)
+       |), rebuilt AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(sentence, '. ' ORDER BY pos) AS cleaned
+       |  FROM kept GROUP BY doc_id
+       |), totals AS (
+       |  SELECT doc_id, COUNT(*) AS n_sentences FROM f GROUP BY doc_id
+       |)
+       |SELECT c.doc_id,
+       |       CAST(COALESCE(t.n_sentences, 0) AS BIGINT) AS n_sentences,
+       |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |       COALESCE(r.cleaned, '') AS cleaned
+       |FROM corpus c
+       |LEFT JOIN totals t USING (doc_id)
+       |LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
 
   val q61OracleSql: String =
     """WITH corpus AS (

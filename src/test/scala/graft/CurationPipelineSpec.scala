@@ -139,4 +139,41 @@ class CurationPipelineSpec extends AnyFunSuite {
       .select($"vec_id", $"score").as[(Long, Double)].head()
     assert(hit == (someId, 1.0), s"self-search through the index must hit at 1.0; got $hit")
   }
+
+  test("fuzzy sentence dedup strips boilerplate VARIANTS the exact pass keeps") {
+    import spark.implicits._
+    val base    = "subscribe to our freshest newsletter for daily updates"
+    val variant = base + " today" // word-3-shingle Jaccard 6/7 vs base
+    // doc-unique body sentences (no token shared across docs), boilerplate
+    // planted in waves: base on i%3==0 (first in doc 0), variant on i%3==1
+    // (first in doc 1 — LATER than the base's first occurrence)
+    val corpus = (0 until 30).map { i =>
+      val body = (0 until 3).map(j => s"w${i}a$j w${i}b$j w${i}c$j w${i}d$j").mkString(". ")
+      val extra = (i % 3: @unchecked) match {
+        case 0 => ". " + base
+        case 1 => ". " + variant
+        case 2 => ""
+      }
+      (i.toLong, body + extra)
+    }.toDF("doc_id", "text")
+
+    // precondition: the exact pass KEEPS the variant's first occurrence —
+    // this is exactly the gap the fuzzy layer exists to close
+    val exactCleaned = TextAnalysis.sentenceDedupOf(corpus)
+      .select($"doc_id", $"cleaned").as[(Long, String)].collect().toMap
+    assert(exactCleaned(1L).contains(variant),
+      "exact dedup must keep the variant (it is not byte-identical)")
+
+    val cleaned = TextAnalysis.fuzzySentenceDedupOf(corpus)
+      .select($"doc_id", $"cleaned").as[(Long, String)].collect().toMap
+    assert(cleaned(0L).contains(base), "the base's first occurrence survives")
+    assert(cleaned.values.count(_.contains(base)) == 1,
+      "the base survives ONLY at its first occurrence")
+    assert(cleaned.values.count(_.contains("today")) == 0,
+      "every copy of the variant is dominated by the earlier base and removed")
+    (0 until 30).foreach { i =>
+      assert(cleaned(i.toLong).contains(s"w${i}a0 w${i}b0 w${i}c0 w${i}d0"),
+        s"doc $i's unique body sentences must pass through untouched")
+    }
+  }
 }

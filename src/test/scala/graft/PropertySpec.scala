@@ -101,6 +101,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy sentence dedup is idempotent: survivors have no verified pair left to dominate") {
+    import spark.implicits._
+    // pool mixing a mutually-near-dup family (5 of 6 shingles shared
+    // pairwise) with mutually-distant sentences (2 of 8 shared, J=0.25)
+    val family  = (0 until 6).map(i => s"common words one two three four five v$i")
+    val distant = (0 until 7).map(i => s"unique content piece number n$i stands alone")
+    val pool    = family ++ distant
+    val gen = Gen.listOfN(15, Gen.listOfN(4, Gen.choose(0, pool.length - 1)))
+    forAllSamples(gen, samples = 5) { docsSpec =>
+      val corpus = docsSpec.zipWithIndex
+        .map { case (ss, i) => (i.toLong, ss.map(pool).mkString(". ")) }
+        .toDF("doc_id", "text")
+      val once = graft.operators.TextAnalysis.fuzzySentenceDedupOf(corpus)
+      val again = graft.operators.TextAnalysis.fuzzySentenceDedupOf(
+        once.select(col("doc_id"), col("cleaned").as("text")))
+      val a = once.select($"doc_id", $"n_kept", $"cleaned").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val b = again.select($"doc_id", $"n_kept", $"cleaned").as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      // pass 1 removed every text that verifies >= threshold against an
+      // earlier one; any pair among survivors would have verified in pass
+      // 1 too (signatures are per-text, jaccard is exact), so pass 2 is
+      // the identity
+      assert(a == b, s"second fuzzy pass must be the identity;\nonce:  $a\nagain: $b")
+      // and the fuzzy path must actually have fired: when members of the
+      // near-dup family co-occur in the corpus, exactly ONE survives
+      val present = docsSpec.flatten.map(pool).toSet.count(family.contains)
+      if (present >= 2)
+        assert(family.count(s => a.exists(_._3.contains(s))) == 1,
+          s"exactly one of the $present co-occurring family members may survive")
+    }
+  }
+
   /** Evaluate a deterministic block over a few scalacheck samples. */
   private def forAllSamples[A](gen: Gen[A], samples: Int)(body: A => Unit): Unit =
     (0 until samples).foreach { i =>

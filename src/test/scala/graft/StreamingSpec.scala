@@ -242,4 +242,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(fresh.contains(900002L),
       s"in-stream maintain must leave the graph fresh AND containing the new vector; got $fresh")
   }
+
+  test("maintain vs racing appends: versioned catalog guard detects every interleave, loses nothing") {
+    import spark.implicits._
+    import graft.operators.{GraphAnn, IvfIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintain_race").toString
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    IvfIndex.build(spark, emb, dir)
+    GraphAnn.buildGraphs(spark, dir, m = 8, efConstruction = 32)
+    val base = emb.count()
+    val seed = emb.filter(col("vec_id") === 7)
+      .select($"embedding", $"label").as[(Array[Float], Long)].head()
+
+    // Maintain is documented single-writer WITHIN a pass; the promise
+    // worth testing is what guards the cycles BETWEEN passes: the
+    // versioned catalog. Interleave appends with maintain passes —
+    // alternating brand-new ids (graph staleness) with re-sent ids
+    // (compaction debt) — and after every interleave assert the three
+    // invariants the catalog guard owes: (1) the version counter is
+    // strictly monotone, so racing sequential appends can never collide
+    // on a version; (2) graph staleness is DETECTED (probeGraph fails
+    // fast rather than silently serving the pre-append graph); (3) no
+    // appended point is ever lost across the maintain that follows.
+    var lastVersion = IvfIndex.readMeta(spark, dir).get.nextVersion
+    var expectedLive = base
+    (1 to 3).foreach { i =>
+      val newId = 910000L + i
+      IvfIndex.append(spark,
+        Seq((newId, seed._1, seed._2)).toDF("vec_id", "embedding", "label"), dir)
+      expectedLive += 1
+      IvfIndex.append(spark, // re-sent id: pure LWW debt, no live growth
+        Seq((3L, seed._1, seed._2)).toDF("vec_id", "embedding", "label"), dir)
+      val v = IvfIndex.readMeta(spark, dir).get.nextVersion
+      assert(v >= lastVersion + 2, s"two appends must burn two versions; $lastVersion -> $v")
+      lastVersion = v
+
+      assert(GraphAnn.graphsStale(spark, dir), s"interleave $i: appends must pin-mismatch the graph")
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val e = intercept[IllegalArgumentException] {
+        GraphAnn.probeGraph(spark, dir, q, k = 3, nprobe = 1, ef = 8).collect()
+      }
+      assert(e.getMessage.contains("stale"), "stale graph must fail fast, never silently serve")
+
+      val report = IvfIndex.maintain(spark, dir, debtRatio = 1.0)
+      assert(report.compacted && report.graphsRebuilt, s"interleave $i: $report")
+      val live = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(dir)))
+        .select($"vec_id").as[Long].collect().toSet
+      assert(live.size == expectedLive && (910001L to 910000L + i).forall(live),
+        s"interleave $i: every appended id must survive maintain; ${live.size} vs $expectedLive")
+      assert(IvfIndex.readMeta(spark, dir).get.nextVersion >= lastVersion,
+        "maintain must never rewind the catalog version")
+
+      val again = IvfIndex.maintain(spark, dir, debtRatio = 1.0)
+      assert(!again.compacted && !again.graphsRebuilt,
+        s"interleave $i: maintain must be idempotent until the NEXT append; got $again")
+    }
+  }
 }
