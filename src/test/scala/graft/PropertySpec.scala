@@ -132,6 +132,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("greedy decode loop matches an imperative reference loop row-for-row, both stop conditions live") {
+    import spark.implicits._
+    val out = graft.operators.TensorOps.greedyDecode(spark, TestSpark.Sf0001)
+      .select($"vec_id", $"tokens", $"n_steps", $"hit_eos")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, tokens, nSteps, hitEos) =>
+      // the loop the operator re-expresses, written imperatively
+      val buf = scala.collection.mutable.ListBuffer(id % 32)
+      while (buf.last != 0 && buf.length <= 11) buf += (7 * buf.last + 3) % 32
+      assert(tokens == buf.mkString(" "), s"row $id token trajectory")
+      assert(nSteps == buf.length - 1 && hitEos == (buf.last == 0), s"row $id loop accounting")
+    }
+    assert(out.exists(_._4) && out.exists(!_._4),
+      "the fixture must exercise BOTH stop conditions (EOS hit and budget exhausted)")
+  }
+
   /** Evaluate a deterministic block over a few scalacheck samples. */
   private def forAllSamples[A](gen: Gen[A], samples: Int)(body: A => Unit): Unit =
     (0 until samples).foreach { i =>
