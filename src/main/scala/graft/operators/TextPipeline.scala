@@ -165,6 +165,25 @@ object TextPipeline {
       .orderBy(col("id"))
   }
 
+  /** The reference's raw dataset rows are NESTED translation structs —
+    * `{"translation": {"en": …, "it": …}}` (reference:
+    * text_vector_db.py:26-29, transformer_sample.py:494-495, the
+    * opus_books shape) — while the engine's corpus operators take flat
+    * (doc_id, lang, text). This is the bridge: one output row per
+    * (doc, lang) via a scan-local `stack` over the struct's fields — a
+    * generator projection, no shuffle, and the struct field reads are
+    * column-pruned at the scan (only `translation.en`/`.it` are read,
+    * never the whole row). Null/missing translations drop out, matching
+    * the reference's per-pair iteration.
+    */
+  def flattenTranslations(rows: DataFrame, langs: Seq[String]): DataFrame = {
+    require(langs.nonEmpty, "flattenTranslations: at least one language")
+    val stackArgs = langs.map(l => s"'$l', translation.`$l`").mkString(", ")
+    rows
+      .selectExpr("doc_id", s"stack(${langs.length}, $stackArgs) AS (lang, text)")
+      .filter(col("text").isNotNull)
+  }
+
   /** Tokenizer-artifact persistence (S8): the reference saves/loads its
     * vocab as JSON (reference: transformer_sample.py:395-411,
     * tokenizer_en.json) so a trained tokenizer is reusable across runs.

@@ -168,6 +168,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the global first-occurrence must be a min AGGREGATE, not a window over the sentence stream;\n$p")
   }
 
+  test("q70 fuzzy sentence dedup: hash aggregates + equi-joins only — no cartesian, no window, no sort-agg") {
+    val p = plan(graft.operators.TextAnalysis.fuzzySentenceDedup(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"banding must keep candidate generation an equi-join;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"first-occurrence and dominance must stay aggregates/joins, no corpus window;\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"the DECIMAL key and band aggregates must stay hash-based;\n$p")
+  }
+
+  test("q71 greedy decode is scan-local: the only exchange is the presentation sort") {
+    val p = plan(graft.operators.TensorOps.greedyDecode(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"per-row decode must not join;\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, // rangepartitioning for orderBy (+ AQE read)
+      s"decode must be scan-local, only the output ordering may shuffle;\n$p")
+  }
+
   test("q69 packing windows hash-partition by (lang, shard) — never a single global ordering") {
     val df = graft.operators.TextPipeline.packSequences(spark, TestSpark.Sf0001)
     val p  = plan(df)

@@ -165,4 +165,41 @@ class TextPipelineSpec extends AnyFunSuite {
       .select($"pack_id", $"pack_offset").as[(Long, Long)].collect().toSeq
     assert(shard1 == Seq((0L, 0L)), s"a fresh shard must restart its packing; got $shard1")
   }
+
+  test("nested translation-struct rows flatten and feed the encode cores unchanged") {
+    import spark.implicits._
+    // the reference's raw row shape: {translation: {en, it}}
+    // (text_vector_db.py:26-29) — build nested rows from the fixture by
+    // pairing each doc's text with a derived "translation"
+    val flat = Tables.documents(spark, TestSpark.Sf0001)
+      .select($"doc_id", $"text").limit(50)
+    val nested = flat.select(
+      col("doc_id"),
+      struct(col("text").as("en"),
+        concat(lit("tr: "), col("text")).as("it")).as("translation"))
+    // one missing translation: it must drop out, not null-poison
+    val withHole = nested.unionByName(
+      Seq(99999L).toDF("doc_id")
+        .select(col("doc_id"), struct(lit("only english").as("en"),
+          lit(null).cast("string").as("it")).as("translation")))
+
+    val rows = TextPipeline.flattenTranslations(withHole, Seq("en", "it"))
+    assert(rows.columns.toSeq == Seq("doc_id", "lang", "text"))
+    assert(rows.count() == 50 * 2 + 1, "one row per present (doc, lang) pair")
+    assert(rows.filter($"doc_id" === 99999L).select($"lang").as[String].collect().toSeq == Seq("en"))
+
+    // the flattened EN side must be byte-identical to the flat fixture —
+    // downstream cores (encodeWith, packSequencesOf, sentence dedup) see
+    // exactly the corpus they were built for
+    val en = rows.filter($"lang" === "en" && $"doc_id" < 90000L)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val ref = flat.as[(Long, String)].collect().toMap
+    assert(en == ref, "struct flattening must be lossless on the en side")
+
+    // and it actually feeds a core: encode the flattened corpus against
+    // the shared vocab and get one encoded row per short-enough doc
+    val vocab = TextPipeline.vocabBuild(spark, TestSpark.Sf0001)
+    val encoded = TextPipeline.encodeWith(rows.filter($"lang" === "en"), vocab)
+    assert(encoded.count() > 0, "flattened struct rows must encode end-to-end")
+  }
 }
