@@ -689,7 +689,7 @@ object TextAnalysis {
     * sentence occurrence, with the raw 16-byte fingerprint and the
     * DECIMAL(38,0) global-order key.
     */
-  private def sentenceUnits(corpus: DataFrame): DataFrame =
+  private[graft] def sentenceUnits(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
       .toDF("doc_id", "pos", "sentence")
@@ -758,7 +758,27 @@ object TextAnalysis {
     */
   def fuzzySentenceDedupOf(corpus: DataFrame,
                            minJaccard: Double = DedupExtras.JaccardThreshold): DataFrame = {
-    val sents  = sentenceUnits(corpus)
+    // The sentence stream feeds four plan branches (first-occurrence agg,
+    // both exact semi-join consumers, per-doc totals) — cache it
+    // operator-scoped so the split+md5 subtree runs once (q16's pattern),
+    // materialize the result while the cache is alive, release in the
+    // finally: no cached blocks leak into the caller's session. The
+    // localCheckpoint is the same trade the minhash core already makes —
+    // a dedup PASS's output is exactly what a pipeline persists before
+    // fanning out downstream; at real scale the caller writes it to
+    // parquet instead and this materialization is that write's scan.
+    val sents = sentenceUnits(corpus).cache()
+    try fuzzySentenceDedupPlan(corpus, sents, minJaccard).localCheckpoint(true)
+    finally sents.unpersist()
+  }
+
+  /** Lazy plan body of [[fuzzySentenceDedupOf]] — package-private so
+    * PlanShapeSpec pins the REAL shape (the public API materializes
+    * through a localCheckpoint, which would hide the plan behind an RDD
+    * scan).
+    */
+  private[graft] def fuzzySentenceDedupPlan(corpus: DataFrame, sents: DataFrame,
+                                            minJaccard: Double): DataFrame = {
     val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
     val exact  = sents.join(firsts, Seq("fp", "k"), "left_semi")
     // one row per DISTINCT sentence text: its first occurrence carries it

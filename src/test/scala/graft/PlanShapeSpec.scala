@@ -169,7 +169,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q70 fuzzy sentence dedup: hash aggregates + equi-joins only — no cartesian, no window, no sort-agg") {
-    val p = plan(graft.operators.TextAnalysis.fuzzySentenceDedup(spark, TestSpark.Sf0001))
+    // pin the lazy plan body: the public API materializes via
+    // localCheckpoint, which would hide the plan behind an RDD scan
+    val corpus = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text")
+    val sents  = graft.operators.TextAnalysis.sentenceUnits(corpus)
+    val p = plan(graft.operators.TextAnalysis.fuzzySentenceDedupPlan(
+      corpus, sents, graft.operators.DedupExtras.JaccardThreshold))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"banding must keep candidate generation an equi-join;\n$p")
     assert(!p.contains("WindowExec") && !p.contains("Window "),
