@@ -768,8 +768,20 @@ object TextAnalysis {
     // fanning out downstream; at real scale the caller writes it to
     // parquet instead and this materialization is that write's scan.
     val sents = sentenceUnits(corpus).cache()
-    try fuzzySentenceDedupPlan(corpus, sents, minJaccard).localCheckpoint(true)
-    finally sents.unpersist()
+    // the exact-pass survivors feed two consumers (distinct-text minhash
+    // build + the final anti-join): cache them too, or the fingerprint
+    // shuffle re-runs once per consumer
+    val exact = exactSurvivors(sents).cache()
+    try fuzzyTail(corpus, sents, exact, minJaccard).localCheckpoint(true)
+    finally { exact.unpersist(); sents.unpersist() }
+  }
+
+  /** The exact pass: sentence occurrences that are the global first of
+    * their fingerprint.
+    */
+  private def exactSurvivors(sents: DataFrame): DataFrame = {
+    val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
+    sents.join(firsts, Seq("fp", "k"), "left_semi")
   }
 
   /** Lazy plan body of [[fuzzySentenceDedupOf]] — package-private so
@@ -778,9 +790,11 @@ object TextAnalysis {
     * scan).
     */
   private[graft] def fuzzySentenceDedupPlan(corpus: DataFrame, sents: DataFrame,
-                                            minJaccard: Double): DataFrame = {
-    val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
-    val exact  = sents.join(firsts, Seq("fp", "k"), "left_semi")
+                                            minJaccard: Double): DataFrame =
+    fuzzyTail(corpus, sents, exactSurvivors(sents), minJaccard)
+
+  private def fuzzyTail(corpus: DataFrame, sents: DataFrame, exact: DataFrame,
+                        minJaccard: Double): DataFrame = {
     // one row per DISTINCT sentence text: its first occurrence carries it
     val distinctTexts = exact
       .select(col("k").as("doc_id"), trim(col("sentence")).as("text"))
