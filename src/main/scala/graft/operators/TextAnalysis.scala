@@ -336,6 +336,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q72_unigram_logprob — the CCNet/KenLM-shaped LM-quality stage of a
+    * curation pipeline (round 7): a unigram language model is "trained" on
+    * the corpus itself (token frequencies — the degenerate but fully
+    * oracle-checkable case of the n-gram LM the production pipeline
+    * loads), and every document scores by its MEAN TOKEN LOG-PROBABILITY.
+    * Low scores flag rare-token soup/gibberish — exactly the perplexity
+    * filter's decision axis, the model-based gate that runs after the
+    * rule-based ones (q20 quality, q51 repetition).
+    *
+    * 100 TB shape: the LM is a VOCABULARY-scale aggregate (map-side
+    * combined token counts; total tokens derived from the freq table, not
+    * a second corpus pass) broadcast back into the token stream as a
+    * scan-side join; the corpus then shuffles ONCE for the per-doc mean.
+    * With a pre-trained LM artifact — the production case — the vocab
+    * aggregate disappears entirely and the artifact broadcast-joins
+    * straight into the token stream (the q54 persisted-vocab pattern).
+    * Zero-token docs are excluded, the q51 convention.
+    */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    unigramLogProbOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q72 for ANY (doc_id, text, …) corpus. */
+  def unigramLogProbOf(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
+    val freqs = terms.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    // total tokens from the vocab-scale freq table — no second corpus pass
+    val total = freqs.agg(sum(col("freq")).cast("double").as("total"))
+    terms
+      .join(broadcast(freqs), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("freq") / col("total"))), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token FROM documents
+      |), f AS (
+      |  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+      |), tot AS (
+      |  SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f
+      |)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       round(avg(ln(freq / total)), 6) AS avg_logp
+      |FROM t JOIN f USING (token) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q51_repetition_stats — Gopher-style repetition signals per document:
     * the duplicate word-3-gram fraction (1 − distinct/total) and the
     * top-token frequency fraction — the two cheapest high-signal rules a

@@ -109,6 +109,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bloomNormal == exact)
   }
 
+  test("unigram log-prob matches hand-computed values and ranks rare-token docs lower") {
+    import spark.implicits._
+    // corpus: freq(a)=4, freq(b)=1, total=5 → p(a)=0.8, p(b)=0.2
+    val corpus = Seq((1L, "a a a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProbOf(corpus)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val lnP8 = math.log(0.8) // doc 1: avg = ln .8
+    val doc2 = (math.log(0.8) + math.log(0.2)) / 2
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out == Seq((1L, 3L, r6(lnP8)), (2L, 2L, r6(doc2))),
+      s"hand-computed unigram scores must match (zero-token doc 3 excluded); got $out")
+    assert(out(0)._3 > out(1)._3, "the rare-token doc must score lower")
+  }
+
   test("decontaminateBloom raises the SQLConf bloom caps instead of shipping a clamped filter") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
