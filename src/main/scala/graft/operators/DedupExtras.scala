@@ -160,27 +160,128 @@ object DedupExtras {
   def simhashFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     simhashFingerprintOf(Tables.documents(spark, sfDir))
 
-  /** Composable core of q17 for ANY (doc_id, text, …) corpus. */
-  def simhashFingerprintOf(docs: DataFrame): DataFrame = {
+  /** SimHash fingerprints alone — (doc_id, simhash) — shared by q17
+    * (bucket sizes, 16-bit) and q73 (banded near-dup pairs). `bits` is
+    * the fingerprint width: bit j comes from bit (j%4) of md5 hex nibble
+    * (j/4), so width w consumes the first w/4 hex chars. Capped at 60 so
+    * the fingerprint stays a POSITIVE long — bit 63 would flip the sign
+    * and integer-division band extraction rounds differently on negatives
+    * in Spark vs DuckDB.
+    */
+  private[graft] def simhashOf(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 60, s"simhash bits must be 4..60, mod 4: $bits")
+    val nNib = bits / 4
     val toks = docs
       .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    // nibble k (k=0..3) as 0..15 from hex char k of the md5
-    val withNibbles = (0 until 4).foldLeft(toks) { (df, k) =>
+    // nibble k (k=0..nNib-1) as 0..15 from hex char k of the md5
+    val withNibbles = (0 until nNib).foldLeft(toks) { (df, k) =>
       df.withColumn(s"nib$k", expr(s"instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1"))
     }
-    // bit j of the fingerprint comes from bit (j%4) of nibble (j/4)
-    val voteCols = (0 until 16).map { j =>
+    val voteCols = (0 until bits).map { j =>
       val k = j / 4; val shift = 1 << (j % 4)
       sum(expr(s"2 * ((nib$k div $shift) % 2) - 1")).as(s"v$j")
     }
     val votes = withNibbles.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val fpExpr = (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    val fps = votes.select(col("doc_id"), expr(s"CAST($fpExpr AS BIGINT)").as("simhash"))
+    val fpExpr = (0 until bits).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    votes.select(col("doc_id"), expr(s"CAST($fpExpr AS BIGINT)").as("simhash"))
+  }
+
+  /** Composable core of q17 for ANY (doc_id, text, …) corpus. */
+  def simhashFingerprintOf(docs: DataFrame): DataFrame = {
+    val fps = simhashOf(docs)
     val buckets = fps.groupBy(col("simhash")).agg(count(lit(1)).as("bucket_size"))
     fps.join(buckets, Seq("simhash"))
       .select(col("doc_id"), col("simhash"), col("bucket_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** How far apart two fingerprints may be and still count as near-dups
+    * in q73. With 4 bands over 16 bits, banding is EXHAUSTIVE for this
+    * radius by pigeonhole: ≤3 flipped bits cannot touch all 4 nibbles.
+    */
+  val MaxHamming = 3
+
+  /** q73_simhash_neardup — the SimHash family completed to PAIR generation
+    * (round 7): q17 stops at exact-fingerprint buckets; this row finds
+    * pairs within Hamming distance [[MaxHamming]], the radius real
+    * simhash dedup (Manku et al.'s web-dedup shape) actually uses.
+    * Candidates form ONLY inside 4-bit nibble-band buckets (band
+    * equi-join — never an all-pairs XOR scan), then exact
+    * `bit_count(a^b)` verifies. Unlike MinHash banding (probabilistic
+    * recall) this blocking is EXACT for its radius: ≤3 flips across 4
+    * nibbles leave one band intact, so every qualifying pair is found.
+    * Top-100 by (hamming asc, a, b) via TakeOrderedAndProject.
+    *
+    * Scale note: the declared row runs the oracle-checkable 16-bit/4-band
+    * instance, whose band-bucket cardinality (16 per band) is
+    * fixture-scale. The PLAN is width-agnostic — at corpus scale the same
+    * band equi-join runs over a 64-bit fingerprint with 16-bit bands
+    * (65536 buckets per band, the Manku production setting); fingerprint
+    * width is the bucket-count knob exactly as nlist is for q62.
+    */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashNearDupOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q73 for ANY (doc_id, text, …) corpus. `bits` is
+    * the scale knob: band-bucket cardinality is 2^(bits/4) per band, so
+    * widening the fingerprint is how the same plan stays sub-quadratic on
+    * a bigger corpus (measured in BASELINE.md; the declared row keeps the
+    * oracle-sized 16, production uses 60). Always 4 bands — that is what
+    * makes the Hamming-[[MaxHamming]] blocking exhaustive.
+    */
+  def simhashNearDupOf(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val bandBits = bits / 4
+    val fps = simhashOf(docs, bits)
+    val bandRows = fps
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"(simhash div ${1L << (bandBits * b)}) % ${1L << bandBits}")): _*)))
+      .toDF("doc_id", "simhash", "band", "nib")
+    val a = bandRows.select(col("doc_id").as("a_id"), col("simhash").as("fa"),
+      col("band"), col("nib"))
+    val b = bandRows.select(col("doc_id").as("b_id"), col("simhash").as("fb"),
+      col("band"), col("nib"))
+    a.join(b, Seq("band", "nib"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("fa"), col("fb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(fa ^ fb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy(col("hamming").asc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  val q73OracleSql: String = {
+    val nibbles = (0 until 4).map(k => s"strpos('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1 AS nib$k").mkString(", ")
+    val votes = (0 until 16).map { j =>
+      val k = j / 4; val shift = 1 << (j % 4)
+      s"sum(2 * ((nib$k // $shift) % 2) - 1) AS v$j"
+    }.mkString(", ")
+    val fp = (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (4 * b)}) % 16 AS nib FROM f").mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1))) AS h
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, $nibbles FROM t
+       |), v AS (
+       |  SELECT doc_id, $votes FROM n GROUP BY doc_id
+       |), f AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS fa, b.simhash AS fb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |)
+       |SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= $MaxHamming
+       |ORDER BY hamming, a_id, b_id
+       |LIMIT 100""".stripMargin
   }
 
   val q17OracleSql: String = {

@@ -133,4 +133,22 @@ class DedupSpec extends AnyFunSuite {
     assert(top.count { case (a, b) => b == a + 1000L } == 30,
       s"all 30 planted pairs must co-bucket under sign bits and dominate the top-30; got ${top.toSeq}")
   }
+
+  test("q73 simhash banding is EXHAUSTIVE for its radius: equals brute-force all-pairs hamming <= 3") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text")
+    val banded = graft.operators.DedupExtras.simhashNearDupOf(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // brute force over the 500 fingerprints — the ground truth the
+    // pigeonhole argument (<=3 flips cannot touch all 4 nibbles) promises
+    val fps = graft.operators.DedupExtras.simhashOf(docs)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= graft.operators.DedupExtras.MaxHamming
+    } yield (a, b, h.toLong))
+      .sortBy(t => (t._3, t._1, t._2)).take(100).toSeq
+    assert(banded == brute,
+      s"banded candidates must find every pair in radius; banded=${banded.size} brute=${brute.size}")
+  }
 }
