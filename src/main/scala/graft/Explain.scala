@@ -17,7 +17,9 @@ object Explain {
                          "q56_index_blocked_neardup", "q57_ivfpq_probe",
                          "q59_cross_modal_search", "q60_decontaminate",
                          "q62_scaled_neardup", "q63_cross_modal_index",
-                         "q64_recall_audit", "q66_salted_join")
+                         "q64_recall_audit", "q66_salted_join",
+                         "q70_fuzzy_sentence_dedup", "q73_simhash_neardup",
+                         "q74_dup_clusters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Duplicate-CLUSTER assignment — the step real curation pipelines run
+  * after near-dup pair generation (the reference stops at per-query
+  * similarity hits, e.g. `vector_db_query.py`'s scored search; corpus
+  * curation needs the transitive grouping): near-dup pairs form a graph,
+  * each connected component is one duplicate cluster, and exactly one
+  * keeper (the minimum doc_id) survives per cluster. Pairwise removal
+  * (q16/q70's edge-dominated pass) under-removes when similarity is not
+  * transitive A~B~C with A!~C; clustering resolves that the way
+  * production dedup does.
+  *
+  * Connected components run as alternating LARGE-STAR / SMALL-STAR
+  * rounds (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014 — the published shuffle-native algorithm): each
+  * round is two hash-aggregates + equi-joins on the EDGE set, and the
+  * edge set contracts toward one star per component centered at its
+  * minimum node. Convergence is O(log²) rounds in the worst case
+  * (spec-measured: a 1024-node chain — the adversarial diameter case
+  * where naive min-propagation needs 1024 rounds — converges in ≤ 10).
+  * The driver loop holds no data: per-round state is a localCheckpoint'd
+  * edge DataFrame, decision-scale (≈ duplicate pairs), never the corpus.
+  */
+object DupClusters {
+
+  /** Star-round cap. Components converge in ~log²(largest component);
+    * 40 rounds covers components far beyond any real corpus (the spec's
+    * 1024-chain needs ≤ 10). Non-convergence raises rather than
+    * returning a silently-partial clustering.
+    */
+  val MaxIter = 40
+
+  /** LARGE-STAR: every node connects its strictly-LARGER neighbors to
+    * the minimum of its closed neighborhood. Emitted edges are (bigger
+    * node → candidate root); symmetric orientation happens here so the
+    * caller can keep edges canonical.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** SMALL-STAR: every node connects its smaller-or-equal neighbors
+    * (and itself) to the minimum of that set. Output is canonically
+    * oriented (u > v) and distinct — the fixpoint of
+    * smallStar∘largeStar is one star per component.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+    val nbr  = oriented.join(mins, "u").select(col("v").as("n"), col("m"))
+    val self = mins.select(col("u").as("n"), col("m"))
+    nbr.union(self)
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected graph given as a 2-column
+    * (src, dst) pair DataFrame. Returns (node, component) for every node
+    * incident to at least one edge — component = minimum node id, the
+    * deterministic keeper convention. Isolated nodes never appear (the
+    * caller coalesces them to themselves, see [[dupClustersOf]]).
+    *
+    * Each round materializes eagerly (localCheckpoint) so lineage stays
+    * flat across iterations; the convergence check is a deterministic
+    * set-equality (count + anti-join), never a hash of the edge set.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = MaxIter): DataFrame =
+    ccWithRounds(edges, maxIter)._1
+
+  private[graft] def ccWithRounds(edges: DataFrame, maxIter: Int = MaxIter): (DataFrame, Int) = {
+    val Seq(sc, dc) = edges.columns.take(2).toSeq
+    var e = edges
+      .select(col(sc).cast("long").as("u"), col(dc).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      rounds += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter star rounds")
+    // At the fixpoint every component is a star centered at its minimum;
+    // labels read straight off the edges. min-over-neighborhood (not a
+    // blind "v is the root") so a hypothetical non-star fixpoint would
+    // fail the spec's union-find comparison instead of hiding.
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val labels = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("node"), least(col("mn"), col("u")).as("component"))
+    (labels, rounds)
+  }
+
+  /** q74_dup_clusters — every document labeled with its duplicate
+    * cluster: MinHash-verified near-dup pairs (q16's machinery,
+    * threshold 0.5) → connected components → (doc_id, cluster_id =
+    * component min, cluster_size). Singletons cluster as themselves with
+    * size 1; the keeper of every cluster IS its cluster_id.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClustersOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q74 for ANY (doc_id, text, …) corpus. The CC
+    * input is the decision-scale verified pair set — the corpus-scale
+    * work is q16's banded candidate generation, already sub-quadratic;
+    * the star rounds touch only pairs, and the final label join is one
+    * corpus-scale broadcast-or-shuffle equi-join.
+    */
+  def dupClustersOf(docs: DataFrame): DataFrame = {
+    val pairs  = DedupExtras.minhashVerifiedPairsOf(docs).select("a_id", "b_id")
+    val labels = connectedComponents(pairs)
+    val assigned = docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q16's verified-pair CTEs (un-ranked, full set) + a
+    * recursive-CTE transitive closure, label = min reachable node.
+    * Closure size is Σ|component|² — fixture-fine; the ENGINE never
+    * materializes a closure, that is exactly what the star rounds avoid.
+    */
+  val q74OracleSql: String = {
+    val sigSelect = (0 until DedupExtras.NumHashes).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    val bandSelects = (0 until DedupExtras.Bands).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sigs").mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), sigs AS (
+       |  SELECT doc_id, $sigSelect FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id
+       |  WHERE round(len(list_intersect(sa.sh, sb.sh))
+       |              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) >= ${DedupExtras.JaccardThreshold}
+       |), edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION
+       |  SELECT b_id AS u, a_id AS v FROM pairs
+       |), reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+       |), lab AS (
+       |  SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+       |)
+       |SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+       |FROM lab l
+       |JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id) c USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

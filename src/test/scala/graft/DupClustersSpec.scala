@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupExtras, DupClusters}
+
+/** Connected-components duplicate clustering (q74): the star-contraction
+  * algorithm against a brute-force union-find ground truth, the
+  * adversarial chain-diameter case, and the fixture-corpus invariants of
+  * the declared query.
+  */
+class DupClustersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Ground truth: plain union-find over the same edge list. */
+  private def unionFind(n: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(n.map(x => x -> x): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    n.map(x => x -> find(x)).toMap
+  }
+
+  test("star-contraction CC equals union-find on seeded random graphs") {
+    import spark.implicits._
+    for ((n, m, seed) <- Seq((50, 40, 1), (200, 150, 2), (400, 900, 3))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges.flatMap(e => Seq(e._1, e._2)).distinct, edges)
+      val got = DupClusters.connectedComponents(edges.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n m=$m seed=$seed: CC labels diverge from union-find")
+    }
+  }
+
+  test("1024-node chain (worst-case diameter) converges in logarithmic star rounds") {
+    import spark.implicits._
+    // naive min-propagation needs 1023 rounds here; star contraction is
+    // the reason the operator holds at 100 TB component diameters
+    val chain = (0L until 1023L).map(i => (i, i + 1)).toDF("u", "v")
+    val (labels, rounds) = DupClusters.ccWithRounds(chain)
+    assert(rounds <= 12, s"chain took $rounds star rounds; expected O(log2 1024)=~10")
+    val lab = labels.as[(Long, Long)].collect().toMap
+    assert(lab.size == 1024 && lab.values.forall(_ == 0L),
+      "every chain node must label to component min 0")
+  }
+
+  test("q74 clusters the fixture corpus exactly as union-find over the verified pair set") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text")
+    val pairs = DedupExtras.minhashVerifiedPairsOf(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "fixture must contain verified near-dup pairs")
+    val allDocs = docs.select("doc_id").as[Long].collect().toSeq
+    val expected = {
+      val uf = unionFind(allDocs, pairs)
+      allDocs.map(d => d -> uf(d)).toMap
+    }
+    val got = DupClusters.dupClustersOf(docs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == expected,
+      "cluster assignment must match union-find over the same pairs (incl. singletons = self)")
+    // sizes are the true partition sizes and the keeper convention holds
+    val bySize = expected.groupBy(_._2).map { case (c, ms) => c -> ms.size.toLong }
+    assert(got.forall(r => r._3 == bySize(r._2)), "cluster_size must count the full cluster")
+    assert(expected.forall { case (d, c) => c <= d }, "cluster_id is the component minimum")
+    // transitivity: every verified pair co-clusters (the property the
+    // pairwise edge-dominated pass cannot promise)
+    val lab = got.map(r => r._1 -> r._2).toMap
+    assert(pairs.forall { case (a, b) => lab(a) == lab(b) })
+  }
+}

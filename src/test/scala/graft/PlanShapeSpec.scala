@@ -192,6 +192,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"decode must be scan-local, only the output ordering may shuffle;\n$p")
   }
 
+  test("q73 simhash pairs: band equi-join, never an all-pairs XOR scan; heap-merged top-100") {
+    val p = plan(graft.operators.DedupExtras.simhashNearDup(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidates must form inside band buckets only;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must merge per-partition, not globally sort;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"fingerprint votes must stay hash aggregates, no window;\n$p")
+  }
+
+  test("q74 cluster assignment: equi-joins + hash aggregates only over the corpus") {
+    // pin the corpus-scale tail (label + size joins); the CC rounds run
+    // on the decision-scale pair set behind localCheckpoint by design
+    val p = plan(graft.operators.DupClusters.dupClusters(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"label and size assignment must stay equi-joins;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"cluster sizes must come from a hash aggregate, not a corpus window;\n$p")
+  }
+
   test("q69 packing windows hash-partition by (lang, shard) — never a single global ordering") {
     val df = graft.operators.TextPipeline.packSequences(spark, TestSpark.Sf0001)
     val p  = plan(df)
