@@ -197,40 +197,44 @@ object DedupExtras {
   }
 
   /** How far apart two fingerprints may be and still count as near-dups
-    * in q73. With 4 bands over 16 bits, banding is EXHAUSTIVE for this
-    * radius by pigeonhole: ≤3 flipped bits cannot touch all 4 nibbles.
+    * in q73. With 4 bands, banding is EXHAUSTIVE for this radius by
+    * pigeonhole: ≤3 flipped bits cannot touch all 4 bands.
     */
   val MaxHamming = 3
 
+  /** The declared q73 fingerprint width: 60 bits (15-bit bands, 32,768
+    * buckets per band) — the PRODUCTION width, not a fixture toy. At
+    * Hamming ≤ [[MaxHamming]] of 60 bits only genuinely similar texts
+    * pair (the 16-bit space saturates with birthday collisions at 500
+    * docs already), and the band-bucket cardinality is what keeps the
+    * candidate budget sub-quadratic (BASELINE.md: 0.4% of all-pairs at
+    * sf1 vs 35% for 16-bit).
+    */
+  val DeclaredSimhashBits = 60
+
   /** q73_simhash_neardup — the SimHash family completed to PAIR generation
     * (round 7): q17 stops at exact-fingerprint buckets; this row finds
-    * pairs within Hamming distance [[MaxHamming]], the radius real
-    * simhash dedup (Manku et al.'s web-dedup shape) actually uses.
-    * Candidates form ONLY inside 4-bit nibble-band buckets (band
-    * equi-join — never an all-pairs XOR scan), then exact
-    * `bit_count(a^b)` verifies. Unlike MinHash banding (probabilistic
-    * recall) this blocking is EXACT for its radius: ≤3 flips across 4
-    * nibbles leave one band intact, so every qualifying pair is found.
+    * pairs within Hamming distance [[MaxHamming]] of a
+    * [[DeclaredSimhashBits]]-bit fingerprint, the radius/width regime real
+    * simhash dedup (Manku et al.'s web-dedup shape) actually runs.
+    * Candidates form ONLY inside 15-bit band buckets (band equi-join —
+    * never an all-pairs XOR scan), then exact `bit_count(a^b)` verifies.
+    * Unlike MinHash banding (probabilistic recall) this blocking is EXACT
+    * for its radius: ≤3 flips across 4 bands leave one band intact, so
+    * every qualifying pair is found — spec-pinned equal to brute force.
     * Top-100 by (hamming asc, a, b) via TakeOrderedAndProject.
-    *
-    * Scale note: the declared row runs the oracle-checkable 16-bit/4-band
-    * instance, whose band-bucket cardinality (16 per band) is
-    * fixture-scale. The PLAN is width-agnostic — at corpus scale the same
-    * band equi-join runs over a 64-bit fingerprint with 16-bit bands
-    * (65536 buckets per band, the Manku production setting); fingerprint
-    * width is the bucket-count knob exactly as nlist is for q62.
     */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    simhashNearDupOf(Tables.documents(spark, sfDir))
+    simhashNearDupOf(Tables.documents(spark, sfDir), DeclaredSimhashBits)
 
   /** Composable core of q73 for ANY (doc_id, text, …) corpus. `bits` is
     * the scale knob: band-bucket cardinality is 2^(bits/4) per band, so
     * widening the fingerprint is how the same plan stays sub-quadratic on
-    * a bigger corpus (measured in BASELINE.md; the declared row keeps the
-    * oracle-sized 16, production uses 60). Always 4 bands — that is what
-    * makes the Hamming-[[MaxHamming]] blocking exhaustive.
+    * a bigger corpus (measured per width in BASELINE.md). Always 4
+    * bands — that is what makes the Hamming-[[MaxHamming]] blocking
+    * exhaustive.
     */
-  def simhashNearDupOf(docs: DataFrame, bits: Int = 16): DataFrame = {
+  def simhashNearDupOf(docs: DataFrame, bits: Int = DeclaredSimhashBits): DataFrame = {
     val bandBits = bits / 4
     val fps = simhashOf(docs, bits)
     val bandRows = fps
@@ -254,14 +258,17 @@ object DedupExtras {
   }
 
   val q73OracleSql: String = {
-    val nibbles = (0 until 4).map(k => s"strpos('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1 AS nib$k").mkString(", ")
-    val votes = (0 until 16).map { j =>
+    val bits = DeclaredSimhashBits
+    val nNib = bits / 4
+    val bandBits = bits / 4
+    val nibbles = (0 until nNib).map(k => s"strpos('0123456789abcdef', substring(h, ${k + 1}, 1)) - 1 AS nib$k").mkString(", ")
+    val votes = (0 until bits).map { j =>
       val k = j / 4; val shift = 1 << (j % 4)
       s"sum(2 * ((nib$k // $shift) % 2) - 1) AS v$j"
     }.mkString(", ")
-    val fp = (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val fp = (0 until bits).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     val bandSelects = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (4 * b)}) % 16 AS nib FROM f").mkString("\n  UNION ALL\n  ")
+      s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (bandBits * b)}) % ${1L << bandBits} AS nib FROM f").mkString("\n  UNION ALL\n  ")
     s"""WITH t AS (
        |  SELECT doc_id, md5(unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1))) AS h
        |  FROM documents

@@ -137,18 +137,21 @@ class DedupSpec extends AnyFunSuite {
   test("q73 simhash banding is EXHAUSTIVE for its radius: equals brute-force all-pairs hamming <= 3") {
     import spark.implicits._
     val docs = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text")
-    val banded = graft.operators.DedupExtras.simhashNearDupOf(docs)
-      .as[(Long, Long, Long)].collect().toSeq
-    // brute force over the 500 fingerprints — the ground truth the
-    // pigeonhole argument (<=3 flips cannot touch all 4 nibbles) promises
-    val fps = graft.operators.DedupExtras.simhashOf(docs)
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val brute = (for {
-      (a, fa) <- fps; (b, fb) <- fps if a < b
-      h = java.lang.Long.bitCount(fa ^ fb) if h <= graft.operators.DedupExtras.MaxHamming
-    } yield (a, b, h.toLong))
-      .sortBy(t => (t._3, t._1, t._2)).take(100).toSeq
-    assert(banded == brute,
-      s"banded candidates must find every pair in radius; banded=${banded.size} brute=${brute.size}")
+    // pigeonhole (<=3 flips cannot touch all 4 bands) is width-independent:
+    // verify at the declared production width AND the dense 16-bit space
+    // where collisions make the candidate graph heavy
+    for (bits <- Seq(16, graft.operators.DedupExtras.DeclaredSimhashBits)) {
+      val banded = graft.operators.DedupExtras.simhashNearDupOf(docs, bits)
+        .as[(Long, Long, Long)].collect().toSeq
+      val fps = graft.operators.DedupExtras.simhashOf(docs, bits)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val brute = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= graft.operators.DedupExtras.MaxHamming
+      } yield (a, b, h.toLong))
+        .sortBy(t => (t._3, t._1, t._2)).take(100).toSeq
+      assert(banded == brute,
+        s"bits=$bits: banded must find every pair in radius; banded=${banded.size} brute=${brute.size}")
+    }
   }
 }
