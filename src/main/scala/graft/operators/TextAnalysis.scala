@@ -387,6 +387,100 @@ object TextAnalysis {
       |FROM t JOIN f USING (token) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q75_dup_span_coverage — exact-SUBSTRING duplication stats, the
+    * ExactSubstr decision axis of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (the reference corpus carries
+    * whole-doc labels only; production dedup also trims REPEATED SPANS
+    * inside otherwise-unique docs): every 8-token gram that occurs ≥ 2
+    * times corpus-wide marks its span duplicated, and each document
+    * reports how many of its tokens sit under at least one such span —
+    * overlapping spans count once (interval union, not a sum).
+    *
+    * 100 TB shape: the gram stream shuffles its 16-byte md5 fingerprint
+    * (never the gram text) for the occurrence count — the one inherent
+    * corpus-scale shuffle of exact-substring dedup (the suffix-array
+    * original is strictly heavier); the duplicated-fingerprint set is
+    * duplication-scale and semi-joins back; the interval-union window
+    * partitions per doc over DUPLICATED positions only, a small fraction
+    * of the corpus. Zero-token docs excluded (q51 convention); docs with
+    * < 8 tokens have no grams and report zero coverage.
+    */
+  def dupSpanCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanCoverageOf(Tables.documents(spark, sfDir))
+
+  /** Gram length: 8 tokens, inside the 6–13 window the ExactSubstr
+    * paper's 50-char threshold lands on for typical English tokens.
+    */
+  val DupSpanGram = 8
+
+  /** Composable core of q75 for ANY (doc_id, text, …) corpus. */
+  def dupSpanCoverageOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = DupSpanGram
+    val toks = docs
+      .select(col("doc_id"), tokenArr(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val base = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val grams = toks
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $L), i -> concat_ws(' ', slice(toks, i + 1, $L)))")))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), unhex(md5(col("gram"))).as("fp"))
+    val dupFps = grams.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("fp"))
+    val marked = grams.join(dupFps, Seq("fp"), "left_semi").select(col("doc_id"), col("pos"))
+    // interval union: tokens newly covered by this span = its end minus
+    // the furthest end any earlier span reached (clamped to the span)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = marked
+      .withColumn("prev_end", max(col("pos") + lit(L - 1)).over(w))
+      .withColumn("new_cov", greatest(lit(0L),
+        col("pos") + lit(L - 1) - greatest(col("pos") - 1, coalesce(col("prev_end"), lit(-1L)))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_grams"), sum(col("new_cov")).as("dup_covered"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_covered"), lit(0L)).as("dup_covered"),
+        round(coalesce(col("dup_covered"), lit(0L)) / col("n_tokens").cast("double"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75OracleSql: String = {
+    val L = DupSpanGram
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t WHERE len(toks) > 0
+       |), g AS (
+       |  SELECT doc_id, unnest(range(0, len(toks) - ${L - 1})) AS pos, toks
+       |  FROM t WHERE len(toks) >= $L
+       |), g2 AS (
+       |  SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+$L], ' ')) AS fp FROM g
+       |), dup AS (
+       |  SELECT fp FROM g2 GROUP BY fp HAVING count(*) >= 2
+       |), m AS (
+       |  SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (fp)
+       |), cov AS (
+       |  SELECT doc_id, pos,
+       |         max(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM m
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS dup_grams,
+       |         sum(greatest(0, pos + ${L - 1} - greatest(pos - 1, coalesce(prev_end, -1)))) AS dup_covered
+       |  FROM cov GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |       CAST(coalesce(a.dup_grams, 0) AS BIGINT) AS dup_grams,
+       |       CAST(coalesce(a.dup_covered, 0) AS BIGINT) AS dup_covered,
+       |       round(CAST(coalesce(a.dup_covered, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** q51_repetition_stats — Gopher-style repetition signals per document:
     * the duplicate word-3-gram fraction (1 − distinct/total) and the
     * top-token frequency fraction — the two cheapest high-signal rules a

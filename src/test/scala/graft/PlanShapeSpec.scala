@@ -212,6 +212,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cluster sizes must come from a hash aggregate, not a corpus window;\n$p")
   }
 
+  test("q75 dup spans: gram count is a hash aggregate; the union window partitions per doc") {
+    val p = plan(graft.operators.TextAnalysis.dupSpanCoverage(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the duplicated-fingerprint match must stay a semi/equi-join;\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the interval-union window must partition by doc_id;\n$p")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0 && !p.substring(windowIdx).contains("SinglePartition"),
+      s"no single-partition exchange may feed the union window;\n$p")
+  }
+
   test("q69 packing windows hash-partition by (lang, shard) — never a single global ordering") {
     val df = graft.operators.TextPipeline.packSequences(spark, TestSpark.Sf0001)
     val p  = plan(df)

@@ -123,6 +123,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0)._3 > out(1)._3, "the rare-token doc must score lower")
   }
 
+  test("dup-span coverage: interval union, internal repeats, and sub-gram docs all hand-verified") {
+    import spark.implicits._
+    // doc 1: 20 unique tokens; doc 2 repeats doc 1's tokens 4..15 exactly,
+    // so doc 1's gram starts 4..8 duplicate and their UNION covers 12
+    // tokens (a sum over the 5 overlapping spans would claim 40);
+    // doc 3 repeats its own 8 tokens back-to-back (internal duplication —
+    // corpus-wide counting must see it); doc 4 unique; doc 5 too short
+    val w = (1 to 40).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, w.slice(0, 20).mkString(" ")),
+      (2L, w.slice(4, 16).mkString(" ")),
+      (3L, (w.slice(20, 28) ++ w.slice(20, 28)).mkString(" ")),
+      (4L, w.slice(28, 38).mkString(" ")),
+      (5L, w.slice(38, 40).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanCoverageOf(corpus)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 20L, 5L, 12L, 0.6),
+      (2L, 12L, 5L, 12L, 1.0),
+      (3L, 16L, 2L, 16L, 1.0),
+      (4L, 10L, 0L, 0L, 0.0),
+      (5L, 2L, 0L, 0L, 0.0)),
+      s"hand-computed span coverage must match; got $out")
+  }
+
   test("decontaminateBloom raises the SQLConf bloom caps instead of shipping a clamped filter") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
