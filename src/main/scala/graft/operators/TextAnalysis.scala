@@ -387,6 +387,62 @@ object TextAnalysis {
       |FROM t JOIN f USING (token) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-group quota for q76: the best 20 docs of each (lang, source). */
+  val QuotaK = 20
+
+  /** q76_quality_quota — per-source QUALITY QUOTA selection, the
+    * "keep the best N documents per domain" sampling stage curation
+    * pipelines run after scoring (FineWeb-style: a quality classifier
+    * ranks, a quota caps each source's contribution): every (lang,
+    * source) group keeps its top-[[QuotaK]] docs by the q72 unigram-LM
+    * score, ranked (score desc, doc_id asc).
+    *
+    * 100 TB shape: ranking uses the bounded-heap [[TopK]] Aggregator,
+    * NOT a window — `row_number() over (partition by lang, source)`
+    * would shuffle every scored doc into one reducer per group, while
+    * the heap aggregate's partial/final split ships ≤ groups ×
+    * partitions × k tiny rows regardless of corpus size. The score
+    * itself is q72's broadcast-LM scan shape.
+    */
+  def qualityQuota(spark: SparkSession, sfDir: String): DataFrame =
+    qualityQuotaOf(Tables.documents(spark, sfDir), QuotaK)
+
+  /** Composable core of q76 for ANY (doc_id, text, lang, source, …)
+    * corpus.
+    */
+  def qualityQuotaOf(docs: DataFrame, k: Int): DataFrame = {
+    val tk = TopK.topKUdaf(k)
+    unigramLogProbOf(docs)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(tk(col("doc_id"), col("avg_logp")).as("top"))
+      .select(col("lang"), col("source"), posexplode(col("top")))
+      .toDF("lang", "source", "pos", "s")
+      .select(col("lang"), col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("avg_logp"))
+      .orderBy(col("lang"), col("source"), col("rank"))
+  }
+
+  val q76OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents
+       |), f AS (
+       |  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f
+       |), s AS (
+       |  SELECT doc_id, round(avg(ln(freq / total)), 6) AS avg_logp
+       |  FROM t JOIN f USING (token) CROSS JOIN tot GROUP BY doc_id
+       |), r AS (
+       |  SELECT d.lang, d.source, d.doc_id, s.avg_logp,
+       |         row_number() OVER (PARTITION BY d.lang, d.source
+       |           ORDER BY s.avg_logp DESC, d.doc_id) AS rank
+       |  FROM s JOIN documents d USING (doc_id)
+       |)
+       |SELECT lang, source, CAST(rank AS BIGINT) AS rank, doc_id, avg_logp
+       |FROM r WHERE rank <= ${QuotaK}
+       |ORDER BY lang, source, rank""".stripMargin
+
   /** q75_dup_span_coverage — exact-SUBSTRING duplication stats, the
     * ExactSubstr decision axis of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better" (the reference corpus carries

@@ -223,6 +223,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no single-partition exchange may feed the union window;\n$p")
   }
 
+  test("q76 quota ranks with the bounded-heap aggregator per (lang, source) — not a window") {
+    val p = plan(graft.operators.TextAnalysis.qualityQuota(spark, TestSpark.Sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-group top-k must plan as the partial/final heap aggregate;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no row_number window may rank the scored corpus;\n$p")
+  }
+
   test("q69 packing windows hash-partition by (lang, shard) — never a single global ordering") {
     val df = graft.operators.TextPipeline.packSequences(spark, TestSpark.Sf0001)
     val p  = plan(df)

@@ -149,6 +149,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"hand-computed span coverage must match; got $out")
   }
 
+  test("quality quota keeps exactly k best per (lang, source), ranked by score then id") {
+    import spark.implicits._
+    // two groups: (en, web) with 4 docs, (en, book) with 2; quota k=3.
+    // "common common" scores high (frequent tokens), "rare" words low;
+    // doc 13 and 14 tie exactly (identical text) -> id breaks the tie
+    val corpus = Seq(
+      (11L, "common common common", "en", "web"),
+      (12L, "zzqx1 zzqx2 zzqx3", "en", "web"),
+      (13L, "common zzqx4", "en", "web"),
+      (14L, "common zzqx4", "en", "web"),
+      (21L, "common common", "en", "book"),
+      (22L, "zzqx5 zzqx6", "en", "book")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.qualityQuotaOf(corpus, 3)
+      .select("lang", "source", "rank", "doc_id")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val web = out.filter(_._2 == "web").map(r => (r._3, r._4))
+    assert(web.length == 3 && web.head == (1L, 11L),
+      s"the all-common doc must rank 1 in (en, web); got $web")
+    assert(web.map(_._2).toSet.subsetOf(Set(11L, 13L, 14L)) &&
+      web.indexWhere(_._2 == 13L) < web.indexWhere(_._2 == 14L),
+      s"quota 3 of 4 must drop the rare-token doc and break the 13/14 tie by id; got $web")
+    assert(out.filter(_._2 == "book").map(_._4) == Seq(21L, 22L),
+      "a group under quota keeps all its docs in score order")
+  }
+
   test("decontaminateBloom raises the SQLConf bloom caps instead of shipping a clamped filter") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
