@@ -443,6 +443,78 @@ object TextAnalysis {
        |FROM r WHERE rank <= ${QuotaK}
        |ORDER BY lang, source, rank""".stripMargin
 
+  /** Per-(lang, shard) token budget for q77, sized so the fixture
+    * selection is a real cut (about half of each shard's tokens).
+    */
+  val TokenBudget = 300L
+
+  /** Shard count for q77 — the q69 convention: budgets apply per
+    * (lang, shard = doc_id mod 8), the per-output-file quota real
+    * samplers enforce, because a GLOBAL per-lang greedy selection is by
+    * definition one total ordering (the q69 single-task funnel). Under
+    * an exchangeable score distribution the sharded selection converges
+    * on the global one; the K knob bounds each ordering task.
+    */
+  val BudgetShards = 8
+
+  /** q77_token_budget_select — TOKEN-BUDGET corpus selection, the data
+    * mixing stage that samples each language to a fixed token count for
+    * the training mix (the budget, not a doc count, is what the token
+    * accountant downstream consumes): docs are taken quality-first (the
+    * q72 unigram-LM score, doc_id tie-break) while the shard's running
+    * token total stays within [[TokenBudget]].
+    *
+    * 100 TB shape: the only window is a running sum per (lang, shard)
+    * group — bounded by the K knob exactly as q69's packing windows;
+    * scoring is q72's broadcast-LM scan shape. Never a global per-lang
+    * ordering.
+    */
+  def tokenBudgetSelect(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetSelectOf(Tables.documents(spark, sfDir), TokenBudget)
+
+  /** Composable core of q77 for ANY (doc_id, text, lang, …) corpus. */
+  def tokenBudgetSelectOf(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unigramLogProbOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("shard", pmod(col("doc_id"), lit(BudgetShards)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("avg_logp"))
+      .orderBy(col("lang"), col("shard"), col("doc_id"))
+  }
+
+  val q77OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents
+       |), f AS (
+       |  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f
+       |), s AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         round(avg(ln(freq / total)), 6) AS avg_logp
+       |  FROM t JOIN f USING (token) CROSS JOIN tot GROUP BY doc_id
+       |), g AS (
+       |  SELECT d.lang, CAST(s.doc_id % ${BudgetShards} AS BIGINT) AS shard,
+       |         s.doc_id, s.n_tokens, s.avg_logp
+       |  FROM s JOIN documents d USING (doc_id)
+       |), c AS (
+       |  SELECT lang, shard, doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
+       |           ORDER BY avg_logp DESC, doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |         avg_logp
+       |  FROM g
+       |)
+       |SELECT lang, shard, doc_id, n_tokens, cum_tokens, avg_logp
+       |FROM c WHERE cum_tokens <= ${TokenBudget}
+       |ORDER BY lang, shard, doc_id""".stripMargin
+
   /** q75_dup_span_coverage — exact-SUBSTRING duplication stats, the
     * ExactSubstr decision axis of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better" (the reference corpus carries

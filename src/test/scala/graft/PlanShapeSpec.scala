@@ -231,6 +231,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no row_number window may rank the scored corpus;\n$p")
   }
 
+  test("q77 budget windows hash-partition by (lang, shard) — never a global per-lang ordering") {
+    val p = plan(graft.operators.TextAnalysis.tokenBudgetSelect(spark, TestSpark.Sf0001))
+    assert(p.contains("hashpartitioning(lang"),
+      s"the running token sum must shuffle by the (lang, shard) group key;\n$p")
+    // the scoring subtree legitimately holds a one-row SinglePartition
+    // aggregate (the LM's total token count); the exchange FEEDING the
+    // window must be the (lang, shard) hash partitioning.
+    val windowIdx = p.indexOf("Window")
+    val firstExchange = p.indexOf("Exchange", windowIdx)
+    assert(windowIdx >= 0 && firstExchange >= 0 &&
+      p.startsWith("Exchange hashpartitioning(lang", firstExchange),
+      s"the exchange feeding the budget window must hash by (lang, shard);\n$p")
+  }
+
   test("q69 packing windows hash-partition by (lang, shard) — never a single global ordering") {
     val df = graft.operators.TextPipeline.packSequences(spark, TestSpark.Sf0001)
     val p  = plan(df)

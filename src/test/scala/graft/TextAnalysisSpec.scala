@@ -175,6 +175,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       "a group under quota keeps all its docs in score order")
   }
 
+  test("token-budget select keeps the greedy quality-prefix of every (lang, shard) group") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val budget = 300L
+    // reference computation from the operator's own inputs: score every
+    // doc, order each group by (score desc, id), prefix-sum, cut at budget
+    val scored = TextAnalysis.unigramLogProbOf(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "n_tokens", "avg_logp", "lang")
+      .as[(Long, Long, Double, String)].collect()
+    val expected = scored.groupBy(r => (r._4, r._1 % 8)).toSeq.flatMap { case ((lang, shard), rs) =>
+      val ordered = rs.toSeq.sortBy(r => (-r._3, r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._2).tail
+      ordered.zip(cums).takeWhile(_._2 <= budget)
+        .map { case (r, c) => (lang, shard, r._1, r._2, c, r._3) }
+    }.toSet
+    val got = TextAnalysis.tokenBudgetSelectOf(docs, budget)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    assert(got.nonEmpty && got.size < scored.length,
+      "the budget must be a real cut: some docs kept, some dropped")
+  }
+
   test("decontaminateBloom raises the SQLConf bloom caps instead of shipping a clamped filter") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
