@@ -515,6 +515,82 @@ object TextAnalysis {
        |FROM c WHERE cum_tokens <= ${TokenBudget}
        |ORDER BY lang, shard, doc_id""".stripMargin
 
+  /** q78_bigram_logprob — BIGRAM-LM perplexity scoring (round 7), the
+    * context-sensitive upgrade of q72's unigram gate and the shape of the
+    * actual CCNet/KenLM filter: a document full of real words in
+    * scrambled order sails through a unigram LM but craters under a
+    * conditional p(w2 | w1). The LM is add-one (Laplace) smoothed over
+    * the corpus' own bigram table — the degenerate but fully
+    * oracle-checkable case of the pre-trained n-gram artifact production
+    * loads — and every doc scores by its mean bigram log-probability
+    * ln((c12 + 1) / (c1 + V)).
+    *
+    * 100 TB shape: bigram assembly is SCAN-LOCAL — the token array zips
+    * with its own tail (`arrays_zip(slice, slice)`), no per-doc window,
+    * no positional self-join. The bigram table is a map-side-combined
+    * hash aggregate (bigram TYPES, not instances); context counts derive
+    * from the bigram table (no second corpus pass) and the vocab size
+    * from the unigram table. With a pre-trained artifact — the
+    * production case, q54's persisted-vocab pattern — the train
+    * aggregates disappear and the table broadcast-joins straight into
+    * the bigram stream; a self-trained table past broadcast size shifts
+    * to a shuffle hash join on the (w1, w2) key, same dataflow. Docs
+    * with < 2 tokens carry no bigram evidence and are excluded (the q72
+    * zero-token convention, one level up).
+    */
+  def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLogProbOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q78 for ANY (doc_id, text, …) corpus. */
+  def bigramLogProbOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokenArr(col("text")).as("toks"))
+    // vocab size from the unigram type table — the smoothing denominator
+    val vocab = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)))
+      .agg(count(lit(1)).cast("double").as("vocab"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramFreqs = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // context totals c1 = Σ_w2 c12 — derived from the TYPE table, so the
+    // corpus token stream is aggregated exactly once
+    val contexts = bigramFreqs.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("double").as("c1"))
+    bigrams
+      .join(broadcast(bigramFreqs), Seq("w1", "w2"))
+      .join(broadcast(contexts), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + lit(1)) / (col("c1") + col("vocab")))), 6)
+          .as("avg_logp2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78OracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '(\w+|[^\w\s]+)', 1) AS toks FROM documents
+      |), b AS (
+      |  SELECT doc_id, toks[g.i] AS w1, toks[g.i+1] AS w2
+      |  FROM d CROSS JOIN UNNEST(generate_series(1, length(toks)-1)) AS g(i)
+      |  WHERE length(toks) >= 2
+      |), bf AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+      |), cf AS (
+      |  SELECT w1, CAST(SUM(c12) AS DOUBLE) AS c1 FROM bf GROUP BY w1
+      |), v AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM (
+      |    SELECT DISTINCT unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token
+      |    FROM documents)
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       round(avg(ln((c12 + 1) / (c1 + vocab))), 6) AS avg_logp2
+      |FROM b JOIN bf USING (w1, w2) JOIN cf USING (w1) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q75_dup_span_coverage — exact-SUBSTRING duplication stats, the
     * ExactSubstr decision axis of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better" (the reference corpus carries

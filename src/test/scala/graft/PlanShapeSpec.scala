@@ -231,6 +231,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no row_number window may rank the scored corpus;\n$p")
   }
 
+  test("q78 bigram assembly is scan-local: no window, no positional self-join, no cartesian") {
+    val p = plan(graft.operators.TextAnalysis.bigramLogProb(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"bigrams must come from the array zipped with its own tail, not a lag window;\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the vocab-size scalar must broadcast, never cartesian;\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the per-doc mean must be a map-side-combined hash aggregate;\n$p")
+  }
+
   test("q77 budget windows hash-partition by (lang, shard) — never a global per-lang ordering") {
     val p = plan(graft.operators.TextAnalysis.tokenBudgetSelect(spark, TestSpark.Sf0001))
     assert(p.contains("hashpartitioning(lang"),

@@ -198,6 +198,50 @@ class TextAnalysisSpec extends AnyFunSuite {
       "the budget must be a real cut: some docs kept, some dropped")
   }
 
+  test("bigram log-prob matches the add-one-smoothed reference computation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    // reference LM from the operator's own tokenization
+    val toks = docs.select(col("doc_id"), graft.operators.TextPipeline.tokenArr(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val vocab = toks.flatMap(_._2).distinct.length.toDouble
+    val allBigrams = toks.flatMap { case (_, t) => t.zip(t.drop(1)) }
+    val c12 = allBigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val expected: Map[Long, (Long, Double)] =
+      toks.filter(_._2.length >= 2).map { case (id, t) =>
+        val bgs = t.zip(t.drop(1))
+        val avg = bgs.map(bg => math.log((c12(bg) + 1) / (c1(bg._1) + vocab))).sum / bgs.length
+        id -> ((bgs.length.toLong, avg))
+      }.toMap
+    val got = TextAnalysis.bigramLogProbOf(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size, s"${got.length} rows vs ${expected.size} docs with bigrams")
+    got.foreach { case (id, n, s) =>
+      val (en, es) = expected(id)
+      assert(n == en, s"doc $id bigram count $n != $en")
+      assert(math.abs(s - es) < 1.5e-6, s"doc $id score $s != $es")
+    }
+  }
+
+  test("bigram LM penalizes scrambled word order where the unigram LM cannot see it") {
+    import spark.implicits._
+    val sent = "the model reads the data and the model writes the data"
+    val scrambled = "data the and model the reads writes the data model the"
+    val base = (0L until 40L).map(i => (i, sent, "en"))
+    val corpus = (base :+ (98L, sent, "en") :+ (99L, scrambled, "en"))
+      .toDF("doc_id", "text", "lang")
+    val uni = TextAnalysis.unigramLogProbOf(corpus)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    val bi = TextAnalysis.bigramLogProbOf(corpus)
+      .select("doc_id", "avg_logp2").as[(Long, Double)].collect().toMap
+    // same bag of words: unigram scores identical, bigram separates them
+    assert(math.abs(uni(98L) - uni(99L)) < 1e-6,
+      "scrambled doc has the identical unigram score by construction")
+    assert(bi(99L) < bi(98L) - 0.5,
+      s"scrambled order must crater the bigram score: ${bi(99L)} vs ${bi(98L)}")
+  }
+
   test("decontaminateBloom raises the SQLConf bloom caps instead of shipping a clamped filter") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
