@@ -591,6 +591,71 @@ object TextAnalysis {
       |FROM b JOIN bf USING (w1, w2) JOIN cf USING (w1) CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Selection quantile for q79: keep each language's top quarter. */
+  val SelectQuantile = 0.75
+
+  /** q79_percentile_select — per-language PERCENTILE-THRESHOLD selection
+    * (round 7), the FineWeb-Edu-style "keep the top X% by classifier
+    * score" cut: each language keeps exactly the docs whose q72 LM score
+    * clears that language's 75th-percentile threshold. Unlike q76's
+    * fixed-count quota this adapts the kept VOLUME to the score
+    * distribution — the knob real pipelines actually publish ("top 25%
+    * by the edu classifier").
+    *
+    * 100 TB shape: the threshold is a per-language AGGREGATE (exact
+    * interpolated percentile — value-count buffers, merged partial/
+    * final), NEVER a per-language ordering of the corpus: no
+    * percent_rank window, no global sort. The 5-row threshold table
+    * broadcasts back and the cut is a scan-side comparison. The scored
+    * stream is cached across its two consumers (threshold build + cut)
+    * — per-doc (id, lang, score) rows, decision-scale next to the token
+    * stream that produced them; a production pipeline persists the
+    * score column and this stage never re-tokenizes at all. At corpus
+    * sizes where exact value-count buffers strain the reducers,
+    * `approx_percentile` is the documented one-line swap (fixed-size
+    * sketch, spec-pinned within 0.1% of exact on the fixture).
+    */
+  def percentileSelect(spark: SparkSession, sfDir: String): DataFrame =
+    percentileSelectOf(Tables.documents(spark, sfDir), SelectQuantile)
+
+  /** Composable core of q79 for ANY (doc_id, text, lang, …) corpus.
+    * `exact=false` swaps the scale-path approx sketch in. */
+  def percentileSelectOf(docs: DataFrame, q: Double, exact: Boolean = true): DataFrame = {
+    val scored = unigramLogProbOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("avg_logp"))
+      .cache()
+    val pct = if (exact) s"percentile(avg_logp, $q)"
+              else s"approx_percentile(avg_logp, $q, 10000)"
+    val cuts = scored.groupBy(col("lang")).agg(expr(pct).as("cut"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .filter(col("avg_logp") >= col("cut"))
+      .select(col("lang"), col("doc_id"), col("avg_logp"),
+        round(col("cut"), 6).as("cut"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val q79OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents
+       |), f AS (
+       |  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f
+       |), s AS (
+       |  SELECT doc_id, round(avg(ln(freq / total)), 6) AS avg_logp
+       |  FROM t JOIN f USING (token) CROSS JOIN tot GROUP BY doc_id
+       |), g AS (
+       |  SELECT d.lang, s.doc_id, s.avg_logp
+       |  FROM s JOIN documents d USING (doc_id)
+       |), c AS (
+       |  SELECT lang, quantile_cont(avg_logp, ${SelectQuantile}) AS cut
+       |  FROM g GROUP BY lang
+       |)
+       |SELECT g.lang, g.doc_id, g.avg_logp, round(c.cut, 6) AS cut
+       |FROM g JOIN c USING (lang) WHERE g.avg_logp >= c.cut
+       |ORDER BY g.lang, g.doc_id""".stripMargin
+
   /** q75_dup_span_coverage — exact-SUBSTRING duplication stats, the
     * ExactSubstr decision axis of Lee et al., "Deduplicating Training
     * Data Makes Language Models Better" (the reference corpus carries

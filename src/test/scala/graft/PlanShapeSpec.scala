@@ -241,6 +241,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the per-doc mean must be a map-side-combined hash aggregate;\n$p")
   }
 
+  test("q79 thresholds are a per-lang aggregate broadcast back — no percent_rank window, no sort") {
+    val p = plan(graft.operators.TextAnalysis.percentileSelect(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the cut must come from a percentile aggregate, never a percent_rank window;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row threshold table must broadcast back into the scored stream;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+  }
+
   test("q77 budget windows hash-partition by (lang, shard) — never a global per-lang ordering") {
     val p = plan(graft.operators.TextAnalysis.tokenBudgetSelect(spark, TestSpark.Sf0001))
     assert(p.contains("hashpartitioning(lang"),

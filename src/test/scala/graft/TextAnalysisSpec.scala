@@ -242,6 +242,51 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"scrambled order must crater the bigram score: ${bi(99L)} vs ${bi(98L)}")
   }
 
+  test("percentile select keeps exactly the scores clearing each language's interpolated cut") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val scored = TextAnalysis.unigramLogProbOf(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select("lang", "doc_id", "avg_logp").as[(String, Long, Double)].collect()
+    val got = TextAnalysis.percentileSelectOf(docs, 0.75)
+      .as[(String, Long, Double, Double)].collect()
+    val cutByLang = got.map(r => r._1 -> r._4).toMap
+    scored.groupBy(_._1).foreach { case (lang, rs) =>
+      val cut = cutByLang(lang)
+      // the reported cut sits between the two order statistics bracketing
+      // rank 0.75*(n-1) — the interpolated-percentile contract
+      val sorted = rs.map(_._3).sorted
+      val idx = 0.75 * (sorted.length - 1)
+      assert(cut >= sorted(math.floor(idx).toInt) - 1e-6 &&
+        cut <= sorted(math.ceil(idx).toInt) + 1e-6,
+        s"$lang cut $cut outside [${sorted(math.floor(idx).toInt)}, ${sorted(math.ceil(idx).toInt)}]")
+      // membership: exactly the scores >= cut survive (cut is rounded to
+      // 6dp in the output; scores are 6dp by construction, so the rounded
+      // cut decides membership identically unless a score ties the cut
+      // within rounding — assert with that guard)
+      val kept = got.filter(_._1 == lang).map(_._2).toSet
+      val expected = rs.filter(_._3 >= cut - 5e-7).map(_._2).toSet
+      assert(kept.subsetOf(expected), s"$lang kept a doc below the cut")
+      assert(rs.count(_._3 >= cut + 5e-7) <= kept.size, s"$lang dropped a doc above the cut")
+      // the cut is a real cut: strictly between 15% and 35% of the group
+      assert(kept.size >= rs.length * 15 / 100 && kept.size <= rs.length * 35 / 100,
+        s"$lang kept ${kept.size} of ${rs.length} — not a ~25% cut")
+    }
+  }
+
+  test("approx percentile select is the documented one-line scale swap: cuts within 1e-3") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val exact = TextAnalysis.percentileSelectOf(docs, 0.75)
+      .select("lang", "cut").distinct().as[(String, Double)].collect().toMap
+    val approx = TextAnalysis.percentileSelectOf(docs, 0.75, exact = false)
+      .select("lang", "cut").distinct().as[(String, Double)].collect().toMap
+    exact.foreach { case (lang, c) =>
+      assert(math.abs(approx(lang) - c) < 1e-3,
+        s"$lang approx cut ${approx(lang)} vs exact $c")
+    }
+  }
+
   test("decontaminateBloom raises the SQLConf bloom caps instead of shipping a clamped filter") {
     import spark.implicits._
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
