@@ -19,7 +19,9 @@ object Explain {
                          "q62_scaled_neardup", "q63_cross_modal_index",
                          "q64_recall_audit", "q66_salted_join",
                          "q70_fuzzy_sentence_dedup", "q73_simhash_neardup",
-                         "q74_dup_clusters")
+                         "q74_dup_clusters", "q75_dup_span_coverage",
+                         "q76_quality_quota", "q77_token_budget_select",
+                         "q78_bigram_logprob", "q79_percentile_select")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -541,8 +541,14 @@ object TextAnalysis {
   def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
     bigramLogProbOf(Tables.documents(spark, sfDir))
 
-  /** Composable core of q78 for ANY (doc_id, text, …) corpus. */
-  def bigramLogProbOf(docs: DataFrame): DataFrame = {
+  /** Composable core of q78 for ANY (doc_id, text, …) corpus.
+    * `broadcastLm=false` is the big-table escape hatch: the bigram table
+    * joins by shuffle hash on (w1, w2) instead of broadcasting —
+    * measured at sf10 in BASELINE.md, where GenScale's disjoint
+    * per-replica vocab grows bigram TYPES linearly (a real corpus
+    * follows Heaps' law and grows them much slower).
+    */
+  def bigramLogProbOf(docs: DataFrame, broadcastLm: Boolean = true): DataFrame = {
     val toks = docs.select(col("doc_id"), tokenArr(col("text")).as("toks"))
     // vocab size from the unigram type table — the smoothing denominator
     val vocab = toks.select(explode(col("toks")).as("token"))
@@ -559,9 +565,12 @@ object TextAnalysis {
     // corpus token stream is aggregated exactly once
     val contexts = bigramFreqs.groupBy(col("w1"))
       .agg(sum(col("c12")).cast("double").as("c1"))
-    bigrams
-      .join(broadcast(bigramFreqs), Seq("w1", "w2"))
-      .join(broadcast(contexts), Seq("w1"))
+    val withLm =
+      if (broadcastLm) bigrams.join(broadcast(bigramFreqs), Seq("w1", "w2"))
+        .join(broadcast(contexts), Seq("w1"))
+      else bigrams.join(bigramFreqs.hint("shuffle_hash"), Seq("w1", "w2"))
+        .join(broadcast(contexts), Seq("w1"))
+    withLm
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -224,6 +224,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 shuffle-join LM variant equals the broadcast plan row-for-row") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val bc = TextAnalysis.bigramLogProbOf(docs).as[(Long, Long, Double)].collect().toSet
+    val sh = TextAnalysis.bigramLogProbOf(docs, broadcastLm = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bc == sh, s"${bc.size} broadcast rows vs ${sh.size} shuffle rows")
+  }
+
   test("bigram LM penalizes scrambled word order where the unigram LM cannot see it") {
     import spark.implicits._
     val sent = "the model reads the data and the model writes the data"
