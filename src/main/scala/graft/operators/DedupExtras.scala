@@ -35,6 +35,39 @@ object DedupExtras {
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
 
+  /** 8-way MinHash signature (doc_id, sig0..sig7) from a shingle-set frame.
+    * 8 INDEPENDENT salted digests per shingle — md5(i || ':' || s) — one
+    * min per member. Costs 8 digests/shingle (measured within noise at
+    * sf0.1) and buys a proper independent hash family: the earlier
+    * 8-overlapping-windows-of-one-md5 form was cheaper but its members
+    * were correlated, weakening the banding's recall guarantee
+    * (VERDICT r2 item 8).
+    * Shape note (measured, round 5): explode + groupBy(doc_id) LOOKS like
+    * it shuffles the whole shingle stream, but HashAggregate's map-side
+    * partial min means the shuffle carries only (doc_id, 8 partial mins)
+    * per map partition — already scale-bounded. The tempting HOF
+    * alternative (array_min over transform, zero shuffle) measured 2×
+    * SLOWER at sf0.1 because higher-order lambdas evaluate interpreted
+    * while this explode/aggregate pipeline is whole-stage codegen'd.
+    */
+  private def signaturesOf(sh: DataFrame): DataFrame = {
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"sig$i"))
+    exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** One band row (doc_id, band, bkey) per (doc, band) via a single
+    * posexplode — NOT a 4-way union, which would re-run the whole
+    * signature aggregation per band.
+    */
+  private def bandRowsOf(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map(b => md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+    sigs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "band", "bkey")
+  }
+
   /** q16_minhash_lsh_dedup — full MinHash/LSH near-dup pipeline:
     * shingle → 8-way MinHash signature → 4 bands of 2 → band-key equi-join
     * for candidates → exact Jaccard verification ≥ 0.5 → top-50 pairs by
@@ -71,29 +104,7 @@ object DedupExtras {
     // session leaks no cached blocks (VERDICT r2 item 4).
     val sh = shingleSetsOf(docs).cache()
     try {
-    // 8 INDEPENDENT salted digests per shingle — md5(i || ':' || s) — one
-    // min per member. Costs 8 digests/shingle (measured within noise at
-    // sf0.1) and buys a proper independent hash family: the earlier
-    // 8-overlapping-windows-of-one-md5 form was cheaper but its members
-    // were correlated, weakening the banding's recall guarantee
-    // (VERDICT r2 item 8).
-    // Shape note (measured, round 5): explode + groupBy(doc_id) LOOKS like
-    // it shuffles the whole shingle stream, but HashAggregate's map-side
-    // partial min means the shuffle carries only (doc_id, 8 partial mins)
-    // per map partition — already scale-bounded. The tempting HOF
-    // alternative (array_min over transform, zero shuffle) measured 2×
-    // SLOWER at sf0.1 because higher-order lambdas evaluate interpreted
-    // while this explode/aggregate pipeline is whole-stage codegen'd.
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"sig$i"))
-    val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // One band row per (doc, band) via a single posexplode — NOT a 4-way
-    // union, which would re-run the whole signature aggregation per band.
-    val bandKeys = (0 until Bands).map(b => md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
-    val bandRows = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
-      .toDF("doc_id", "band", "bkey")
+    val bandRows = bandRowsOf(signaturesOf(sh))
 
     val a = bandRows.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
     val b = bandRows.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
@@ -116,6 +127,42 @@ object DedupExtras {
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     } finally sh.unpersist()
+  }
+
+  /** CROSS-corpus MinHash near-dup matches: every (batch doc, store doc)
+    * pair that shares an LSH band bucket AND verifies at exact shingle
+    * Jaccard ≥ `threshold`. The incremental-crawl shape (q80): the batch
+    * side is new-arrivals-scale, the store side is corpus-scale, and the
+    * band join is an ordinary equi-join on (band, bkey) — AQE broadcasts
+    * the batch band rows when the batch is small, which is exactly the
+    * incremental regime. At 100 TB the store's shingle sets and band rows
+    * are a maintained artifact (built once per snapshot, the q54 persisted-
+    * artifact pattern), not recomputed per batch; here both derive from
+    * the fixture inline. Returns (batch_id, store_id, jaccard),
+    * decision-scale, materialized for the same reason as
+    * [[minhashVerifiedPairsOf]].
+    */
+  def crossNearMatchesOf(batch: DataFrame, store: DataFrame,
+                         threshold: Double = JaccardThreshold): DataFrame = {
+    val shB = shingleSetsOf(batch).cache()
+    val shS = shingleSetsOf(store).cache()
+    try {
+      val bandB = bandRowsOf(signaturesOf(shB))
+        .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
+      val bandS = bandRowsOf(signaturesOf(shS))
+        .select(col("doc_id").as("store_id"), col("band"), col("bkey"))
+      val candidates = bandB.join(bandS, Seq("band", "bkey"))
+        .select(col("batch_id"), col("store_id"))
+        .distinct()
+      candidates
+        .join(shB.select(col("doc_id").as("batch_id"), col("sh").as("shb")), Seq("batch_id"))
+        .join(shS.select(col("doc_id").as("store_id"), col("sh").as("shs")), Seq("store_id"))
+        .select(col("batch_id"), col("store_id"),
+          round(size(array_intersect(col("shb"), col("shs")))
+            / size(array_union(col("shb"), col("shs"))).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally { shB.unpersist(); shS.unpersist() }
   }
 
   val q16OracleSql: String = {
