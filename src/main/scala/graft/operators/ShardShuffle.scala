@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic global TRAINING SHUFFLE into N output shards — the
+  * data-loader prep step after curation: every doc gets a pseudo-random
+  * but reproducible (shard, pos) so the training job streams shard files
+  * in order and sees a fixed global permutation, with no RNG state to
+  * checkpoint and bit-identical re-runs (the q06 split convention, applied
+  * to ordering).
+  *
+  * The shuffle key is md5("shuffle:" || doc_id): shard = first-nibble
+  * value (the [[DedupExtras]] simhash nibble-decode pattern, so the DuckDB
+  * oracle computes the identical layout), pos = rank within the shard by
+  * (key, doc_id).
+  *
+  * Scale: there is deliberately NO global ordering — a total-order
+  * row_number is one reducer at any corpus size. Each shard's rank is a
+  * per-shard window (the q69/q77 sharding argument): shard count is a
+  * knob ∝ corpus size (shards ≈ corpus / target-file-size, so the
+  * per-shard window is one output file's worth of rows — here N=16 for
+  * the fixture). The production write path needs no window at all:
+  * [[writeShards]] repartitions by shard and sorts WITHIN partitions —
+  * shuffle + local sort, never a global one.
+  */
+object ShardShuffle {
+
+  val NumShards = 16
+
+  /** q81_shard_shuffle — (doc_id, shard, pos) for the fixture corpus. */
+  def shardShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    shardShuffleOf(Tables.documents(spark, sfDir), NumShards)
+
+  /** Shuffle-key + shard assignment, scan-local (no shuffle). `n` must
+    * divide 16 so the nibble maps uniformly onto shards (16, 8, 4, 2).
+    */
+  private def keyed(docs: DataFrame, n: Int): DataFrame = {
+    require(16 % n == 0, s"shard count $n must divide 16 (one hex nibble)")
+    docs
+      .withColumn("skey", md5(concat(lit("shuffle:"), col("doc_id"))))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substr(skey, 1, 1)) - 1") % n).cast("long"))
+  }
+
+  /** Composable core for ANY (doc_id, …) frame: the deterministic
+    * permutation as explicit (shard, pos) ranks. The window partitions by
+    * shard (plan-pinned: hashpartitioning(shard), never a single
+    * partition).
+    */
+  def shardShuffleOf(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    keyed(docs, n)
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The production write path: one parquet directory per shard, rows
+    * sorted by shuffle key WITHIN each shard — repartition + local sort,
+    * no window, no global ordering anywhere. A training loader reading
+    * shard directories in shard order and rows in file order replays
+    * exactly the [[shardShuffleOf]] permutation.
+    */
+  def writeShards(docs: DataFrame, outDir: String, n: Int): Unit =
+    keyed(docs, n)
+      .repartition(n, col("shard"))
+      // shard leads the sort so the file writer's required ordering
+      // (partition columns first) is already satisfied — otherwise
+      // FileFormatWriter inserts its own non-stable sort on shard and
+      // destroys the within-shard key order
+      .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  val q81OracleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         md5('shuffle:' || doc_id) AS skey
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST((strpos('0123456789abcdef', substring(skey, 1, 1)) - 1)
+       |            % $NumShards AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY (strpos('0123456789abcdef', substring(skey, 1, 1)) - 1) % $NumShards
+       |         ORDER BY skey, doc_id) AS BIGINT) AS pos
+       |FROM keyed
+       |ORDER BY doc_id""".stripMargin
+}
