@@ -143,7 +143,11 @@ object DupClusters {
     * Closure size is Σ|component|² — fixture-fine; the ENGINE never
     * materializes a closure, that is exactly what the star rounds avoid.
     */
-  val q74OracleSql: String = {
+  /** Shared CTE prefix of the q74/q83 oracles: q16's verified-pair CTEs
+    * (un-ranked, full set) + recursive transitive closure → `lab`
+    * (doc_id, cluster_id = min reachable node).
+    */
+  private[operators] val clusterCtePrefix: String = {
     val sigSelect = (0 until DedupExtras.NumHashes).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
     val bandSelects = (0 until DedupExtras.Bands).map(b =>
       s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sigs").mkString("\n  UNION ALL\n  ")
@@ -179,10 +183,47 @@ object DupClusters {
        |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
        |), lab AS (
        |  SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
-       |)
+       |)""".stripMargin
+  }
+
+  val q74OracleSql: String =
+    s"""$clusterCtePrefix
        |SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
        |FROM lab l
        |JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id) c USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** q83_leakage_safe_split — contamination-safe train/val assignment: the
+    * split hashes the CLUSTER, not the doc, so a near-dup family can never
+    * straddle train and validation (doc-hash splits leak: a val doc's
+    * near-dup in train inflates eval — the q74 cluster is exactly the unit
+    * that must move together). side = 'val' when the first nibble of
+    * md5("split:" || cluster_id) is 0 (expected 1/16), else 'train' — the
+    * q81 nibble convention, deterministic and RNG-free. Cost over q74 is
+    * one scan-local hash per row.
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
+    leakageSafeSplitOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q83 for ANY (doc_id, text, …) corpus. */
+  def leakageSafeSplitOf(docs: DataFrame): DataFrame = {
+    val pairs  = DedupExtras.minhashVerifiedPairsOf(docs).select("a_id", "b_id")
+    val labels = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("side",
+        when(expr("instr('0123456789abcdef', substr(md5(concat('split:', cluster_id)), 1, 1)) - 1") === 0,
+          lit("val")).otherwise(lit("train")))
+      .select(col("doc_id"), col("cluster_id"), col("side"))
+      .orderBy(col("doc_id"))
   }
+
+  val q83OracleSql: String =
+    s"""$clusterCtePrefix
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN strpos('0123456789abcdef', substring(md5('split:' || cluster_id), 1, 1)) - 1 = 0
+       |            THEN 'val' ELSE 'train' END AS side
+       |FROM lab
+       |ORDER BY doc_id""".stripMargin
 }

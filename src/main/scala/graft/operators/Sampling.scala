@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic EXACT-K uniform sampling per group — the inspection /
+  * eval-subset stage of a curation pipeline ("pull 25 random docs per
+  * language for review"): rank docs by a hash of their id and keep each
+  * group's K smallest. Hash-rank sampling is uniform (the hash is
+  * order-independent of any doc attribute), reproducible (no RNG state,
+  * bit-identical re-runs — the q81 convention), and EXACT-K, which
+  * Bernoulli gates (q61's hash gate) cannot promise.
+  *
+  * Scale: ranking uses the bounded-heap [[TopK]] Aggregator, NOT a
+  * row_number window — the window funnels every corpus row of a language
+  * through one reducer; the heap ships ≤ groups × partitions × K tiny
+  * rows at any corpus size (q76's argument, with the hash as the score).
+  *
+  * The hash score is the first 12 md5 nibbles decoded to a number —
+  * 48 bits, exactly representable in double, decoded with the
+  * [[DedupExtras]] instr-nibble pattern so the DuckDB oracle computes the
+  * identical layout (no engine-specific hex-to-int builtin in either
+  * plan).
+  */
+object Sampling {
+
+  val SampleK = 25
+
+  /** Numeric value of the first 12 hex nibbles of `h` (exact in double). */
+  private def nibbleValue(h: Column): Column =
+    (0 until 12).map { i =>
+      expr(s"instr('0123456789abcdef', substr(_h, ${i + 1}, 1)) - 1").cast("double") *
+        lit(math.pow(16, 11 - i))
+    }.reduce(_ + _)
+
+  /** q82_lang_sample — 25 docs per language, uniformly by id hash. */
+  def langSample(spark: SparkSession, sfDir: String): DataFrame =
+    sampleByOf(Tables.documents(spark, sfDir), Seq("lang"), SampleK)
+
+  /** Composable core for ANY frame with `doc_id` + grouping columns:
+    * (group cols, rank, doc_id), rank 1..K by (hash asc, doc_id asc).
+    * TopK ranks best-first by (score DESC, id asc), so the score is the
+    * NEGATED hash value.
+    */
+  def sampleByOf(docs: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val tk = TopK.topKUdaf(k)
+    val gs = groupCols.map(col)
+    docs
+      .withColumn("_h", md5(concat(lit("sample:"), col("doc_id"))))
+      .withColumn("_score", -nibbleValue(col("_h")))
+      .groupBy(gs: _*)
+      .agg(tk(col("doc_id"), col("_score")).as("top"))
+      .select(gs :+ posexplode(col("top")): _*)
+      .toDF(groupCols ++ Seq("pos", "s"): _*)
+      .select(gs ++ Seq((col("pos") + 1).cast("long").as("rank"), col("s.id").as("doc_id")): _*)
+      .orderBy(gs :+ col("rank"): _*)
+  }
+
+  val q82OracleSql: String = {
+    val hv = (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substring(skey, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0"
+    }.mkString("\n           + ")
+    s"""WITH keyed AS (
+       |  SELECT lang, doc_id, md5('sample:' || doc_id) AS skey FROM documents
+       |), hv AS (
+       |  SELECT lang, doc_id,
+       |         $hv AS hv
+       |  FROM keyed
+       |), r AS (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rank
+       |  FROM hv
+       |)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+       |FROM r WHERE rank <= $SampleK
+       |ORDER BY lang, rank""".stripMargin
+  }
+}
