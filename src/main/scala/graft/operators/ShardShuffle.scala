@@ -36,11 +36,15 @@ object ShardShuffle {
 
   /** Shuffle-key + shard assignment, scan-local (no shuffle). `n` must
     * divide 16 so the nibble maps uniformly onto shards (16, 8, 4, 2).
+    * `epoch` re-salts the key for multi-epoch training (each epoch streams
+    * a DIFFERENT fixed permutation); epoch 0 keeps the bare "shuffle:"
+    * prefix — the declared oracle layout.
     */
-  private def keyed(docs: DataFrame, n: Int): DataFrame = {
+  private def keyed(docs: DataFrame, n: Int, epoch: Long): DataFrame = {
     require(16 % n == 0, s"shard count $n must divide 16 (one hex nibble)")
+    val prefix = if (epoch == 0L) "shuffle:" else s"shuffle:$epoch:"
     docs
-      .withColumn("skey", md5(concat(lit("shuffle:"), col("doc_id"))))
+      .withColumn("skey", md5(concat(lit(prefix), col("doc_id"))))
       .withColumn("shard",
         (expr("instr('0123456789abcdef', substr(skey, 1, 1)) - 1") % n).cast("long"))
   }
@@ -50,9 +54,9 @@ object ShardShuffle {
     * shard (plan-pinned: hashpartitioning(shard), never a single
     * partition).
     */
-  def shardShuffleOf(docs: DataFrame, n: Int): DataFrame = {
+  def shardShuffleOf(docs: DataFrame, n: Int, epoch: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    keyed(docs, n)
+    keyed(docs, n, epoch)
       .withColumn("pos",
         row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("long"))
@@ -66,8 +70,8 @@ object ShardShuffle {
     * shard directories in shard order and rows in file order replays
     * exactly the [[shardShuffleOf]] permutation.
     */
-  def writeShards(docs: DataFrame, outDir: String, n: Int): Unit =
-    keyed(docs, n)
+  def writeShards(docs: DataFrame, outDir: String, n: Int, epoch: Long = 0L): Unit =
+    keyed(docs, n, epoch)
       .repartition(n, col("shard"))
       // shard leads the sort so the file writer's required ordering
       // (partition columns first) is already satisfied — otherwise

@@ -108,6 +108,42 @@ object EventStream {
         fresh.write.mode("append").parquet(storeDir)
       }
 
+  /** Continuous curation: [[dedupAgainstStore]] upgraded with the NEAR-dup
+    * gate — every micro-batch classifies against the growing store with
+    * [[graft.operators.Incremental.incrementalDedupOf]] (exact md5 pass +
+    * q16's MinHash banding cross-corpus) and appends only `new` docs, so a
+    * re-crawl with a boilerplate sentence appended no longer re-enters the
+    * corpus the way it would under the exact-only stream. Batch-internal
+    * exact dups collapse to their min-id keeper first
+    * ([[graft.operators.TextAnalysis.dedupSurvivorsOf]]); batch-internal
+    * NEAR-dups are deliberately left to the next full near-dup pass (q70/
+    * q74) — a batch-internal band self-join per micro-batch would pay the
+    * quadratic-candidate risk on every trigger for a window real crawls
+    * dedup post-hoc anyway.
+    *
+    * Same SINGLE-WRITER CONTRACT and at-least-once caveats as
+    * [[dedupAgainstStore]]; `docs` needs (doc_id, text).
+    */
+  def fuzzyDedupAgainstStore(docs: DataFrame, storeDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    docs
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{Incremental, TextAnalysis}
+        val inBatch = TextAnalysis.dedupSurvivorsOf(batch)
+        val store =
+          try Some(batch.sparkSession.read.parquet(storeDir).select(col("doc_id"), col("text")))
+          catch { case _: org.apache.spark.sql.AnalysisException => None } // store not created yet
+        val fresh = store.fold(inBatch) { st =>
+          val novel = Incremental.incrementalDedupOf(inBatch, st)
+            .filter(col("disposition") === "new").select(col("doc_id"))
+          inBatch.join(novel, Seq("doc_id"), "left_semi")
+        }
+        fresh.write.mode("append").parquet(storeDir)
+      }
+
   /** Streaming vector ingest into the persisted IVF index — the
     * reference's accumulate-and-flush upsert loop (vector_db.py:79-106)
     * pointed at the engine's OWN index instead of a remote server: every

@@ -53,6 +53,21 @@ class ShardShuffleSpec extends AnyFunSuite {
     assert(back.count() == docs.count())
   }
 
+  test("epochs reshuffle: epoch 1 is a different deterministic permutation; epoch 0 is the declared one") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val e0 = ShardShuffle.shardShuffleOf(docs, 16).as[(Long, Long, Long)].collect()
+    val e0again = ShardShuffle.shardShuffleOf(docs, 16, epoch = 0L).as[(Long, Long, Long)].collect()
+    assert(e0.sameElements(e0again), "epoch 0 must be the declared layout")
+    val e1 = ShardShuffle.shardShuffleOf(docs, 16, epoch = 1L).as[(Long, Long, Long)].collect()
+    assert(!e0.sameElements(e1), "epoch 1 must be a different permutation")
+    assert(e1.length == e0.length)
+    e1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length.toLong),
+        s"epoch-1 shard $shard ranks not dense")
+    }
+  }
+
   test("the rank window partitions by shard — never a single global ordering") {
     val p = ShardShuffle.shardShuffleOf(Tables.documents(spark, TestSpark.Sf0001), 16)
       .queryExecution.executedPlan.toString

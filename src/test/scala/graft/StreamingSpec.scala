@@ -149,6 +149,33 @@ class StreamingSpec extends AnyFunSuite {
       "a sequential second writer must see the full history: beta dropped, delta admitted")
   }
 
+  test("fuzzy store dedup: near-dup re-crawls are rejected across batches, novel docs admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_fuzzy_store").toString
+    val ckp   = java.nio.file.Files.createTempDirectory("graft_fuzzy_ckp").toString
+    val base  = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    val input = MemoryStream[(Long, String)]
+    // batch 1 seeds the store (includes an in-batch exact dup pair)
+    input.addData(Seq((1L, base), (2L, base),
+      (3L, "completely different content about distributed query engines and shuffles")))
+    val q1 = EventStream.fuzzyDedupAgainstStore(input.toDF().toDF("doc_id", "text"), store, ckp).start()
+    q1.awaitTermination()
+    // batch 2: an exact re-crawl, a near-dup re-crawl (appended boilerplate),
+    // and a genuinely novel doc
+    input.addData(Seq(
+      (10L, base),
+      (11L, base + " please subscribe"),
+      (12L, "entirely fresh material never seen in any snapshot of this corpus before now")))
+    val q2 = EventStream.fuzzyDedupAgainstStore(input.toDF().toDF("doc_id", "text"), store, ckp).start()
+    q2.awaitTermination()
+
+    val kept = spark.read.parquet(store).select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 12L),
+      s"store must hold batch-1 keepers + the novel doc only, got $kept")
+  }
+
   test("foreachBatch upsert sink: last-writer-wins view resolves re-ingested ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
