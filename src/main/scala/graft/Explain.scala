@@ -21,7 +21,9 @@ object Explain {
                          "q70_fuzzy_sentence_dedup", "q73_simhash_neardup",
                          "q74_dup_clusters", "q75_dup_span_coverage",
                          "q76_quality_quota", "q77_token_budget_select",
-                         "q78_bigram_logprob", "q79_percentile_select")
+                         "q78_bigram_logprob", "q79_percentile_select",
+                         "q80_incremental_dedup", "q81_shard_shuffle",
+                         "q82_lang_sample", "q83_leakage_safe_split")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

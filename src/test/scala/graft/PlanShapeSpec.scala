@@ -274,4 +274,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windowIdx >= 0 && !p.substring(windowIdx).contains("SinglePartition"),
       s"no single-partition exchange may feed or follow the packing window;\n$p")
   }
+
+  test("q80 incremental dedup: fingerprint and band matches stay equi-joins") {
+    val p = plan(graft.operators.Incremental.incrementalDedup(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"exact pass and cross-corpus band join must stay equi-joins;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no window belongs in the classification path;\n$p")
+  }
+
+  test("q83 leakage-safe split: cluster label + side derive with equi-joins, no extra shuffle stage") {
+    val p = plan(graft.operators.DupClusters.leakageSafeSplit(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"label assignment must stay an equi-join;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the side gate is scan-local — no window;\n$p")
+  }
 }
