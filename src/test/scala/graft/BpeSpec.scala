@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** q84 BPE pair counting and the full training loop, checked against an
+  * imperative reference implementation of Sennrich-style BPE.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Imperative reference: greedy-left single-pair merge over a list. */
+  private def mergeRef(cs: List[String], a: String, b: String): List[String] = cs match {
+    case x :: y :: rest if x == a && y == b => (a + b) :: mergeRef(rest, a, b)
+    case x :: rest                          => x :: mergeRef(rest, a, b)
+    case Nil                                => Nil
+  }
+
+  /** Imperative reference BPE train over token char lists. */
+  private def trainRef(tokens: Seq[String], merges: Int): Seq[(Int, String, String, Long)] = {
+    var seqs = tokens.filter(_.length >= 2).map(_.map(_.toString).toList)
+    (1 to merges).flatMap { rank =>
+      val counts = seqs.flatMap(cs => cs.zip(cs.drop(1)))
+        .groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        seqs = seqs.map(cs => mergeRef(cs, a, b))
+        Some((rank, a, b, n))
+      }
+    }
+  }
+
+  test("hand corpus: pair counts match the reference count exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest"), (2L, "new newer newest")).toDF("doc_id", "text")
+    val got = Bpe.bpePairCountsOf(docs).as[(String, String, Long)].collect().toList
+    // tokens: low lower lowest new newer newest
+    val ref = trainRef(Seq("low", "lower", "lowest", "new", "newer", "newest"), 1)
+    // the top-1 of the declared query must equal the reference argmax
+    assert((got.head._1, got.head._2, got.head._3) == (ref.head._2, ref.head._3, ref.head._4))
+    // hand count: "we" appears in lower/lowest/newer/newest = 4, the argmax
+    assert(got.head == ("w", "e", 4L))
+    val all = got.map(r => ((r._1, r._2), r._3)).toMap
+    assert(all(("l", "o")) == 3L && all(("o", "w")) == 3L && all(("n", "e")) == 3L)
+  }
+
+  test("bpeTrainOf equals the imperative reference on 10 merges, including run semantics") {
+    import spark.implicits._
+    val tokens = Seq(
+      "low", "low", "lower", "lowest", "new", "newer", "newest", "newest",
+      "wider", "wide", "widest", "aaaa", "aaab", "banana", "bananas")
+    val docs = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+    val got = Bpe.bpeTrainOf(docs, merges = 10)
+    val ref = trainRef(tokens, merges = 10)
+    assert(got == ref, s"\nengine: $got\nref:    $ref")
+  }
+
+  test("declared q84 runs on the fixture, ranks deterministically, pairs are single chars") {
+    import spark.implicits._
+    val out = Bpe.bpePairCounts(spark, TestSpark.Sf0001).as[(String, String, Long)].collect()
+    assert(out.length == 50)
+    assert(out.sliding(2).forall { case Array(x, y) =>
+      x._3 > y._3 || (x._3 == y._3 && (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)))
+    }, "rows must be strictly ordered by (n desc, c1, c2)")
+    assert(out.forall(r => r._1.length == 1 && r._2.length == 1))
+  }
+}
