@@ -57,6 +57,14 @@ class BpeSpec extends AnyFunSuite {
     assert(got == ref, s"\nengine: $got\nref:    $ref")
   }
 
+  test("q84 plans the top-50 as a merged partial top-k, not a global sort") {
+    val p = Bpe.bpePairCounts(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranked limit must merge per-partition;\n$p")
+    assert(!p.contains("WindowExec"), s"no window in the count path;\n$p")
+  }
+
   test("declared q84 runs on the fixture, ranks deterministically, pairs are single chars") {
     import spark.implicits._
     val out = Bpe.bpePairCounts(spark, TestSpark.Sf0001).as[(String, String, Long)].collect()
