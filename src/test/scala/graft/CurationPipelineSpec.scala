@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, DedupExtras, Embed, IvfIndex, TextAnalysis}
+import graft.operators.{Cleaning, Dedup, DedupExtras, Embed, IvfIndex, TextAnalysis}
 
 /** The full training-data curation story as ONE composition over the
   * library's public corpus-parameterized operators — the workflow a user
   * of the reference would actually run at 100 TB, on a corpus the fixtures
-  * never saw: scrub (PII) → exact dedup → decontaminate (benchmark
-  * overlap) → domain mix → embed → persisted sign-bit index → near-dup
-  * audit + ANN search. Each stage is oracle- or spec-verified on its own
+  * never saw: clean (q85 normalization) → scrub (PII) → exact dedup →
+  * decontaminate (benchmark overlap) → domain mix → embed → persisted
+  * sign-bit index → near-dup audit + ANN search. Each stage is oracle- or spec-verified on its own
   * elsewhere; this proves they SNAP TOGETHER through their public
   * signatures, with every planted artifact caught by exactly the stage
   * built to catch it.
@@ -38,7 +38,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     //    must NOT drop it; the MinHash stage must pair it with 2
     //  - id 903: junk (all punctuation) — the quality gate must drop it
     val nearDupText = base(2)._3.split(" ").dropRight(1).mkString(" ") + " changedword"
-    val raw = (base ++ Seq(
+    val dirty = (base ++ Seq(
       (900L, "web", base(0)._3),
       (901L, "books", base(1)._3),
       (902L, "web", nearDupText),
@@ -47,6 +47,19 @@ class CurationPipelineSpec extends AnyFunSuite {
         when(col("doc_id") === 5, concat(col("text"), lit(" reach me at jane.doe@corp.example.com acct 1234567")))
           .when(col("doc_id") === 7, concat(col("text"), lit(s" $benchSnippet")))
           .otherwise(col("text")))
+      // arrival dirt: every web doc arrives tab-separated with a trailing
+      // control char — stage 0 must normalize it or downstream tokenizers
+      // see "w1x2\tw1x3" as one token
+      .withColumn("text",
+        when(col("source") === "web",
+          concat(translate(col("text"), " ", "\t"), lit(""))).otherwise(col("text")))
+
+    // stage 0: cleaning — the q85 chain; ALL dirt gone, clean rows untouched
+    val raw = dirty.drop("text")
+      .join(Cleaning.textCleanOf(dirty, col("text"))
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+    assert(raw.filter(col("text").rlike("[\\t\\u0007]")).count() == 0,
+      "stage 0 must remove every control char")
     val bench = Seq((5000L, s"prefix words $benchSnippet suffix words")).toDF("doc_id", "text")
 
     // stage 1: PII scrub — flags found, text redacted, nothing else touched
