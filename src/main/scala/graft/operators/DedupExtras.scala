@@ -27,7 +27,7 @@ object DedupExtras {
     * no shingles and drop out) — the standard shingling step. Works on ANY
     * (doc_id, text, …) frame.
     */
-  private def shingleSetsOf(docs: DataFrame): DataFrame =
+  private[operators] def shingleSetsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextPipeline.tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -50,7 +50,7 @@ object DedupExtras {
     * SLOWER at sf0.1 because higher-order lambdas evaluate interpreted
     * while this explode/aggregate pipeline is whole-stage codegen'd.
     */
-  private def signaturesOf(sh: DataFrame): DataFrame = {
+  private[operators] def signaturesOf(sh: DataFrame): DataFrame = {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"sig$i"))
@@ -61,7 +61,7 @@ object DedupExtras {
     * posexplode — NOT a 4-way union, which would re-run the whole
     * signature aggregation per band.
     */
-  private def bandRowsOf(sigs: DataFrame): DataFrame = {
+  private[operators] def bandRowsOf(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map(b => md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
     sigs
       .select(col("doc_id"), posexplode(array(bandKeys: _*)))
@@ -144,25 +144,38 @@ object DedupExtras {
     */
   def crossNearMatchesOf(batch: DataFrame, store: DataFrame,
                          threshold: Double = JaccardThreshold): DataFrame = {
-    val shB = shingleSetsOf(batch).cache()
     val shS = shingleSetsOf(store).cache()
+    try crossNearMatchesAgainst(batch, shS, bandRowsOf(signaturesOf(shS)), threshold)
+    finally shS.unpersist()
+  }
+
+  /** [[crossNearMatchesOf]] with the store side PRE-BUILT — (doc_id, sh)
+    * shingle sets and (doc_id, band, bkey) band rows, e.g. read back from
+    * the per-snapshot artifacts [[Incremental.buildStoreArtifacts]]
+    * persists. This is the production incremental path: nothing here
+    * rescans or re-tokenizes store text.
+    */
+  def crossNearMatchesAgainst(batch: DataFrame, storeShingles: DataFrame,
+                              storeBands: DataFrame,
+                              threshold: Double = JaccardThreshold): DataFrame = {
+    val shB = shingleSetsOf(batch).cache()
     try {
       val bandB = bandRowsOf(signaturesOf(shB))
         .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
-      val bandS = bandRowsOf(signaturesOf(shS))
+      val bandS = storeBands
         .select(col("doc_id").as("store_id"), col("band"), col("bkey"))
       val candidates = bandB.join(bandS, Seq("band", "bkey"))
         .select(col("batch_id"), col("store_id"))
         .distinct()
       candidates
         .join(shB.select(col("doc_id").as("batch_id"), col("sh").as("shb")), Seq("batch_id"))
-        .join(shS.select(col("doc_id").as("store_id"), col("sh").as("shs")), Seq("store_id"))
+        .join(storeShingles.select(col("doc_id").as("store_id"), col("sh").as("shs")), Seq("store_id"))
         .select(col("batch_id"), col("store_id"),
           round(size(array_intersect(col("shb"), col("shs")))
             / size(array_union(col("shb"), col("shs"))).cast("double"), 6).as("jaccard"))
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true)
-    } finally { shB.unpersist(); shS.unpersist() }
+    } finally shB.unpersist()
   }
 
   val q16OracleSql: String = {

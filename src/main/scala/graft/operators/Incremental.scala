@@ -72,12 +72,57 @@ object Incremental {
     val storeFp = store
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("exact_store_id"))
+    classifyWith(batch, storeFp,
+      survivors => DedupExtras.crossNearMatchesOf(survivors, store))
+  }
+
+  /** The production incremental path: classify against PERSISTED store
+    * artifacts ([[buildStoreArtifacts]]) — per-batch cost is the batch's
+    * own fingerprinting/shingling plus equi-join probes into the three
+    * artifact tables; store text is never rescanned or re-tokenized.
+    * Spec-pinned row-identical to [[incrementalDedupOf]].
+    */
+  def incrementalDedupAgainstArtifacts(batch: DataFrame, artifactsDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    classifyWith(batch,
+      spark.read.parquet(s"$artifactsDir/store_fps.parquet"),
+      survivors => DedupExtras.crossNearMatchesAgainst(survivors,
+        spark.read.parquet(s"$artifactsDir/store_shingles.parquet"),
+        spark.read.parquet(s"$artifactsDir/store_bands.parquet")))
+  }
+
+  /** Build (or rebuild after a snapshot change) the store-side artifacts:
+    * the md5 fingerprint set, shingle sets, and LSH band rows — the three
+    * tables every incremental batch probes. One store scan total (the
+    * shingle subtree is cached across its two writers); at 100 TB these
+    * are maintained per snapshot, amortizing the corpus-scale work across
+    * every batch that arrives before the next snapshot (q54's
+    * persisted-artifact pattern applied to dedup state).
+    */
+  def buildStoreArtifacts(store: DataFrame, dir: String): Unit = {
+    store
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("exact_store_id"))
+      .write.mode("overwrite").parquet(s"$dir/store_fps.parquet")
+    val sh = DedupExtras.shingleSetsOf(store).cache()
+    try {
+      sh.write.mode("overwrite").parquet(s"$dir/store_shingles.parquet")
+      DedupExtras.bandRowsOf(DedupExtras.signaturesOf(sh))
+        .write.mode("overwrite").parquet(s"$dir/store_bands.parquet")
+    } finally sh.unpersist()
+  }
+
+  /** Shared classification tail: exact tag via the fp table, near pass
+    * over exact survivors via `nearFn`, disposition + min-id attribution.
+    */
+  private def classifyWith(batch: DataFrame, storeFp: DataFrame,
+                           nearFn: DataFrame => DataFrame): DataFrame = {
     val tagged = batch
       .withColumn("fp", md5(col("text")))
       .join(storeFp, Seq("fp"), "left")
     val survivors = tagged.filter(col("exact_store_id").isNull)
       .select(col("doc_id"), col("text"))
-    val near = DedupExtras.crossNearMatchesOf(survivors, store)
+    val near = nearFn(survivors)
       .groupBy(col("batch_id"))
       .agg(min(col("store_id")).as("near_store_id"))
     tagged

@@ -50,6 +50,25 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out == List((101L, "exact_dup", 1L), (102L, "exact_dup", 2L)))
   }
 
+  test("artifact path: classification against persisted store artifacts equals the inline path") {
+    import spark.implicits._
+    val store = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text")
+    val batch = Incremental.batchOf(store)
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_art").toString
+    Incremental.buildStoreArtifacts(store, dir)
+    val inline = Incremental.incrementalDedupOf(batch, store)
+      .as[(Long, String, Long)].collect().toList
+    val viaArtifacts = Incremental.incrementalDedupAgainstArtifacts(batch, dir)
+      .as[(Long, String, Long)].collect().toList
+    assert(inline == viaArtifacts,
+      s"${inline.size} inline rows vs ${viaArtifacts.size} artifact rows")
+    // a SECOND batch probes the same artifacts without rebuilding them —
+    // the amortization the docs promise
+    val batch2 = batch.limit(50)
+    val again = Incremental.incrementalDedupAgainstArtifacts(batch2, dir)
+    assert(again.count() == 50)
+  }
+
   test("declared q80 runs on the fixture with all three dispositions present") {
     val out = Incremental.incrementalDedup(spark, TestSpark.Sf0001).cache()
     try {
