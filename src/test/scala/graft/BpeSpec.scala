@@ -57,6 +57,18 @@ class BpeSpec extends AnyFunSuite {
     assert(got == ref, s"\nengine: $got\nref:    $ref")
   }
 
+  test("property: bpeTrainOf equals the reference on a random run-heavy two-letter corpus") {
+    import spark.implicits._
+    // a, b alphabet maximizes merge-run edge cases ("aaaa" under (a,a));
+    // seeded so the case set is reproducible
+    val rnd = new scala.util.Random(84)
+    val tokens = Seq.fill(40)((0 until (2 + rnd.nextInt(5))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)
+    val docs = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+    val got = Bpe.bpeTrainOf(docs, merges = 6)
+    val ref = trainRef(tokens, merges = 6)
+    assert(got == ref, s"\nengine: $got\nref:    $ref\ntokens: $tokens")
+  }
+
   test("q84 plans the top-50 as a merged partial top-k, not a global sort") {
     val p = Bpe.bpePairCounts(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString

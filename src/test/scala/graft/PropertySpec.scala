@@ -149,6 +149,30 @@ class PropertySpec extends AnyFunSuite {
       "the fixture must exercise BOTH stop conditions (EOS hit and budget exhausted)")
   }
 
+  test("text clean: idempotent, control-free, collapse-normal on generated dirty strings (batch-evaluated)") {
+    import spark.implicits._
+    val dirtyChar: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('\t', '\n', '\r', '', '', '\f', ' '))
+    val dirtyString: Gen[String] =
+      Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, dirtyChar).map(_.mkString))
+    val rows = Gen.listOfN(120, dirtyString).sample.get.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "raw")
+    val once = graft.operators.Cleaning.textCleanOf(rows, $"raw")
+    val twice = graft.operators.Cleaning.textCleanOf(
+      once.select($"doc_id", $"clean_text".as("raw")), $"raw")
+    val out = once.select($"doc_id", $"clean_text".as("once"))
+      .join(twice.select($"doc_id", $"clean_text".as("twice"), $"changed"), Seq("doc_id"))
+      .as[(Long, String, String, Long)].collect()
+    assert(out.length == 120)
+    out.foreach { case (id, onceS, twiceS, changed) =>
+      assert(changed == 0 && onceS == twiceS, s"row $id: clean must be idempotent")
+      assert(!onceS.exists(c => c < ' ' || c == ''), s"row $id: control char survived")
+      assert(!onceS.contains("  "), s"row $id: whitespace run survived")
+      assert(onceS == onceS.trim, s"row $id: leading/trailing space survived")
+    }
+  }
+
   /** Evaluate a deterministic block over a few scalacheck samples. */
   private def forAllSamples[A](gen: Gen[A], samples: Int)(body: A => Unit): Unit =
     (0 until samples).foreach { i =>
