@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TextPipeline.tokenArr
 
-/** BPE tokenizer TRAINING on the cluster. The whole inner loop of
-  * byte-pair encoding (Sennrich et al., ACL 2016) is one aggregation:
-  * count adjacent symbol pairs over the corpus, take the most frequent,
-  * merge it, repeat. The count is corpus-scale and belongs on the
-  * cluster; the merge decision is one row. The engine therefore exposes:
+/** BPE tokenizer TRAINING on the cluster, architected the way Sennrich
+  * et al. (ACL 2016) actually run it: BPE statistics factor through the
+  * word-TYPE frequency table. A pair occurs only inside a token, so
+  * counting pairs over every token INSTANCE is the same sum as counting
+  * them once per distinct type weighted by the type's corpus frequency —
+  * and the type table is Heaps-bounded (distinct types grow ~N^β, β≈0.5,
+  * while instances grow ~N). The engine therefore exposes:
   *
   *   - [[bpePairCounts]] (q84, oracle-declared): the pair-count
   *     aggregation over character symbols — scan-local pair assembly
@@ -18,41 +20,57 @@ import graft.operators.TextPipeline.tokenArr
   *     character level; no window, no self-join), map-side-combined count
   *     on a key space bounded by the symbol alphabet², and a
   *     TakeOrderedAndProject top-50.
-  *   - [[bpeTrainOf]] (non-declared, spec-verified against a reference
-  *     implementation): the full iterative loop — N rounds of
-  *     count → argmax → scan-local merge. Each round is ONE corpus pass
-  *     whose shuffle carries only (pair, count) partials; the argmax is a
+  *   - [[wordTypesOf]]: the ONE corpus aggregate — (token, freq) via the
+  *     q04 vocab-build shape (map-side-combined hash agg; the shuffle is
+  *     type-bounded, not corpus-sized).
+  *   - [[bpeTrainOf]] (non-declared, spec-verified against an imperative
+  *     reference): the full iterative loop — N rounds of weighted
+  *     count → argmax → scan-local merge, ALL over the type table. The
+  *     corpus is scanned exactly once, ever; each merge round scans only
+  *     the checkpointed type table, so per-merge cost is independent of
+  *     corpus size (BASELINE.md records the ladder). The argmax is a
   *     1-row driver decision, exactly the artifact-scale driver work the
   *     q54 pattern allows. Symbol merging is a higher-order `aggregate`
   *     over the array — no UDF, no explode-regroup round trip.
   *
-  * At 100 TB: pair counting is the same map-side-combine shape as q04's
-  * vocab build (the shuffle is alphabet-squared, not corpus-sized) and a
-  * production run counts over q82's deterministic sample instead of the
-  * full corpus — tokenizer training needs frequency RANKS, not exact
-  * counts, and the sample bound makes the N-round loop's total cost
-  * independent of corpus size.
+  * At 100 TB: the one corpus pass is q04's shape and everything after it
+  * costs |types|, not |corpus|. If even the type table is too hot (web
+  * noise inflates Heaps' K), a production run feeds [[wordTypesOf]] from
+  * q82's deterministic sample — tokenizer training needs frequency
+  * RANKS, not exact counts — or drops singleton types (freq ≥ 2) before
+  * the loop, which caps the table without touching any pair that could
+  * ever win an argmax over a duplicate-bearing corpus.
   */
 object Bpe {
 
   val PairTopK = 50
 
-  /** Character symbols of each token instance (length ≥ 2), as an array. */
-  private def charArrays(docs: DataFrame): DataFrame =
+  /** The ONE corpus aggregate: word-type frequency table (token, freq)
+    * over tokens of length ≥ 2 (single-char tokens carry no pair).
+    */
+  def wordTypesOf(docs: DataFrame): DataFrame =
     docs
       .select(explode(tokenArr(col("text"))).as("token"))
       .filter(length(col("token")) >= 2)
-      .select(expr("regexp_extract_all(token, '(.)', 1)").as("cs"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
 
-  /** Adjacent-pair counts (c1, c2, n) of a symbol-array frame. */
-  private def pairCounts(symbols: DataFrame): DataFrame =
+  /** Type table → (cs: symbol array, freq) working form for the loop. */
+  private[graft] def typeSymbols(types: DataFrame): DataFrame =
+    types.select(expr("regexp_extract_all(token, '(.)', 1)").as("cs"), col("freq"))
+
+  /** Frequency-weighted adjacent-pair counts (c1, c2, n) of a
+    * (cs, freq) frame. With freq ≡ 1 this is the instance-level count.
+    */
+  private[graft] def pairCounts(symbols: DataFrame): DataFrame =
     symbols
       .select(explode(arrays_zip(
         slice(col("cs"), lit(1), size(col("cs")) - 1).as("c1"),
-        slice(col("cs"), lit(2), size(col("cs")) - 1).as("c2"))).as("p"))
-      .select(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        slice(col("cs"), lit(2), size(col("cs")) - 1).as("c2"))).as("p"),
+        col("freq"))
+      .select(col("p.c1").as("c1"), col("p.c2").as("c2"), col("freq"))
       .groupBy(col("c1"), col("c2"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("freq")).as("n"))
 
   /** q84_bpe_pair_counts — top-50 adjacent character pairs by
     * (count desc, c1 asc, c2 asc) over the fixture corpus.
@@ -60,9 +78,14 @@ object Bpe {
   def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame =
     bpePairCountsOf(Tables.documents(spark, sfDir))
 
-  /** Composable core of q84 for ANY (doc_id, text, …) corpus. */
+  /** Composable core of q84 for ANY (doc_id, text, …) corpus. Routed
+    * through the type table: the char-explode and pair assembly run once
+    * per distinct token, not once per instance — strictly less work than
+    * the instance-level scan whenever any token repeats (Zipf guarantees
+    * most do), at the price of one type-bounded pre-shuffle.
+    */
   def bpePairCountsOf(docs: DataFrame): DataFrame =
-    pairCounts(charArrays(docs))
+    pairCounts(typeSymbols(wordTypesOf(docs)))
       .orderBy(col("n").desc, col("c1"), col("c2"))
       .limit(PairTopK)
 
@@ -91,7 +114,7 @@ object Bpe {
   private def sqlLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-  private def mergePairExpr(a: String, b: String): String = {
+  private[graft] def mergePairExpr(a: String, b: String): String = {
     val (qa, qb, qab) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
     s"""aggregate(cs,
        |  named_struct('done', cast(array() as array<string>), 'pending', ''),
@@ -104,29 +127,34 @@ object Bpe {
        |  acc -> filter(concat(acc.done, array(acc.pending)), s -> s <> ''))""".stripMargin
   }
 
-  /** Full BPE training loop: `merges` rounds of count → argmax → merge
-    * over the corpus' token-instance symbol sequences. Returns the merge
-    * table (rank, c1, c2, n) — the artifact a tokenizer ships (q54's
-    * persisted-vocab pattern is the storage side). Each round
-    * materializes the merged symbol column (localCheckpoint) so round
-    * k+1 scans packed arrays, not a k-deep expression tree.
+  /** Full BPE training loop — Sennrich's actual algorithm: ONE corpus
+    * aggregate into the word-type frequency table, then `merges` rounds
+    * of weighted count → argmax → merge over that Heaps-bounded table.
+    * Returns the merge table (rank, c1, c2, n) — the artifact a
+    * tokenizer ships (q54's persisted-vocab pattern is the storage
+    * side). Each round materializes the merged type table
+    * (localCheckpoint) so round k+1 scans packed arrays, not a k-deep
+    * expression tree, and the corpus itself is never rescanned — the
+    * per-merge cost is |types|, independent of corpus size.
     */
   def bpeTrainOf(docs: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
-    var symbols = charArrays(docs).localCheckpoint(true)
+    var types = typeSymbols(wordTypesOf(docs)).localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       for (rank <- 1 to merges) {
-        val top = pairCounts(symbols)
+        val top = pairCounts(types)
           .orderBy(col("n").desc, col("c1"), col("c2"))
           .limit(1).collect()
         if (top.isEmpty) return out.toSeq
         val (c1, c2, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((rank, c1, c2, n))
-        val next = symbols.select(expr(mergePairExpr(c1, c2)).as("cs")).localCheckpoint(true)
-        symbols.unpersist()
-        symbols = next
+        val next = types
+          .select(expr(mergePairExpr(c1, c2)).as("cs"), col("freq"))
+          .localCheckpoint(true)
+        types.unpersist()
+        types = next
       }
       out.toSeq
-    } finally symbols.unpersist()
+    } finally types.unpersist()
   }
 }

@@ -69,6 +69,30 @@ class BpeSpec extends AnyFunSuite {
     assert(got == ref, s"\nengine: $got\nref:    $ref\ntokens: $tokens")
   }
 
+  test("per-merge work scans the checkpointed type table, never the corpus files") {
+    import spark.implicits._
+    // the loop's invariant re-stated as a plan assertion: after the one
+    // corpus aggregate is checkpointed, a merge round's count plan must
+    // contain no file scan — its cost is |types|, independent of corpus
+    val docs = Seq((1L, "low lower lowest new newer newest")).toDF("doc_id", "text")
+    val types = Bpe.typeSymbols(Bpe.wordTypesOf(docs)).localCheckpoint(true)
+    try {
+      val p = Bpe.pairCounts(types).queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+        s"merge-round count must not rescan the corpus;\n$p")
+    } finally types.unpersist()
+  }
+
+  test("wordTypesOf weights factor the instance-level pair counts exactly") {
+    import spark.implicits._
+    // "low low low new" — type table (low,3),(new,1); weighted pair counts
+    // must equal counting over every instance
+    val docs = Seq((1L, "low low low new")).toDF("doc_id", "text")
+    val tp = Bpe.pairCounts(Bpe.typeSymbols(Bpe.wordTypesOf(docs)))
+      .as[(String, String, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(tp(("l", "o")) == 3L && tp(("o", "w")) == 3L && tp(("n", "e")) == 1L && tp(("e", "w")) == 1L)
+  }
+
   test("q84 plans the top-50 as a merged partial top-k, not a global sort") {
     val p = Bpe.bpePairCounts(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
