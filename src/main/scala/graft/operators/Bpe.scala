@@ -157,4 +157,134 @@ object Bpe {
       out.toSeq
     } finally types.unpersist()
   }
+
+  // ---------------------------------------------------------------------
+  // Encode: apply a trained merge table to a corpus (q86)
+  // ---------------------------------------------------------------------
+
+  /** Pinned merge table: `bpeTrainOf(documents@sf0.01, 12)`. q86 pins it
+    * as a CONSTANT of the query so the declared semantics are
+    * corpus-independent — the merge table is an artifact a production
+    * pipeline loads from storage (q54 pattern), not something the encode
+    * query derives. BpeSpec asserts the engine's own training reproduces
+    * exactly this table from the fixture corpus.
+    */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er",
+    "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar", "j" -> "o", "jo" -> "in")
+
+  /** q86_bpe_encode — BPE-segment the fixture corpus with the pinned
+    * merge table. Output per doc: token count, piece count, and the
+    * space-joined subword pieces in order.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeOf(Tables.documents(spark, sfDir))
+
+  /** Composable scan-local encode for ANY (doc_id, text, …) corpus: each
+    * doc's token array runs through `transform(tokens, tok ->
+    * graft_bpe_encode(tok))` — the whole merge chain is ONE native
+    * codegen'd expression ([[graft.functions.BpeEncode]]), so this is
+    * pure per-row column work, ZERO shuffle at any corpus size
+    * (plan-pinned: no Exchange). Re-encodes duplicate token instances,
+    * which is the right trade while the merge chain is shallow; for
+    * production-depth vocabs use [[bpeEncodeViaTypes]], which encodes
+    * each distinct token once.
+    */
+  def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)] = PinnedMerges): DataFrame = {
+    val enc = graft.functions.BpeEncode.encodeCol(docs.sparkSession, merges) _
+    docs
+      .select(col("doc_id"),
+        transform(tokenArr(col("text")), t => enc(t)).as("parr"))
+      .select(col("doc_id"),
+        size(col("parr")).cast("long").as("n_tokens"),
+        size(flatten(col("parr"))).cast("long").as("n_pieces"),
+        concat_ws(" ", flatten(col("parr"))).as("pieces"))
+  }
+
+  /** Type-factorized encode — the production-vocab path: encode each
+    * DISTINCT token once over the Heaps-bounded type table, then join
+    * the encoded types back over the positional token stream and
+    * reassemble per doc. Equal to [[bpeEncodeOf]] row-for-row
+    * (spec-pinned). The trade vs the scan-local path: per-type encode
+    * work (|types| × chain depth, not |instances| × depth) in exchange
+    * for the reassembly shuffle; `broadcastTypes=false` switches the
+    * stream join to shuffle-hash for type tables past broadcast size
+    * (the q78 knob).
+    */
+  def bpeEncodeViaTypes(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = PinnedMerges,
+      broadcastTypes: Boolean = true): DataFrame = {
+    val enc = graft.functions.BpeEncode.encodeCol(docs.sparkSession, merges) _
+    val types = docs
+      .select(explode(tokenArr(col("text"))).as("token")).distinct()
+      .select(col("token"), enc(col("token")).as("pcs"))
+    val typesSide = if (broadcastTypes) broadcast(types) else types.hint("shuffle_hash")
+    val assembled = docs
+      .select(col("doc_id"), posexplode(tokenArr(col("text"))).as(Seq("pos", "token")))
+      .join(typesSide, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("pcs")))).as("sp"))
+      .select(col("doc_id"),
+        size(col("sp")).cast("long").as("n_tokens"),
+        size(flatten(transform(col("sp"), s => s.getField("pcs")))).cast("long").as("n_pieces"),
+        concat_ws(" ", flatten(transform(col("sp"), s => s.getField("pcs")))).as("pieces"))
+    // posexplode drops zero-token docs; restore them for row parity with
+    // the scan-local path
+    docs.select(col("doc_id")).join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces"), lit("")).as("pieces"))
+  }
+
+  /** DuckDB string literal (''-escaped). */
+  private def duckLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB mirror of one greedy-left merge over list column `cs`:
+    * position i starts a merge iff (cs[i],cs[i+1])=(a,b) and — when
+    * a=b — i sits at an EVEN offset within its maximal run of a's
+    * (greedy-left run semantics; prevNonA finds the run start). A
+    * position consumed by the merge at i-1 emits NULL and is filtered.
+    * Property-tested against the imperative reference over random
+    * run-heavy inputs before being pinned here.
+    */
+  private def duckStartAt(v: String, a: String, b: String): String = {
+    val (qa, qb) = (duckLit(a), duckLit(b))
+    s"($v >= 1 AND $v < len(cs) AND cs[$v]=$qa AND cs[$v+1]=$qb" +
+      s" AND ($qa <> $qb OR ($v - 1 - coalesce(list_max(list_filter(range(1,$v), j -> cs[j] <> $qa)), 0)) % 2 = 0))"
+  }
+
+  private def duckMergeExpr(a: String, b: String): String =
+    s"list_filter(list_transform(range(1, len(cs)+1), i -> " +
+      s"CASE WHEN ${duckStartAt("i", a, b)} THEN ${duckLit(a + b)} " +
+      s"WHEN i > 1 AND ${duckStartAt("i-1", a, b)} THEN NULL " +
+      s"ELSE cs[i] END), x -> x IS NOT NULL)"
+
+  /** q86 oracle: distinct-token encode through the same merge chain as
+    * e0→e12 CTEs, joined back over the positional token stream; LEFT
+    * JOIN restores zero-token docs.
+    */
+  val q86OracleSql: String = {
+    val steps = PinnedMerges.zipWithIndex.map { case ((a, b), i) =>
+      s", e${i + 1} AS (SELECT token, ${duckMergeExpr(a, b)} AS cs FROM e$i)"
+    }.mkString("\n")
+    val n = PinnedMerges.size
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, g.i AS pos, toks[g.i] AS token
+       |  FROM t CROSS JOIN UNNEST(generate_series(1, len(toks))) AS g(i)
+       |), e0 AS (
+       |  SELECT token, regexp_extract_all(token, '(.)', 1) AS cs FROM (SELECT DISTINCT token FROM s)
+       |)$steps, agg AS (
+       |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(len(e.cs)) AS BIGINT) AS n_pieces,
+       |         array_to_string(flatten(list(e.cs ORDER BY s.pos)), ' ') AS pieces
+       |  FROM s JOIN e$n e USING (token) GROUP BY s.doc_id
+       |)
+       |SELECT t.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |       coalesce(a.n_pieces, 0) AS n_pieces, coalesce(a.pieces, '') AS pieces
+       |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
 }

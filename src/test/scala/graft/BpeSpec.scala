@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Bpe
@@ -91,6 +92,74 @@ class BpeSpec extends AnyFunSuite {
     val tp = Bpe.pairCounts(Bpe.typeSymbols(Bpe.wordTypesOf(docs)))
       .as[(String, String, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
     assert(tp(("l", "o")) == 3L && tp(("o", "w")) == 3L && tp(("n", "e")) == 1L && tp(("e", "w")) == 1L)
+  }
+
+  /** Imperative reference encode: chars, then each merge in rank order. */
+  private def encodeRef(tok: String, merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(tok.map(_.toString).toList) { case (cs, (a, b)) => mergeRef(cs, a, b) }
+
+  private val tokenRe = """(\w+|[^\w\s]+)""".r
+
+  private def encodeDocRef(text: String, merges: Seq[(String, String)]): (Long, Long, String) = {
+    val toks = tokenRe.findAllIn(text).toList
+    val pieces = toks.flatMap(t => encodeRef(t, merges))
+    (toks.size.toLong, pieces.size.toLong, pieces.mkString(" "))
+  }
+
+  test("bpeEncodeOf equals the imperative reference, including run-heavy merges") {
+    import spark.implicits._
+    // (a,a) then (aa,aa) exercises run parity at both symbol widths;
+    // (b,a) exercises a multi-char right neighbor after prior merges
+    val merges = Seq("a" -> "a", "aa" -> "aa", "b" -> "a", "e" -> "r")
+    val texts = Seq("aaaa aaaaa baaa ba", "lower letter aaa!", "", "x")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.bpeEncodeOf(docs, merges)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    val ref = texts.zipWithIndex.map { case (t, i) =>
+      val (nt, np, ps) = encodeDocRef(t, merges); (i.toLong, nt, np, ps)
+    }.toList
+    assert(got == ref, s"\nengine: $got\nref:    $ref")
+  }
+
+  test("property: bpeEncodeOf equals the reference on random run-heavy corpora and merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(86)
+    val texts = Seq.fill(25)(
+      Seq.fill(1 + rnd.nextInt(6))((0 until (1 + rnd.nextInt(6))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString).mkString(" "))
+    val merges = Seq("a" -> "a", "b" -> "b", "aa" -> "b", "a" -> "bb", "aabb" -> "aabb")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.bpeEncodeOf(docs, merges)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    val ref = texts.zipWithIndex.map { case (t, i) =>
+      val (nt, np, ps) = encodeDocRef(t, merges); (i.toLong, nt, np, ps)
+    }.toList
+    assert(got == ref, s"\nengine: $got\nref:    $ref\ntexts: $texts")
+  }
+
+  test("bpeEncodeViaTypes equals the scan-local path, both join strategies") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = Bpe.bpeEncodeOf(docs).as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    for (bc <- Seq(true, false)) {
+      val via = Bpe.bpeEncodeViaTypes(docs, Bpe.PinnedMerges, broadcastTypes = bc)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+      assert(via == base, s"broadcastTypes=$bc diverged from scan-local")
+    }
+  }
+
+  test("the pinned merge table IS bpeTrainOf's output on the sf0.01 fixture") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val trained = Bpe.bpeTrainOf(docs, merges = Bpe.PinnedMerges.size).map(m => (m._2, m._3))
+    assert(trained == Bpe.PinnedMerges,
+      s"\ntrained: $trained\npinned:  ${Bpe.PinnedMerges}")
+  }
+
+  test("q86's scan-local plan has no shuffle and no join") {
+    val p = Bpe.bpeEncode(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must be scan-local;\n$p")
+    assert(!p.contains("Join"), s"encode must not join;\n$p")
   }
 
   test("q84 plans the top-50 as a merged partial top-k, not a global sort") {
