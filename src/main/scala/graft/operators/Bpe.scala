@@ -261,30 +261,99 @@ object Bpe {
       s"WHEN i > 1 AND ${duckStartAt("i-1", a, b)} THEN NULL " +
       s"ELSE cs[i] END), x -> x IS NOT NULL)"
 
+  /** Shared oracle prefix for q86/q87: tokenize (t), positional stream
+    * (s), then the distinct-token encode chain e0→eN. `extraTCols` lets
+    * a caller carry extra document columns (q87 needs lang) through t.
+    */
+  private def duckEncodePrefix(extraTCols: String = ""): (String, String) = {
+    val steps = PinnedMerges.zipWithIndex.map { case ((a, b), i) =>
+      s", e${i + 1} AS (SELECT token, ${duckMergeExpr(a, b)} AS cs FROM e$i)"
+    }.mkString("\n")
+    val prefix =
+      s"""WITH t AS (
+         |  SELECT doc_id,$extraTCols regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, g.i AS pos, toks[g.i] AS token
+         |  FROM t CROSS JOIN UNNEST(generate_series(1, len(toks))) AS g(i)
+         |), e0 AS (
+         |  SELECT token, regexp_extract_all(token, '(.)', 1) AS cs FROM (SELECT DISTINCT token FROM s)
+         |)$steps""".stripMargin
+    (prefix, s"e${PinnedMerges.size}")
+  }
+
   /** q86 oracle: distinct-token encode through the same merge chain as
     * e0→e12 CTEs, joined back over the positional token stream; LEFT
     * JOIN restores zero-token docs.
     */
   val q86OracleSql: String = {
-    val steps = PinnedMerges.zipWithIndex.map { case ((a, b), i) =>
-      s", e${i + 1} AS (SELECT token, ${duckMergeExpr(a, b)} AS cs FROM e$i)"
-    }.mkString("\n")
-    val n = PinnedMerges.size
-    s"""WITH t AS (
-       |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
-       |), s AS (
-       |  SELECT doc_id, g.i AS pos, toks[g.i] AS token
-       |  FROM t CROSS JOIN UNNEST(generate_series(1, len(toks))) AS g(i)
-       |), e0 AS (
-       |  SELECT token, regexp_extract_all(token, '(.)', 1) AS cs FROM (SELECT DISTINCT token FROM s)
-       |)$steps, agg AS (
+    val (prefix, eN) = duckEncodePrefix()
+    s"""$prefix, agg AS (
        |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |         CAST(SUM(len(e.cs)) AS BIGINT) AS n_pieces,
        |         array_to_string(flatten(list(e.cs ORDER BY s.pos)), ' ') AS pieces
-       |  FROM s JOIN e$n e USING (token) GROUP BY s.doc_id
+       |  FROM s JOIN $eN e USING (token) GROUP BY s.doc_id
        |)
        |SELECT t.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
        |       coalesce(a.n_pieces, 0) AS n_pieces, coalesce(a.pieces, '') AS pieces
        |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Fertility: per-language tokenizer quality (q87)
+  // ---------------------------------------------------------------------
+
+  /** q87_tokenizer_fertility — per-language FERTILITY of the pinned
+    * tokenizer: pieces per token, the metric multilingual tokenizer
+    * work tracks per language (a vocab trained on English-heavy data
+    * over-segments other languages; fertility is how that bias is
+    * measured and reported). Emits per lang: doc/token/piece counts and
+    * fertility = n_pieces / n_tokens rounded to 6 dp.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizerFertilityOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (lang, text, …) corpus. The 100 TB shape:
+    * the corpus NEVER shuffles — per-doc token/piece counts come off the
+    * scan through the same native merge-chain expression as q86 (sizes
+    * only; the piece strings are never materialized past the row), and
+    * the only exchange carries lang-cardinality partial-agg rows
+    * (map-side combined). Depth scaling follows q86's analysis: at
+    * production merge-table depth, swap the inline encode for
+    * [[bpeEncodeViaTypes]]'s distinct-token factorization upstream.
+    */
+  def tokenizerFertilityOf(docs: DataFrame, merges: Seq[(String, String)] = PinnedMerges): DataFrame = {
+    val enc = graft.functions.BpeEncode.encodeCol(docs.sparkSession, merges) _
+    docs
+      .select(col("lang"),
+        transform(tokenArr(col("text")), t => enc(t)).as("parr"))
+      .select(col("lang"),
+        size(col("parr")).cast("long").as("nt"),
+        size(flatten(col("parr"))).cast("long").as("np"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("np")).as("n_pieces"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_tokens"), 6).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  /** q87 oracle: the q86 encode chain reduced to per-type piece counts,
+    * aggregated doc-then-lang. Sums CAST to BIGINT (DuckDB SUM(BIGINT)
+    * is HUGEINT — the q69 lesson); fertility divides as DOUBLE and
+    * rounds to 6 dp on both engines.
+    */
+  val q87OracleSql: String = {
+    val (prefix, eN) = duckEncodePrefix(extraTCols = " lang,")
+    s"""$prefix, d AS (
+       |  SELECT s.doc_id, COUNT(*) AS nt, SUM(len(e.cs)) AS np
+       |  FROM s JOIN $eN e USING (token) GROUP BY s.doc_id
+       |)
+       |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(SUM(d.nt), 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(SUM(d.np), 0) AS BIGINT) AS n_pieces,
+       |       ROUND(CAST(COALESCE(SUM(d.np), 0) AS DOUBLE) / CAST(COALESCE(SUM(d.nt), 0) AS BIGINT), 6) AS fertility
+       |FROM t LEFT JOIN d USING (doc_id)
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
   }
 }

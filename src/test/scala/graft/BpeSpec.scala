@@ -162,6 +162,36 @@ class BpeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"encode must not join;\n$p")
   }
 
+  test("q87 fertility equals the reference, counts zero-token docs, rounds to 6 dp") {
+    import spark.implicits._
+    val merges = Seq("a" -> "b", "ab" -> "c")
+    // en: "abc abc x" → tokens 3, pieces: abc→[abc], abc→[abc], x→[x] = 3
+    // de: "aabbcc" → 1 token, a a b b c c → a [ab] b c c → a [abc] c = wait,
+    // computed below by the same imperative reference the engine is pinned to
+    val rows = Seq((0L, "abc abc x", "en"), (1L, "aabbcc", "de"), (2L, "", "de"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val got = Bpe.tokenizerFertilityOf(docs, merges)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    def langRef(lang: String) = {
+      val ds = rows.filter(_._3 == lang)
+      val per = ds.map(d => encodeDocRef(d._2, merges))
+      val (nt, np) = (per.map(_._1).sum, per.map(_._2).sum)
+      (lang, ds.size.toLong, nt, np,
+        BigDecimal(np.toDouble / nt).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == List(langRef("de"), langRef("en")), s"got $got")
+  }
+
+  test("q87's only hash exchange carries lang-cardinality aggregated rows") {
+    val p = Bpe.tokenizerFertility(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"fertility must not join;\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"exactly one hash exchange (the lang agg);\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"the agg must be map-side combined before the exchange;\n$p")
+  }
+
   test("q84 plans the top-50 as a merged partial top-k, not a global sort") {
     val p = Bpe.bpePairCounts(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
