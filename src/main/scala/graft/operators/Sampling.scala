@@ -77,4 +77,64 @@ object Sampling {
        |FROM r WHERE rank <= $SampleK
        |ORDER BY lang, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Temperature resampling (q88)
+  // ---------------------------------------------------------------------
+
+  /** q88_temperature_resample — temperature-scaled LANGUAGE resampling,
+    * the multilingual mixing step (mT5/XLM-R style): natural language
+    * shares p_l are flattened to p_l^α before training so high-resource
+    * languages stop drowning the tail. Realized by pure downsampling
+    * (never upsampling): kept_l ∝ n_l^α means per-language accept rate
+    * a_l ∝ n_l^(α-1), normalized so the SMALLEST language passes whole.
+    *
+    * α is fixed at 1/2 — inside the standard 0.3–0.7 band, and the one
+    * exponent with an exactly-cross-engine closed form: a_l =
+    * sqrt(n_min / n_l), and IEEE-754 requires division and sqrt to be
+    * correctly rounded, so the oracle's thresholds are BIT-IDENTICAL to
+    * the engine's (a general pow() has no such guarantee — JVM
+    * Math.pow and a C library may differ in the last ulp, and the
+    * floor(rate·2^20) gate would amplify exactly that ulp at a bucket
+    * boundary). q61 (α→0, balance-to-smallest) and the natural corpus
+    * (α=1) are this family's endpoints.
+    *
+    * Per-doc keep is q61's deterministic multiplicative hash gate —
+    * reproducible, join-stable, RNG-free. The plan is the 100 TB shape:
+    * one lang-cardinality count aggregate comes to the driver once and
+    * broadcasts back as a literal rate table; the gate itself is a
+    * scan-local predicate — the corpus never shuffles.
+    */
+  def temperatureResample(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureResampleOf(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")))
+      .orderBy(col("doc_id"))
+
+  /** Composable core for ANY (doc_id, lang, …) corpus: keeps each row
+    * with probability sqrt(n_min / n_lang), decided by the doc_id hash
+    * gate; all caller columns preserved on kept rows.
+    */
+  def temperatureResampleOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .as[(String, Long)].collect()
+    val minN = counts.map(_._2).min
+    val rates = counts.toSeq
+      .map { case (l, nl) => (l, math.sqrt(minN.toDouble / nl)) }.toDF("lang", "rate")
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) <
+        floor(col("rate") * lit(1048576.0)).cast("long"))
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
+  val q88OracleSql: String =
+    """WITH n AS (
+      |  SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang
+      |), r AS (
+      |  SELECT lang, sqrt((SELECT MIN(nl) FROM n)::DOUBLE / nl) AS rate FROM n
+      |)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r USING (lang)
+      |WHERE (d.doc_id * 2654435761) % 1048576 < CAST(floor(rate * 1048576) AS BIGINT)
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -63,6 +63,38 @@ class SamplingSpec extends AnyFunSuite {
     } finally split.unpersist()
   }
 
+  test("q88: rates are sqrt(n_min/n_l), smallest lang passes whole, realized counts track targets") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01").select(col("doc_id"), col("lang"))
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minN = natural.values.min
+    val kept = Sampling.temperatureResampleOf(docs)
+    val keptN = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // the smallest language is never downsampled (rate exactly 1)
+    val smallest = natural.minBy(_._2)._1
+    assert(keptN(smallest) == natural(smallest), s"smallest lang $smallest must pass whole")
+    // every language's realized count is within the hash gate's Bernoulli
+    // noise of its target sqrt(n_min * n_l) (3 sigma)
+    natural.foreach { case (l, nl) =>
+      val rate = math.sqrt(minN.toDouble / nl)
+      val target = rate * nl
+      val sigma = math.sqrt(nl * rate * (1 - rate))
+      assert(math.abs(keptN(l) - target) <= 3 * sigma + 1,
+        s"$l: kept ${keptN(l)} vs target $target (sigma $sigma)")
+    }
+    // deterministic: re-run is row-identical
+    assert(kept.collect().toSeq == Sampling.temperatureResampleOf(docs).collect().toSeq)
+  }
+
+  test("q88: the gate is scan-local — broadcast rate join, no corpus shuffle") {
+    val p = Sampling.temperatureResample(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rate table must broadcast;\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle for the rate join;\n$p")
+  }
+
   test("q83 hand corpus: a planted dup family moves together") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
