@@ -587,6 +587,73 @@ object TextPipeline {
       .orderBy(col("lang"), col("shard"), col("doc_id"))
   }
 
+  /** q89_length_buckets — LENGTH-BUCKETED batch planning, the other
+    * resolution of padding waste besides packing (q69): docs group into
+    * power-of-two token-length buckets (the fairseq/T5 loader scheme —
+    * batches draw from one bucket, so padding is bounded by the bucket
+    * ratio), and the plan reports per bucket: docs, batches at the fixed
+    * batch size, real vs padded tokens, and the padding-waste fraction —
+    * the number that decides bucket boundaries in a real loader config.
+    *
+    * The bucket is an integer CASE ladder (next power of two ≥ n), NOT
+    * `ceil(log2 n)`: log2 has no IEEE correct-rounding guarantee, and at
+    * exact powers of two a last-ulp excess flips the bucket — the same
+    * cross-engine trap as q88's pow. 21 codegen'd comparisons, exact at
+    * any length; docs past 2^20 tokens cap at the top bucket (a real
+    * loader truncates them far earlier).
+    *
+    * 100 TB shape: token count + bucket are scan-local column work; the
+    * only exchange carries ≤ 21 map-side-combined partial rows.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    lengthBucketsOf(Tables.documents(spark, sfDir))
+
+  val BucketBatchSize = 32
+  private val MaxBucketLog = 20
+
+  /** Composable core for ANY (text, …) corpus. */
+  def lengthBucketsOf(docs: DataFrame, batchSize: Int = BucketBatchSize): DataFrame = {
+    val bucket = (1 to MaxBucketLog)
+      .foldLeft(when(col("nt") <= 1L, 1L)) { (c, k) =>
+        c.when(col("nt") <= (1L << k), 1L << k)
+      }.otherwise(1L << MaxBucketLog)
+    docs
+      .select(size(tokenArr(col("text"))).cast("long").as("nt"))
+      .select(col("nt"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"),
+        expr(s"(n_docs + ${batchSize - 1}) div $batchSize").as("n_batches"),
+        col("sum_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        round(lit(1.0) - col("sum_tokens").cast("double") / (col("bucket") * col("n_docs")), 6)
+          .as("waste_frac"))
+      .orderBy(col("bucket"))
+  }
+
+  val q89OracleSql: String = {
+    val ladder = (1 to MaxBucketLog)
+      .map(k => s"WHEN nt <= ${1L << k} THEN ${1L << k}")
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(len(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS BIGINT) AS nt
+       |  FROM documents
+       |), b AS (
+       |  SELECT CASE WHEN nt <= 1 THEN 1 $ladder ELSE ${1L << MaxBucketLog} END AS bucket, nt
+       |  FROM d
+       |), g AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(nt) AS BIGINT) AS sum_tokens
+       |  FROM b GROUP BY bucket
+       |)
+       |SELECT bucket, n_docs,
+       |       CAST((n_docs + ${BucketBatchSize - 1}) // $BucketBatchSize AS BIGINT) AS n_batches,
+       |       sum_tokens,
+       |       bucket * n_docs AS padded_tokens,
+       |       ROUND(1.0 - CAST(sum_tokens AS DOUBLE) / (bucket * n_docs), 6) AS waste_frac
+       |FROM g ORDER BY bucket""".stripMargin
+  }
+
   val q69OracleSql: String =
     """WITH d AS (
       |  SELECT lang, doc_id % 8 AS shard, doc_id,

@@ -202,4 +202,28 @@ class TextPipelineSpec extends AnyFunSuite {
     val encoded = TextPipeline.encodeWith(rows.filter($"lang" === "en"), vocab)
     assert(encoded.count() > 0, "flattened struct rows must encode end-to-end")
   }
+
+  test("q89: exact bucket boundaries, ceil batches, waste accounting") {
+    import spark.implicits._
+    // lengths 0 and 1 → bucket 1; 4 exactly → bucket 4 (NOT 8); 5 → 8;
+    // 33 docs of length 2 → bucket 2 needs ceil(33/32) = 2 batches
+    val docs = (Seq("", "a", "a b c d", "a b c d e") ++
+      Seq.fill(33)("x y")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextPipeline.lengthBucketsOf(docs)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 2L, 1L, 1L, 2L, 0.5),            // "" and "a": 1 real of 2 padded
+      (2L, 33L, 2L, 66L, 66L, 0.0),         // exact fit, two batches
+      (4L, 1L, 1L, 4L, 4L, 0.0),            // length 4 stays in bucket 4
+      (8L, 1L, 1L, 5L, 8L, 0.375)), s"got $got")
+  }
+
+  test("q89's only hash exchange carries bucket-cardinality aggregated rows") {
+    val p = TextPipeline.lengthBuckets(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"bucketing must not join;\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one hash exchange (the bucket agg);\n$p")
+  }
 }
