@@ -287,6 +287,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q90_winnow_fingerprint — WINNOWING local fingerprints (Schleimer,
+    * Wilkerson, Aiken, SIGMOD 2003 — the MOSS algorithm): per document,
+    * hash every k-char gram (k=8, q22's Karp-Rabin byte fold via the
+    * native codegen'd [[graft.functions.RollingHash]]), slide a window
+    * of w=4 gram positions, and keep each window's minimum hash
+    * (rightmost on ties), deduplicated. Winnowing GUARANTEES any shared
+    * substring of length ≥ k+w-1 contributes at least one matching
+    * (fp, pos-aligned) fingerprint — the local-fingerprint property that
+    * makes partial-overlap detection (quote mining, license text,
+    * plagiarism-shaped duplication) work where q22's whole-doc hash
+    * (identity only) and q16's MinHash (global resemblance, no
+    * guarantee) do not. Emits one row per selected (doc_id, pos, fp).
+    *
+    * 100 TB shape: selection is pure scan-local column work — the gram
+    * hashes, window minima, and dedup all run inside the row (arrays,
+    * no explode-shuffle-regroup); the output is fingerprint-scale
+    * (~2/(w+1) of gram positions), and ONLY it ever reaches a match
+    * join. Docs shorter than k chars have no grams and emit nothing;
+    * docs with fewer than w grams winnow their single truncated window.
+    */
+  def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    winnowFingerprintOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, text, …) corpus; k and w are the
+    * noise/guarantee thresholds (match guarantee t = k + w - 1). The
+    * whole selection — gram hashes, monotone-deque window minima,
+    * dedup — is one native expression ([[graft.functions
+    * .WinnowFingerprint]]) per row: no shuffle anywhere (the first
+    * HOF formulation ran interpreted at 5.0 s/sf0.1 and needed a
+    * `distinct` exchange; this is 0.6 s and exchange-free).
+    */
+  def winnowFingerprintOf(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val winnow = graft.functions.WinnowFingerprint.winnowCol(docs.sparkSession, k, w) _
+    docs
+      .select(col("doc_id"), explode(winnow(lower(col("text")))).as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 2).as("pos"),
+        element_at(col("f"), 1).as("fp"))
+    // no orderBy: the output is fingerprint-scale (~0.4 rows per gram)
+    // and a global sort would be its only exchange — the driver compare
+    // and every downstream match join are order-free
+  }
+
+  /** q90 oracle: the same gram fold (q22's formulation), window fold as
+    * an init-prepended list_reduce over [hash, pos] pairs, row DISTINCT
+    * after UNNEST (DuckDB 1.0 cannot list_distinct nested lists).
+    * Validated against an imperative winnowing reference over random
+    * corpora before pinning.
+    */
+  val q90OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lower(text) AS txt FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(txt) - 8 + 2), i ->
+      |      list_reduce([CAST(0 AS BIGINT)] || list_transform(range(i, i + 8),
+      |        j -> CAST(ascii(substring(txt, CAST(j AS INT), 1)) AS BIGINT)),
+      |        (h, c) -> (h * 31 + c) % 1000003)) AS hs
+      |  FROM t WHERE len(txt) >= 8
+      |), win AS (
+      |  SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1) + 1), s ->
+      |    list_reduce([[CAST(1000004 AS BIGINT), CAST(-1 AS BIGINT)]] ||
+      |      list_transform(range(0, least(3, len(hs) - s) + 1), i -> [hs[CAST(s + i AS INT)], CAST(s + i AS BIGINT)]),
+      |      (acc, x) -> CASE WHEN x[1] <= acc[1] THEN x ELSE acc END)) AS fs
+      |  FROM h
+      |)
+      |SELECT DISTINCT doc_id, f[2] AS pos, f[1] AS fp
+      |FROM win CROSS JOIN UNNEST(fs) AS u(f)
+      |ORDER BY doc_id, pos""".stripMargin
+
   val q22OracleSql: String =
     """WITH f AS (
       |  SELECT doc_id,

@@ -320,4 +320,63 @@ class TextAnalysisSpec extends AnyFunSuite {
       spark.conf.set(bitsKey, bits0)
     }
   }
+
+  /** Imperative winnowing reference (Schleimer et al. §4): k-gram
+    * Karp-Rabin hashes, per-window rightmost minimum, set-deduped.
+    */
+  private def winnowRef(text: String, k: Int = 8, w: Int = 4): Set[(Long, Long)] = {
+    val t = text.toLowerCase
+    if (t.length < k) return Set.empty
+    val hs = (0 to t.length - k).map { i =>
+      t.substring(i, i + k).getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000003L)
+    }
+    val ng = hs.length
+    (1 to math.max(ng - w + 1, 1)).map { s =>
+      var best = (1000004L, -1L)
+      for (i <- 0 to math.min(w - 1, ng - s))
+        if (hs(s + i - 1) <= best._1) best = (hs(s + i - 1), (s + i).toLong)
+      (best._2, best._1) // (pos, fp)
+    }.toSet
+  }
+
+  test("q90 equals the imperative winnowing reference on hand and random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(90)
+    val texts = Seq("", "short", "abcdefgh", "aaaaaaaaaaaaaaaa",
+      "The quick brown fox jumps over the lazy dog") ++
+      Seq.fill(30)((0 until rnd.nextInt(60)).map(_ => "abc ".charAt(rnd.nextInt(4))).mkString)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprintOf(docs).as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got.getOrElse(i.toLong, Set.empty) == winnowRef(t),
+        s"doc $i ${t.take(30)}: got ${got.get(i.toLong)}, ref ${winnowRef(t)}")
+    }
+  }
+
+  test("q90 guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
+    import spark.implicits._
+    // k=8, w=4 → guarantee threshold 11 chars; plant a 24-char common span
+    val span = "common stolen span here!"
+    val docs = Seq(
+      (0L, "left padding text " + span + " tail a"),
+      (1L, "totally different lead-in words " + span + " other end"),
+      (2L, "no overlap with anything else whatsoever here")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprintOf(docs).as[(Long, Long, Long)].collect()
+    val f0 = fps.filter(_._1 == 0L).map(_._3).toSet
+    val f1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((f0 intersect f1).nonEmpty, "the planted shared span must share a fingerprint")
+    assert((f0 intersect f2).isEmpty && (f1 intersect f2).isEmpty,
+      "the clean doc must not collide at this corpus size")
+  }
+
+  test("q90 selection is scan-local: no join, no window, no hash exchange at all") {
+    val p = TextAnalysis.winnowFingerprint(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"winnowing must not join;\n$p")
+    assert(!p.contains("WindowExec"), s"the sliding window must stay inside the row;\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"selection + dedup happen inside the native expression — no shuffle;\n$p")
+  }
 }
