@@ -357,6 +357,66 @@ object TextAnalysis {
       |FROM win CROSS JOIN UNNEST(fs) AS u(f)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** q91_winnow_matches — cross-document OVERLAP DETECTION over q90's
+    * winnowing fingerprints (the MOSS match step): documents sharing
+    * ≥ minShared selected fingerprints are reported as (a_id, b_id,
+    * n_shared). Because winnowing is LOCAL, this finds partial overlap —
+    * a quoted paragraph, boilerplate license text, a copied span —
+    * with per-span evidence, where q16's MinHash (global resemblance)
+    * dilutes a short shared span to invisibility and q22 (whole-doc
+    * hash) needs identity.
+    *
+    * The frequent-fingerprint cull (document frequency > maxDf drops
+    * the fp) is MOSS's "too common to mean anything" rule AND the skew
+    * bound: join fanout per fingerprint is ≤ maxDf², so the pair
+    * explosion a boilerplate gram would cause is structurally capped —
+    * the 100 TB answer to hot keys in the self-join (q66's salting
+    * would spread the load; the cull removes it, and removes noise
+    * with it).
+    *
+    * Everything past the scan is FINGERPRINT-scale: distinct (doc, fp),
+    * the df count (map-side combined), the culled self-equi-join on fp,
+    * and the pair aggregate. Corpus text never shuffles.
+    */
+  def winnowMatches(spark: SparkSession, sfDir: String): DataFrame =
+    winnowMatchesOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, text, …) corpus. */
+  def winnowMatchesOf(docs: DataFrame, k: Int = 8, w: Int = 4,
+                      maxDf: Int = 10, minShared: Int = 5): DataFrame = {
+    val fps = winnowFingerprintOf(docs, k, w).select(col("doc_id"), col("fp")).distinct()
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.toDF("fp", "a_id")
+      .join(kept.toDF("fp", "b_id"), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q91 oracle: q90's fingerprint CTEs + distinct (doc, fp), df cull,
+    * self-join, HAVING. */
+  val q91OracleSql: String = {
+    val fpCtes = q90OracleSql.split("\\n\\)\\nSELECT")(0) // WITH t/h/win CTEs
+    s"""$fpCtes
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, f[1] AS fp
+       |  FROM win CROSS JOIN UNNEST(fs) AS u(f)
+       |), rare AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10
+       |), kept AS (
+       |  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val q22OracleSql: String =
     """WITH f AS (
       |  SELECT doc_id,

@@ -371,6 +371,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       "the clean doc must not collide at this corpus size")
   }
 
+  test("q91 reports a planted cross-doc quote; the df cull silences boilerplate") {
+    import spark.implicits._
+    val quote = "this exact duplicated analysis span appears in two documents verbatim"
+    val boiler = "subscribe to updates now" // 24 chars: its interior fps land in all 15 plants → culled
+    val rnd = new scala.util.Random(91)
+    def filler(i: Int) = s"wholly unrelated body number $i " +
+      (0 until 40).map(_ => "defghijklmnop".charAt(rnd.nextInt(13))).mkString
+    val docs = (Seq(
+      (0L, "lead-in words then " + quote + " and a tail"),
+      (1L, "different opening here " + quote + " closing remark"),
+      (2L, "a clean unique document with no overlap at all " + filler(99))) ++
+      (3 to 17).map(i => (i.toLong, filler(i) + " " + boiler))).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowMatchesOf(docs)
+      .as[(Long, Long, Long)].collect().toList
+    assert(pairs.map(p => (p._1, p._2)) == List((0L, 1L)),
+      s"only the quote pair must surface: $pairs")
+    assert(pairs.head._3 >= 5, s"the 70-char quote must share >= 5 fingerprints: $pairs")
+  }
+
+  test("q91 plans fingerprint-scale joins only — no cartesian, no corpus-text shuffle") {
+    val df = TextAnalysis.winnowMatches(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"matching must stay an equi-join on fp;\n$p")
+    assert(!p.toLowerCase.contains("exchange rangepartitioning(text")
+      && !p.contains("Exchange hashpartitioning(text"),
+      s"corpus text must never shuffle;\n$p")
+    assert(df.count() >= 0) // the plan executes
+  }
+
   test("q90 selection is scan-local: no join, no window, no hash exchange at all") {
     val p = TextAnalysis.winnowFingerprint(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
