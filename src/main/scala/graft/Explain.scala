@@ -23,7 +23,10 @@ object Explain {
                          "q76_quality_quota", "q77_token_budget_select",
                          "q78_bigram_logprob", "q79_percentile_select",
                          "q80_incremental_dedup", "q81_shard_shuffle",
-                         "q82_lang_sample", "q83_leakage_safe_split")
+                         "q82_lang_sample", "q83_leakage_safe_split",
+                         "q86_bpe_encode", "q87_tokenizer_fertility",
+                         "q88_temperature_resample", "q90_winnow_fingerprint",
+                         "q91_winnow_matches")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
