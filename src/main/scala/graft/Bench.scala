@@ -48,18 +48,28 @@ object Bench {
           s"valid keys are the declared query names and ${splitKeys.mkString("/")}")
     }
     val selected = only.fold(SparkEntry.queries)(keys => SparkEntry.queries.filter(q => keys(q._1)))
+    // A failing query records -1 and the run CONTINUES: round 9 lost the
+    // timings of 90 healthy queries because one broken fixture read
+    // aborted the whole record (VERDICT r9 item 2). Fail-loud stays (the
+    // error prints, the process exits nonzero at the end, the record is
+    // marked partial) — fail-empty does not.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Samples).map { _ =>
+      val times = (1 to Samples).flatMap { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => return printFailed(name) }
+        val ok = try { force(fn(spark, sfDir)); true } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+        }
         // elapsed captured BEFORE cache teardown: clearCache scopes the
         // per-query cached subtrees (q16/q18 shingles, q04/q05 vocab) to
         // this sample but its cost is not part of the query.
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        elapsed
+        if (ok) Some(elapsed) else None
       }
-      name -> median(times)
+      if (times.size < Samples) failed += name
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     // Attributable index timing (VERDICT r3 item 5): q38/q48/q53/q55 time
     // build+persist+probe inside one closure by design, so their headline
@@ -139,10 +149,13 @@ object Bench {
     // line's length doubles what survives a truncated capture
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = (results ++ split).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = fmt(results.map(_._2).sum)
-    // a filtered run is marked IN THE DATA — its partial total must never
-    // be mistakable for a full round record
-    val tag = if (only.isDefined) ""","filtered":true""" else ""
+    // total sums only the healthy rows — a -1 sentinel must not subtract
+    // from the comparable total
+    val total = fmt(results.collect { case (_, v) if v >= 0 => v }.sum)
+    // a filtered or partially-failed run is marked IN THE DATA — its
+    // total must never be mistakable for a full clean round record
+    val tag = (if (only.isDefined) ""","filtered":true""" else "") +
+      (if (failed.nonEmpty) s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]""" else "")
     val record =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$tag,"total_sec":$total}"""
     // The record prints FIRST and LAST with a per-query ledger between:
@@ -155,6 +168,7 @@ object Bench {
     (results ++ split).foreach { case (k, v) => println(s"""{"bench_query":"$k","sec":${fmt(v)}}""") }
     println(record)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** True median: average the two middles on an even sample count
@@ -167,8 +181,4 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  private def printFailed(name: String): Unit = {
-    println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{"$name":-1},"sf":"failed"}""")
-    sys.exit(1)
-  }
 }

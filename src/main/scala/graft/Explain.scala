@@ -25,8 +25,8 @@ object Explain {
                          "q80_incremental_dedup", "q81_shard_shuffle",
                          "q82_lang_sample", "q83_leakage_safe_split",
                          "q86_bpe_encode", "q87_tokenizer_fertility",
-                         "q88_temperature_resample", "q90_winnow_fingerprint",
-                         "q91_winnow_matches")
+                         "q88_temperature_resample", "q89_length_buckets",
+                         "q90_winnow_fingerprint", "q91_winnow_matches")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -13,16 +13,28 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType; read it as a long (nanos since epoch) via the legacy
-    * flag and convert to a microsecond TimestampType column up front so
-    * downstream operators see a normal timestamp.
+  /** `events.ts` has shipped under several physical parquet types across
+    * fixture regenerations — TIMESTAMP(NANOS) (which Spark 4 only maps via
+    * the legacy nanos-as-long flag) and TIMESTAMP(MICROS, isAdjustedToUTC
+    * = false) (which Spark reads as TIMESTAMP_NTZ). Branch on the scanned
+    * dtype and normalize to a session-zone TimestampType column so every
+    * downstream operator sees one stable logical schema. The session is
+    * pinned to UTC (build.sbt), so the NTZ→TZ cast reinterprets the naive
+    * micros without shifting values — matching how the DuckDB oracle reads
+    * the same file.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-surfaced type $other (expected long nanos, timestamp_ntz, or timestamp)")
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")

@@ -105,12 +105,21 @@ class BpeMergeEncoder(merges: Array[(String, String)]) extends Serializable {
 
 object BpeEncode {
   /** Register (idempotently) an encode function bound to `merges`;
-    * returns the registry name. The name keys on the table's content
-    * hash so distinct tables coexist in one session and repeated calls
-    * with the same table reuse the entry.
+    * returns the registry name. The name keys on a 128-bit MD5 content
+    * digest of the table (length-prefixed pair encoding, so no two
+    * distinct tables share a serialization) — distinct tables coexist in
+    * one session, repeated calls with the same table reuse the entry, and
+    * unlike a 32-bit `hashCode` a collision silently reusing the WRONG
+    * table is out of practical reach.
     */
   def ensureRegistered(spark: SparkSession, merges: Seq[(String, String)]): String = {
-    val name = s"graft_bpe_encode_${java.lang.Integer.toHexString(merges.hashCode)}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.foreach { case (a, b) =>
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      md.update(java.nio.ByteBuffer.allocate(8).putInt(ab.length).putInt(bb.length).array())
+      md.update(ab); md.update(bb)
+    }
+    val name = s"graft_bpe_encode_${md.digest().map("%02x".format(_)).mkString}"
     GraftFunctions.registerIfAbsent(spark, name, exprs => BpeEncode(exprs.head, merges))
     name
   }

@@ -55,6 +55,10 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int, base: Long, modu
 
 /** The per-document selection loop, shared by eval and codegen. */
 class Winnower(k: Int, w: Int, base: Long, modulus: Long) extends Serializable {
+  // the dedup set packs (fp << 44) | pos into one long — sound only while
+  // fp < 2^20; a larger modulus would silently alias picks, so refuse it
+  require(modulus > 0 && modulus < (1L << 20),
+    s"winnow modulus must be in (0, 2^20) for the packed dedup key, got $modulus")
 
   def winnow(text: UTF8String): GenericArrayData = {
     val bytes = text.getBytes

@@ -334,7 +334,11 @@ object Bpe {
         sum(col("nt")).as("n_tokens"),
         sum(col("np")).as("n_pieces"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_pieces"),
-        round(col("n_pieces").cast("double") / col("n_tokens"), 6).as("fertility"))
+        // a lang whose docs are all empty has n_tokens = 0: pin 0/0 to
+        // NULL explicitly (matching the oracle's NULLIF) rather than
+        // leaning on either engine's div-by-zero convention
+        when(col("n_tokens") > 0,
+          round(col("n_pieces").cast("double") / col("n_tokens"), 6)).as("fertility"))
       .orderBy(col("lang"))
   }
 
@@ -352,7 +356,7 @@ object Bpe {
        |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       CAST(COALESCE(SUM(d.nt), 0) AS BIGINT) AS n_tokens,
        |       CAST(COALESCE(SUM(d.np), 0) AS BIGINT) AS n_pieces,
-       |       ROUND(CAST(COALESCE(SUM(d.np), 0) AS DOUBLE) / CAST(COALESCE(SUM(d.nt), 0) AS BIGINT), 6) AS fertility
+       |       ROUND(CAST(COALESCE(SUM(d.np), 0) AS DOUBLE) / NULLIF(CAST(COALESCE(SUM(d.nt), 0) AS BIGINT), 0), 6) AS fertility
        |FROM t LEFT JOIN d USING (doc_id)
        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
   }

@@ -33,6 +33,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.getAs[Array[Byte]]("content").length == row.getAs[Long]("length"))
   }
 
+  test("fixture tables load with the expected logical schemas (drift guard)") {
+    // The fixtures are regenerated between rounds and the physical parquet
+    // types can drift (round 9: events.ts silently moved from
+    // TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and killed 10 queries with an
+    // opaque DATATYPE_MISMATCH five frames deep). This pins the LOGICAL
+    // schema each Tables.* loader must present to the operators, so a
+    // future drift fails here with a named one-line diagnosis.
+    import org.apache.spark.sql.types._
+    val sf = TestSpark.Sf0001
+    val expected: Map[String, Seq[(String, DataType)]] = Map(
+      "region"   -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation"   -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part"     -> Seq("p_partkey" -> LongType, "p_name" -> StringType, "p_brand" -> StringType,
+        "p_type" -> StringType, "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders"   -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+        "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType, "l_returnflag" -> StringType,
+        "l_linestatus" -> StringType, "l_shipdate" -> TimestampNTZType),
+      // events.ts is the one loader-NORMALIZED column: whatever the
+      // physical fixture type (long nanos, TIMESTAMP_NTZ, timestamp),
+      // operators must see a session-zone TimestampType.
+      "events"   -> Seq("event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+        "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType, containsNull = true), "label" -> IntegerType)
+    )
+    val loaders: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "region" -> Tables.region(spark, sf), "nation" -> Tables.nation(spark, sf),
+      "customer" -> Tables.customer(spark, sf), "supplier" -> Tables.supplier(spark, sf),
+      "part" -> Tables.part(spark, sf), "orders" -> Tables.orders(spark, sf),
+      "lineitem" -> Tables.lineitem(spark, sf), "events" -> Tables.events(spark, sf),
+      "documents" -> Tables.documents(spark, sf), "embeddings" -> Tables.embeddings(spark, sf))
+    expected.foreach { case (table, cols) =>
+      val actual = loaders(table).schema.map(f => f.name -> f.dataType)
+      assert(actual == cols, s"fixture table '$table' drifted: loader presents $actual")
+    }
+  }
+
   test("csv sink/source round-trips the text-stats table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val stats = TextPipeline.textStats(spark, TestSpark.Sf0001)
