@@ -409,4 +409,67 @@ object Multimodal {
       |       CAST(CASE WHEN n_bytes = 0 THEN 1 ELSE 1 + first_byte % 64 END AS BIGINT) AS height,
       |       CASE WHEN n_bytes = 0 THEN 0.0 ELSE round(byte_sum / n_bytes, 6) END AS mean_byte
       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** A REAL vision-model inference factory for [[Embed.embedColumn]]:
+    * raw encoded image bytes (PNG/JPEG — any ImageIO codec) → decoded
+    * raster → grayscale pixel vector in [0,1], resampled to (w, h) via
+    * [[pixelResize]]'s ⌊·⌋ index arithmetic → projection through a TRAINED
+    * eigenimage (PCA) component matrix loaded from an on-disk artifact.
+    *
+    * This is the reference's image-ingest shape (vector_db.py:28-40:
+    * `Image.open` → resize → /255.0 → model → vector; text_img.py:32-39
+    * `Image.open(...).convert("RGB")` → CLIP image features) with the
+    * learned projection standing where ResNet-50/CLIP stand — the one
+    * family of vision model trainable offline in this container (MLlib
+    * PCA over decoded pixels = eigenimages, Turk & Pentland 1991). The
+    * factory contract matches a production ONNX/CLIP deployment: the
+    * artifact is parsed ONCE per partition/task, the codec init happens
+    * in the factory body, and every row streams through the loaded model.
+    *
+    * Artifact format: k lines, each w*h comma-separated floats (one
+    * principal component per line, row-major over the resized raster).
+    */
+  def pngPcaEncoder(artifactPath: String, w: Int, h: Int): () => Array[Byte] => Array[Float] =
+    () => {
+      val pc: Array[Array[Float]] = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(artifactPath))
+        .toArray(Array.empty[String])
+        .filter(_.nonEmpty)
+        .map(_.split(",").map(_.toFloat))
+      require(pc.nonEmpty && pc.forall(_.length == w * h),
+        s"eigenimage artifact $artifactPath: expected rows of ${w * h} floats")
+      javax.imageio.ImageIO.setUseCache(false)
+      (bytes: Array[Byte]) => {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "undecodable image payload")
+        val raster = img.getRaster
+        val (sw, sh, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val x = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          val sy = y * sh / h
+          var xi = 0
+          while (xi < w) {
+            val sx = xi * sw / w
+            // grayscale = band mean (identity for 1-band; luma-free mean
+            // for RGB keeps the path deterministic and codec-independent)
+            var s = 0.0f; var b = 0
+            while (b < bands) { s += raster.getSample(sx, sy, b); b += 1 }
+            x(y * w + xi) = s / (bands * 255.0f)
+            xi += 1
+          }
+          y += 1
+        }
+        val out = new Array[Float](pc.length)
+        var j = 0
+        while (j < pc.length) {
+          val row = pc(j)
+          var s = 0.0f; var i = 0
+          while (i < row.length) { s += row(i) * x(i); i += 1 }
+          out(j) = s
+          j += 1
+        }
+        out
+      }
+    }
 }
