@@ -72,16 +72,24 @@ object Curation {
     val contaminated = TextAnalysis
       .decontaminateAgainst(corpus.select(col("doc_id"), lower(col("text")).as("text")), bench)
       .filter(col("contaminated") === 1).select(col("doc_id"))
-    val decon = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    // the decontaminated frame feeds FOUR consumers (the LM token stream,
+    // the selection lang join, the survivor semi-join, the pack scan) —
+    // cache it operator-scoped or the gram-join anti-join subtree re-runs
+    // once per consumer (q70's cache pattern; at 100 TB this boundary is
+    // a parquet checkpoint, and this cache is that write's scan)
+    val decon = corpus.join(contaminated, Seq("doc_id"), "left_anti").cache()
 
-    // stage 5 — SELECT (q79 core): keep the top quartile by unigram-LM
-    // score within each language
-    val sel = TextAnalysis.percentileSelectOf(decon, TextAnalysis.SelectQuantile)
-      .select(col("doc_id"))
-    val selected = decon.join(sel, Seq("doc_id"), "left_semi")
+    try {
+      // stage 5 — SELECT (q79 core): keep the top quartile by unigram-LM
+      // score within each language
+      val sel = TextAnalysis.percentileSelectOf(decon, TextAnalysis.SelectQuantile)
+        .select(col("doc_id"))
+      val selected = decon.join(sel, Seq("doc_id"), "left_semi")
 
-    // stage 6 — PACK (q69 core): the training-loader pack plan
-    TextPipeline.packSequencesOf(selected)
+      // stage 6 — PACK (q69 core): the training-loader pack plan,
+      // materialized while the stage caches are alive (q70's trade)
+      TextPipeline.packSequencesOf(selected).localCheckpoint(true)
+    } finally decon.unpersist()
   }
 
   /** q92 oracle: each stage's already-pinned CTE family chained in one

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Cleaning, Dedup, DedupExtras, Embed, IvfIndex, TextAnalysis}
+import graft.operators.{Cleaning, Curation, Dedup, DedupExtras, Embed, IvfIndex, TextAnalysis}
 
 /** The full training-data curation story as ONE composition over the
   * library's public corpus-parameterized operators — the workflow a user
@@ -187,6 +187,63 @@ class CurationPipelineSpec extends AnyFunSuite {
     (0 until 30).foreach { i =>
       assert(cleaned(i.toLong).contains(s"w${i}a0 w${i}b0 w${i}c0 w${i}d0"),
         s"doc $i's unique body sentences must pass through untouched")
+    }
+  }
+
+  test("q92 curationPipelineOf: planted artifacts resolve and the pack plan is self-consistent") {
+    import spark.implicits._
+
+    // Synthetic corpus with every planted-artifact class the declared q92
+    // exercises (the oracle pins exact values on the fixtures; this pins
+    // the BEHAVIORS on a corpus the fixtures never saw):
+    //  - ids 1..96: "high" docs — every token drawn from a shared 14-word
+    //    pool (one use of each word per doc) plus two doc-unique words, so
+    //    the unigram-LM scores cluster high; the unique word sits mid-
+    //    sentence so no two docs' sentences come near the fuzzy Jaccard
+    //    threshold
+    //  - ids 101..119: "low" docs — all-unique vocabulary, strictly lower
+    //    LM score than every high doc (selection must drop at least these)
+    //  - id 97: the benchmark doc (97 % 97 == 0, held out at stage 4)
+    //  - id 13: contaminated — carries an 8+-word span of doc 97's text
+    val poolA = Seq("river", "stone", "cloud", "light", "grass", "wind", "meadow")
+    val poolB = Seq("amber", "forest", "silver", "shadow", "ember", "frost", "valley")
+    def rot(xs: Seq[String], k: Int): Seq[String] = xs.drop(k % xs.size) ++ xs.take(k % xs.size)
+    def highText(i: Int): String = {
+      val a = rot(poolA, i % 7); val b = rot(poolB, (i / 7) % 7)
+      val s1 = (a.take(3) :+ s"u${i}a") ++ a.drop(3)
+      val s2 = (b.take(3) :+ s"u${i}b") ++ b.drop(3)
+      s1.mkString(" ") + ". " + s2.mkString(" ")
+    }
+    val benchText = "orchid nebula quartz falcon indigo marble zephyr lagoon basalt"
+    val rows =
+      (1 to 96).map { i =>
+        val t = if (i == 13) highText(i) + ". " + benchText else highText(i)
+        (i.toLong, "en", t)
+      } ++ Seq((97L, "en", benchText)) ++
+      (101 to 119).map(i => (i.toLong, "en", (0 until 16).map(j => s"z${i}q$j").mkString(" ")))
+    val out = Curation.curationPipelineOf(rows.toDF("doc_id", "lang", "text"))
+      .collect()
+    val ids = out.map(_.getLong(2)).toSet
+
+    assert(out.nonEmpty, "the pipeline must select a nonempty corpus")
+    assert(ids.forall(_ < 1000000L), "every planted exact copy must die at the dedup stage")
+    assert(!ids.contains(97L), "benchmark docs (id % 97 == 0) are held out of the corpus")
+    assert(!ids.contains(13L), "the doc sharing an 8-gram with the benchmark must be dropped")
+    assert((101L to 119L).forall(i => !ids.contains(i)),
+      "all-unique-vocabulary docs score below the per-lang cut and must not be selected")
+    assert(ids.subsetOf((1L to 96L).toSet diff Set(13L)),
+      s"output ids must come from the eligible high docs, got ${ids -- (1L to 96L).toSet}")
+
+    // the pack plan must be self-consistent: within each (lang, shard) in
+    // doc_id order, pack_id/pack_offset are exactly the running-prefix
+    // arithmetic over the emitted n_tokens (budget 256)
+    out.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      var prefix = 0L
+      rs.sortBy(_.getLong(2)).foreach { r =>
+        assert(r.getLong(4) == prefix / 256, s"pack_id mismatch at doc ${r.getLong(2)}")
+        assert(r.getLong(5) == prefix % 256, s"pack_offset mismatch at doc ${r.getLong(2)}")
+        prefix += r.getLong(3)
+      }
     }
   }
 }
