@@ -44,6 +44,39 @@ object Curation {
 
   /** Composable end-to-end core for ANY (doc_id, lang, text) corpus. */
   def curationPipelineOf(docs: DataFrame): DataFrame = {
+    val survivors = dedupedClean(docs)
+    // stage 3 — FUZZY SENTENCE DEDUP (q70 core): exact first-occurrence
+    // pass + MinHash/LSH domination over distinct sentences, docs rebuilt
+    val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
+      .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
+    // the decontaminated frame feeds FOUR consumers (the LM token stream,
+    // the selection lang join, the survivor semi-join, the pack scan) —
+    // cache it operator-scoped or the gram-join anti-join subtree re-runs
+    // once per consumer (q70's cache pattern; at 100 TB this boundary is
+    // a parquet checkpoint, and this cache is that write's scan)
+    val decon = deconOf(docs, rebuilt).cache()
+    // stages 5-6, materialized while the stage caches are alive (q70's trade)
+    try selectAndPack(decon).localCheckpoint(true)
+    finally decon.unpersist()
+  }
+
+  /** The SAME stage chain, lazily composed (no cache, no checkpoint, the
+    * fuzzy stage's lazy plan body) — package-private so PlanShapeSpec pins
+    * the composition's REAL physical shape, which the public API's
+    * materialization boundaries would hide behind RDD scans.
+    */
+  private[graft] def curationPlanOf(docs: DataFrame): DataFrame = {
+    val survivors = dedupedClean(docs)
+    val rebuilt = TextAnalysis.fuzzySentenceDedupPlan(
+        survivors, TextAnalysis.sentenceUnits(survivors), DedupExtras.JaccardThreshold)
+      .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
+    selectAndPack(deconOf(docs, rebuilt))
+  }
+
+  /** Stages 1-2: plant dirt + copies, clean, keep exact-dedup survivors. */
+  private def dedupedClean(docs: DataFrame): DataFrame = {
     // stage 1 — CLEAN (q85 core): plant deterministic dirt, normalize it
     val raw = docs.select(col("doc_id"), col("lang"),
       when(col("doc_id") % 3 === 0,
@@ -51,45 +84,33 @@ object Curation {
         .otherwise(col("text")).as("raw"))
     val cleaned = raw.select(col("doc_id"), col("lang"),
       Cleaning.cleanText(col("raw")).as("text"))
-
     // stage 2 — EXACT DEDUP (q15/q45 apply side): plant copies, keep the
     // min-id keeper of every distinct text
     val copies = cleaned.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("text"))
-    val survivors = TextAnalysis.dedupSurvivorsOf(cleaned.unionByName(copies))
+    TextAnalysis.dedupSurvivorsOf(cleaned.unionByName(copies))
+  }
 
-    // stage 3 — FUZZY SENTENCE DEDUP (q70 core): exact first-occurrence
-    // pass + MinHash/LSH domination over distinct sentences, docs rebuilt
-    val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
-      .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
-
-    // stage 4 — DECONTAMINATE (q60 core): drop docs sharing any 8-gram
-    // with the held-out benchmark slice, matched lowercased
+  /** Stage 4 — DECONTAMINATE (q60 core): drop rebuilt docs sharing any
+    * 8-gram with the held-out benchmark slice, matched lowercased.
+    */
+  private def deconOf(docs: DataFrame, rebuilt: DataFrame): DataFrame = {
     val bench = docs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id"), lower(col("text")).as("text"))
     val corpus = rebuilt.filter(col("doc_id") % 97 =!= 0)
     val contaminated = TextAnalysis
       .decontaminateAgainst(corpus.select(col("doc_id"), lower(col("text")).as("text")), bench)
       .filter(col("contaminated") === 1).select(col("doc_id"))
-    // the decontaminated frame feeds FOUR consumers (the LM token stream,
-    // the selection lang join, the survivor semi-join, the pack scan) —
-    // cache it operator-scoped or the gram-join anti-join subtree re-runs
-    // once per consumer (q70's cache pattern; at 100 TB this boundary is
-    // a parquet checkpoint, and this cache is that write's scan)
-    val decon = corpus.join(contaminated, Seq("doc_id"), "left_anti").cache()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
 
-    try {
-      // stage 5 — SELECT (q79 core): keep the top quartile by unigram-LM
-      // score within each language
-      val sel = TextAnalysis.percentileSelectOf(decon, TextAnalysis.SelectQuantile)
-        .select(col("doc_id"))
-      val selected = decon.join(sel, Seq("doc_id"), "left_semi")
-
-      // stage 6 — PACK (q69 core): the training-loader pack plan,
-      // materialized while the stage caches are alive (q70's trade)
-      TextPipeline.packSequencesOf(selected).localCheckpoint(true)
-    } finally decon.unpersist()
+  /** Stages 5-6: per-lang top-quartile LM selection (q79 core), then the
+    * training-loader pack plan (q69 core).
+    */
+  private def selectAndPack(decon: DataFrame): DataFrame = {
+    val sel = TextAnalysis.percentileSelectOf(decon, TextAnalysis.SelectQuantile)
+      .select(col("doc_id"))
+    TextPipeline.packSequencesOf(decon.join(sel, Seq("doc_id"), "left_semi"))
   }
 
   /** q92 oracle: each stage's already-pinned CTE family chained in one

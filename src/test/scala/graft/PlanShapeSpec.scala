@@ -183,6 +183,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the DECIMAL key and band aggregates must stay hash-based;\n$p")
   }
 
+  test("q92 curation composition inherits every stage's shape: no cartesian, no sort-agg, broadcast gram/cut joins") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "lang", "text")
+    val p = plan(graft.operators.Curation.curationPlanOf(docs))
+    assert(!p.contains("CartesianProduct"),
+      s"no stage of the composition may degrade to an all-pairs join;\n$p")
+    // the ONLY nested-loop joins allowed are q72's 1-row `total` broadcast
+    // cross joins inside the LM scorer (one per terms consumer) — anything
+    // beyond that count means a real join degraded to all-pairs
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 2,
+      s"unexpected nested-loop join beyond the 1-row LM total broadcasts;\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"the fingerprint/band/gram aggregates must stay hash-based through composition;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram set and the per-lang cuts must broadcast, not shuffle the corpus;\n$p")
+    // the only windows allowed are q69's per-(lang, shard) pack prefix and
+    // q79's rank-free percentile path contributes none — a corpus-global
+    // window sneaking into any stage would serialize the pipeline
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"unexpected window operators in the composition;\n$p")
+  }
+
   test("q71 greedy decode is scan-local: the only exchange is the presentation sort") {
     val p = plan(graft.operators.TensorOps.greedyDecode(spark, TestSpark.Sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),
