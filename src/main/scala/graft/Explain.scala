@@ -26,7 +26,8 @@ object Explain {
                          "q82_lang_sample", "q83_leakage_safe_split",
                          "q86_bpe_encode", "q87_tokenizer_fertility",
                          "q88_temperature_resample", "q89_length_buckets",
-                         "q90_winnow_fingerprint", "q91_winnow_matches")
+                         "q90_winnow_fingerprint", "q91_winnow_matches",
+                         "q92_curation_pipeline")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -35,7 +36,19 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n================ $n ================")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+      // q92's public API materializes per stage (cache + localCheckpoint),
+      // which would print an RDD scan — audit its lazy plan body instead
+      // (q70's fuzzy core inside it has the same property and the same
+      // treatment in PlanShapeSpec)
+      val df =
+        if (n == "q92_curation_pipeline")
+          graft.operators.Curation.curationPlanOf(
+            Tables.documents(spark, sfDir)
+              .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("lang"),
+                org.apache.spark.sql.functions.col("text")))
+        else SparkEntry.queries(n)(spark, sfDir)
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
