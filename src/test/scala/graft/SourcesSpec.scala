@@ -81,6 +81,26 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.events normalizes a long-nanos fixture (the legacy physical type)") {
+    // The current fixtures ship TIMESTAMP(MICROS); earlier generations were
+    // TIMESTAMP(NANOS), which the nanosAsLong flag surfaces as LongType.
+    // Keep that branch live: an events layout whose ts column is raw nanos
+    // longs must come out as the same session-zone TimestampType schema.
+    import org.apache.spark.sql.functions.{col, expr}
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_nanos").toString
+    val micros = 1704067200000000L // 2024-01-01T00:00:00 UTC
+    Seq((1L, micros * 1000L, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val got = df.select(expr("unix_micros(ts)")).head().getLong(0)
+    assert(got == micros, s"nanos->micros conversion drifted: $got != $micros")
+    assert(df.select(col("event_id")).head().getLong(0) == 1L)
+  }
+
   test("csv sink/source round-trips the text-stats table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val stats = TextPipeline.textStats(spark, TestSpark.Sf0001)
