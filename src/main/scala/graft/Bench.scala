@@ -17,7 +17,12 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = MainSupport.localSession("spark.sql.adaptive.enabled" -> "true")
+    // UTC pinned like Verify: the events NTZ->timestamp normalization and
+    // window bucketing must shape queries identically under any runner,
+    // not only sbt-forked JVMs that inherit build.sbt's -D flag
+    val spark = MainSupport.localSession(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "UTC")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
