@@ -44,21 +44,24 @@ object Curation {
 
   /** Composable end-to-end core for ANY (doc_id, lang, text) corpus. */
   def curationPipelineOf(docs: DataFrame): DataFrame = {
-    val survivors = dedupedClean(docs)
-    // stage 3 — FUZZY SENTENCE DEDUP (q70 core): exact first-occurrence
-    // pass + MinHash/LSH domination over distinct sentences, docs rebuilt
-    val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
-      .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
-    // the decontaminated frame feeds FOUR consumers (the LM token stream,
-    // the selection lang join, the survivor semi-join, the pack scan) —
-    // cache it operator-scoped or the gram-join anti-join subtree re-runs
-    // once per consumer (q70's cache pattern; at 100 TB this boundary is
-    // a parquet checkpoint, and this cache is that write's scan)
-    val decon = deconOf(docs, rebuilt).cache()
-    // stages 5-6, materialized while the stage caches are alive (q70's trade)
-    try selectAndPack(decon).localCheckpoint(true)
-    finally decon.unpersist()
+    // stage-2 survivors feed the fuzzy pass, the lang join, and (through
+    // `rebuilt`) both decontamination consumers — cache them or the
+    // exact-dedup fingerprint shuffle re-runs once per consumer; same for
+    // the four-consumer decontaminated frame below (q70's cache pattern;
+    // at 100 TB each boundary is a parquet checkpoint and the cache is
+    // that write's scan)
+    val survivors = dedupedClean(docs).cache()
+    try {
+      // stage 3 — FUZZY SENTENCE DEDUP (q70 core): exact first-occurrence
+      // pass + MinHash/LSH domination over distinct sentences, docs rebuilt
+      val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
+        .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
+      val decon = deconOf(docs, rebuilt).cache()
+      // stages 5-6, materialized while the stage caches are alive
+      try selectAndPack(decon).localCheckpoint(true)
+      finally decon.unpersist()
+    } finally survivors.unpersist()
   }
 
   /** The SAME stage chain, lazily composed (no cache, no checkpoint, the
