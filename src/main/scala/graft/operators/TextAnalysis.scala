@@ -903,6 +903,92 @@ object TextAnalysis {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** q93_dup_span_remove — the APPLY side of exact-substring dedup: q75
+    * reports how much of each document sits under corpus-duplicated
+    * 8-token spans; this operator REWRITES the documents with those spans
+    * removed — the actual ExactSubstr dedup step of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (their
+    * tool cuts every duplicated-substring occurrence from the training
+    * text; the span definition here is identical to q75's).
+    *
+    * Emits per tokenizable doc: (doc_id, n_tokens, n_kept, cleaned) —
+    * cleaned is the space-joined survivor tokens in original order, empty
+    * when every token was covered.
+    *
+    * 100 TB shape: the gram stream shuffles its 16-byte md5 fingerprint
+    * for the occurrence count (the one inherent exact-substring shuffle,
+    * shared with q75); covered positions are DUPLICATION-scale and
+    * aggregate to one bounded int-set row per affected doc (set size ≤
+    * doc length); the rebuild is a doc-scale join of that set back to the
+    * token-array row followed by scan-local array filtering — the token
+    * stream itself never shuffles and the text rides the scan.
+    */
+  def dupSpanRemove(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanRemoveOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q93 for ANY (doc_id, text, …) corpus. */
+  def dupSpanRemoveOf(docs: DataFrame): DataFrame = {
+    val L = DupSpanGram
+    val toks = docs
+      .select(col("doc_id"), tokenArr(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val grams = toks
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $L), i -> concat_ws(' ', slice(toks, i + 1, $L)))")))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), unhex(md5(col("gram"))).as("fp"))
+    val dupFps = grams.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("fp"))
+    // every position under any duplicated span, one set-valued row per doc
+    val covered = grams.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (t, i) =>
+          col("cov").isNull || !array_contains(col("cov"), i.cast("long"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q93OracleSql: String = {
+    val L = DupSpanGram
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+       |), base AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t WHERE len(toks) > 0
+       |), g AS (
+       |  SELECT doc_id, unnest(range(0, len(toks) - ${L - 1})) AS pos, toks
+       |  FROM t WHERE len(toks) >= $L
+       |), g2 AS (
+       |  SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+$L], ' ')) AS fp FROM g
+       |), dup AS (
+       |  SELECT fp FROM g2 GROUP BY fp HAVING count(*) >= 2
+       |), m AS (
+       |  SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (fp)
+       |), covered AS (
+       |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $L)) AS p FROM m
+       |), tok AS (
+       |  SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM base
+       |), kept AS (
+       |  SELECT tk.doc_id, tk.p, tk.toks[tk.p + 1] AS tok
+       |  FROM tok tk ANTI JOIN covered c ON tk.doc_id = c.doc_id AND tk.p = c.p
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY p) AS cleaned
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |       coalesce(a.cleaned, '') AS cleaned
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** q51_repetition_stats — Gopher-style repetition signals per document:
     * the duplicate word-3-gram fraction (1 − distinct/total) and the
     * top-token frequency fraction — the two cheapest high-signal rules a

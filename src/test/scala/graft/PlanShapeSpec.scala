@@ -205,6 +205,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows <= 2, s"unexpected window operators in the composition;\n$p")
   }
 
+  test("q93 span removal: fp-scale shuffles + doc-scale rebuild join — token stream never shuffles, no window") {
+    val p = plan(graft.operators.TextAnalysis.dupSpanRemove(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span marking must stay fingerprint equi-joins;\n$p")
+    assert(!p.contains("Window"),
+      s"removal needs no interval-union window — the covered set aggregates per doc;\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"fingerprint and covered-set aggregates must stay hash-based;\n$p")
+  }
+
   test("q71 greedy decode is scan-local: the only exchange is the presentation sort") {
     val p = plan(graft.operators.TensorOps.greedyDecode(spark, TestSpark.Sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),

@@ -149,6 +149,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"hand-computed span coverage must match; got $out")
   }
 
+  test("dup-span removal rewrites exactly the covered tokens, in order") {
+    import spark.implicits._
+    // same corpus as the coverage test: removal must cut exactly the
+    // positions coverage counted — doc 1 loses tokens 4..15, doc 2 and 3
+    // are fully covered (empty rewrite), docs 4/5 pass untouched
+    val w = (1 to 40).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, w.slice(0, 20).mkString(" ")),
+      (2L, w.slice(4, 16).mkString(" ")),
+      (3L, (w.slice(20, 28) ++ w.slice(20, 28)).mkString(" ")),
+      (4L, w.slice(28, 38).mkString(" ")),
+      (5L, w.slice(38, 40).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanRemoveOf(corpus)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 20L, 8L, (w.slice(0, 4) ++ w.slice(16, 20)).mkString(" ")),
+      (2L, 12L, 0L, ""),
+      (3L, 16L, 0L, ""),
+      (4L, 10L, 10L, w.slice(28, 38).mkString(" ")),
+      (5L, 2L, 2L, w.slice(38, 40).mkString(" "))),
+      s"hand-computed span removal must match; got $out")
+  }
+
   test("quality quota keeps exactly k best per (lang, source), ranked by score then id") {
     import spark.implicits._
     // two groups: (en, web) with 4 docs, (en, book) with 2; quota k=3.
