@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -988,6 +988,92 @@ object TextAnalysis {
        |FROM base b LEFT JOIN agg a USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
   }
+
+  /** q94_importance_select — DSIR-style IMPORTANCE-WEIGHTED domain
+    * selection (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much more
+    * likely its tokens are under a TARGET-domain unigram LM than under
+    * the raw-corpus LM, and keep the docs that look more target-like
+    * than average. The family's missing member next to the quota (q76),
+    * budget (q77) and percentile (q79) selectors: those rank by an
+    * absolute quality score; this one matches a target DISTRIBUTION.
+    *
+    * Target here = the English slice of the corpus; both LMs are add-one
+    * smoothed over the raw vocabulary, the per-doc score is the mean
+    * per-token log-ratio rounded 6 dp, and selection keeps score >= 0 —
+    * all closed-form (ln of exact rationals, no pow), the q88
+    * cross-engine-determinism discipline.
+    *
+    * 100 TB shape: q72's audited LM shape with two frequency tables —
+    * both are vocab-scale (Heaps-bounded), joined once token-to-token and
+    * broadcast back to the scan; the token stream itself never shuffles
+    * (the one exchange carries per-doc partial aggregates), and the final
+    * doc-metadata join is id-to-id, text never moves.
+    */
+  def importanceSelect(spark: SparkSession, sfDir: String): DataFrame =
+    importanceSelectOf(Tables.documents(spark, sfDir), col("lang") === "en")
+
+  /** Composable core for ANY (doc_id, lang, source, text, …) corpus and
+    * target-domain predicate.
+    */
+  def importanceSelectOf(docs: DataFrame, targetPred: Column): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
+    val fr = terms.groupBy(col("token")).agg(count(lit(1)).as("fr"))
+    val ft = docs.filter(targetPred)
+      .select(explode(TextPipeline.tokenArr(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("ft"))
+    // one vocab-scale table carrying both LMs; totals ride a 1-row
+    // broadcast (q72's pattern — no second corpus pass)
+    val vocab = fr.join(ft, Seq("token"), "left")
+    val tots = vocab.agg(
+      sum(col("fr")).cast("double").as("tr"),
+      sum(col("ft")).cast("double").as("tt"),
+      count(lit(1)).cast("double").as("v"))
+    val scored = vocab.crossJoin(broadcast(tots))
+      .select(col("token"),
+        (log((coalesce(col("ft"), lit(0L)) + 1) / (col("tt") + col("v"))) -
+         log((col("fr") + 1) / (col("tr") + col("v")))).as("s"))
+    terms
+      .join(broadcast(scored), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("s")), 6).as("logratio"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .filter(col("logratio") >= 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("logratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q94OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token FROM documents
+      |), tt AS (
+      |  SELECT unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token
+      |  FROM documents WHERE lang = 'en'
+      |), fr AS (
+      |  SELECT token, COUNT(*) AS fr FROM t GROUP BY token
+      |), ft AS (
+      |  SELECT token, COUNT(*) AS ft FROM tt GROUP BY token
+      |), vocab AS (
+      |  SELECT fr.token, fr.fr, ft.ft FROM fr LEFT JOIN ft USING (token)
+      |), tots AS (
+      |  SELECT CAST(SUM(fr) AS DOUBLE) AS tr,
+      |         CAST(COALESCE(SUM(ft), 0) AS DOUBLE) AS tt,
+      |         CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM vocab
+      |), sv AS (
+      |  SELECT token,
+      |         ln((COALESCE(ft, 0) + 1) / (tt + v)) - ln((fr + 1) / (tr + v)) AS s
+      |  FROM vocab CROSS JOIN tots
+      |), d AS (
+      |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |         round(avg(sv.s), 6) AS logratio
+      |  FROM t JOIN sv USING (token) GROUP BY t.doc_id
+      |)
+      |SELECT d.doc_id, doc.lang, doc.source, d.n_tokens, d.logratio
+      |FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+      |WHERE d.logratio >= 0
+      |ORDER BY d.doc_id""".stripMargin
 
   /** q51_repetition_stats — Gopher-style repetition signals per document:
     * the duplicate word-3-gram fraction (1 − distinct/total) and the

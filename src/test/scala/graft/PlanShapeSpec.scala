@@ -215,6 +215,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fingerprint and covered-set aggregates must stay hash-based;\n$p")
   }
 
+  test("q94 importance select rides q72's LM shape: vocab broadcasts, token stream never shuffles") {
+    val p = plan(graft.operators.TextAnalysis.importanceSelect(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"the LM tables must join token-to-token;\n$p")
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 1,
+      s"only the 1-row totals broadcast may nested-loop;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-scale score table must broadcast back to the scan;\n$p")
+    assert(!p.contains("Window"), s"selection is a filter, not a rank;\n$p")
+  }
+
   test("q71 greedy decode is scan-local: the only exchange is the presentation sort") {
     val p = plan(graft.operators.TensorOps.greedyDecode(spark, TestSpark.Sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),

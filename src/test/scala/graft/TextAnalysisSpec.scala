@@ -173,6 +173,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"hand-computed span removal must match; got $out")
   }
 
+  test("importance selection keeps target-like docs and rejects off-target vocabulary") {
+    import spark.implicits._
+    // target = en docs. Docs 1-4 (en) and doc 5 (fr) are built from the
+    // SHARED target vocabulary — doc 5 is the DSIR point: selection is by
+    // distribution match, not by the lang label. Docs 6-7 (zh) use
+    // vocabulary absent from the target slice and must score negative.
+    val corpus = Seq(
+      (1L, "en", "s0", "alpha beta gamma delta"),
+      (2L, "en", "s0", "beta gamma delta alpha"),
+      (3L, "en", "s1", "gamma delta alpha beta"),
+      (4L, "en", "s1", "delta alpha beta gamma"),
+      (5L, "fr", "s2", "alpha beta gamma delta"),
+      (6L, "zh", "s2", "qq1 qq2 qq3 qq4"),
+      (7L, "zh", "s2", "qq5 qq6 qq7 qq8")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextAnalysis.importanceSelectOf(corpus, col("lang") === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 4L, 5L),
+      s"target-vocabulary docs (including the fr doc) select; off-target zh docs must not: $out")
+  }
+
   test("quality quota keeps exactly k best per (lang, source), ranked by score then id") {
     import spark.implicits._
     // two groups: (en, web) with 4 docs, (en, book) with 2; quota k=3.
