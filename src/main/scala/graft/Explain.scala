@@ -27,7 +27,8 @@ object Explain {
                          "q86_bpe_encode", "q87_tokenizer_fertility",
                          "q88_temperature_resample", "q89_length_buckets",
                          "q90_winnow_fingerprint", "q91_winnow_matches",
-                         "q92_curation_pipeline")
+                         "q92_curation_pipeline", "q93_dup_span_remove",
+                         "q94_importance_select")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
