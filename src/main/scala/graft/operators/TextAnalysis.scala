@@ -944,11 +944,23 @@ object TextAnalysis {
     val covered = grams.join(dupFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("p"))
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    // Linear rebuild: sort the covered positions once, bracket them with
+    // sentinels, and emit the UNCOVERED GAPS as slices — O(L + |cov| log
+    // |cov|) per doc instead of the O(L * |cov|) per-token membership
+    // scan. Adjacent covered positions yield zero-length slices; a doc
+    // with no duplicated spans has cov = [] and one full-array gap.
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        filter(col("toks"), (t, i) =>
-          col("cov").isNull || !array_contains(col("cov"), i.cast("long"))).as("kept"))
+        col("toks"),
+        concat(
+          array(lit(-1L)),
+          array_sort(coalesce(col("cov"), array().cast("array<long>"))),
+          array(size(col("toks")).cast("long"))).as("bnd"))
+      .select(col("doc_id"), col("n_tokens"),
+        flatten(expr(
+          "transform(sequence(0, size(bnd) - 2), k -> " +
+            "slice(toks, CAST(bnd[k] + 2 AS INT), CAST(bnd[k + 1] - bnd[k] - 1 AS INT)))")).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("kept")).as("cleaned"))
@@ -1015,8 +1027,14 @@ object TextAnalysis {
 
   /** Composable core for ANY (doc_id, lang, source, text, …) corpus and
     * target-domain predicate.
+    *
+    * `broadcastLm=false` is the big-table escape hatch (q78's knob): the
+    * scored-vocab table is Heaps-bounded but a web-scale vocabulary can
+    * exceed the broadcast threshold — the flag routes the token-to-token
+    * join through the shuffle-hash path instead, row-identical output.
     */
-  def importanceSelectOf(docs: DataFrame, targetPred: Column): DataFrame = {
+  def importanceSelectOf(docs: DataFrame, targetPred: Column,
+                         broadcastLm: Boolean = true): DataFrame = {
     val terms = docs
       .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
     val fr = terms.groupBy(col("token")).agg(count(lit(1)).as("fr"))
@@ -1034,8 +1052,10 @@ object TextAnalysis {
       .select(col("token"),
         (log((coalesce(col("ft"), lit(0L)) + 1) / (col("tt") + col("v"))) -
          log((col("fr") + 1) / (col("tr") + col("v")))).as("s"))
-    terms
-      .join(broadcast(scored), Seq("token"))
+    val withLm =
+      if (broadcastLm) terms.join(broadcast(scored), Seq("token"))
+      else terms.join(scored.hint("shuffle_hash"), Seq("token"))
+    withLm
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("s")), 6).as("logratio"))
       .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))

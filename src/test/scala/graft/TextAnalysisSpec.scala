@@ -173,6 +173,60 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"hand-computed span removal must match; got $out")
   }
 
+  test("dup-span removal is exact on a long, heavily-duplicated document") {
+    import spark.implicits._
+    // Exercise the gap-slice rebuild at length: one 600-token doc built
+    // from a repeated 25-token block (dense internal duplication, many
+    // covered runs), one 400-token doc sharing a 50-token slab with it
+    // (covered interval in the middle), one unique tail doc. Expected
+    // kept-sets come from a brute-force reference over the same corpus.
+    val block = (1 to 25).map(i => s"b$i")
+    val slab = (1 to 50).map(i => s"s$i")
+    val uniq1 = (1 to 175).map(i => s"u$i")
+    val uniq2 = (1 to 300).map(i => s"v$i")
+    val doc1 = (Seq.fill(16)(block).flatten ++ slab ++ uniq1)       // 625 toks
+    val doc2 = (uniq2.slice(0, 175) ++ slab ++ uniq2.slice(175, 300)) // 350 toks
+    val doc3 = (1 to 80).map(i => s"z$i")
+    val corpus = Seq(
+      (1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")), (3L, doc3.mkString(" "))
+    ).toDF("doc_id", "text")
+    // brute-force reference: same 8-gram span definition, corpus-wide
+    val L = 8
+    val docs = Map(1L -> doc1, 2L -> doc2, 3L -> doc3)
+    val gramCounts = docs.values.toSeq
+      .flatMap(t => t.sliding(L).filter(_.length == L).map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val expected = docs.map { case (id, t) =>
+      val covered = t.sliding(L).zipWithIndex
+        .filter { case (g, _) => g.length == L && gramCounts(g.mkString(" ")) >= 2 }
+        .flatMap { case (_, i) => i until (i + L) }.toSet
+      val kept = t.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> ((t.length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }
+    val out = TextAnalysis.dupSpanRemoveOf(corpus)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 3)
+    out.foreach { case (id, n, k, cleaned) =>
+      val (en, ek, ec) = expected(id)
+      assert(n == en && k == ek, s"doc $id: ($n, $k) != ($en, $ek)")
+      assert(cleaned == ec, s"doc $id rebuilt text diverges from reference")
+    }
+    // sanity on the scenario itself: doc 1 keeps only its unique tail
+    // (the 400-token repeated region and 50-token shared slab are cut),
+    // doc 3 is untouched
+    assert(expected(1L)._2 == 175 && expected(3L)._2 == 80)
+  }
+
+  test("q94 shuffle-join LM variant equals the broadcast plan row-for-row") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val bc = TextAnalysis.importanceSelectOf(docs, col("lang") === "en")
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    val sh = TextAnalysis.importanceSelectOf(docs, col("lang") === "en", broadcastLm = false)
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(bc.nonEmpty && bc == sh, s"${bc.size} broadcast rows vs ${sh.size} shuffle rows")
+  }
+
   test("importance selection keeps target-like docs and rejects off-target vocabulary") {
     import spark.implicits._
     // target = en docs. Docs 1-4 (en) and doc 5 (fr) are built from the
