@@ -154,9 +154,12 @@ object Bench {
     // line's length doubles what survives a truncated capture
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = (results ++ split).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // total sums only the healthy rows — a -1 sentinel must not subtract
-    // from the comparable total
-    val total = fmt(results.collect { case (_, v) if v >= 0 => v }.sum)
+    // total sums only the FULLY-healthy rows: -1 sentinels must not
+    // subtract from the comparable total, and a query that failed SOME of
+    // its samples (ADVICE r10) is excluded too — its surviving-sample
+    // median still prints per-query, but a degraded-sampling median must
+    // not blend into a total that looks like a clean round record
+    val total = fmt(results.collect { case (n, v) if v >= 0 && !failed.contains(n) => v }.sum)
     // a filtered or partially-failed run is marked IN THE DATA — its
     // total must never be mistakable for a full clean round record
     val tag = (if (only.isDefined) ""","filtered":true""" else "") +

@@ -30,7 +30,16 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→TZ cast reinterprets naive micros IN THE SESSION ZONE;
+        // it is value-preserving only under UTC. Fail loudly rather than
+        // silently shift every event timestamp if an entry point ever
+        // forgets the UTC pin (the exact bug class fixed in Bench, r10).
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+          s"Tables.events: NTZ ts requires spark.sql.session.timeZone=UTC (got '$tz'); " +
+            "a non-UTC session would shift every event timestamp in the cast")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet-surfaced type $other (expected long nanos, timestamp_ntz, or timestamp)")

@@ -443,7 +443,18 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         require(img != null, "undecodable image payload")
         val raster = img.getRaster
-        val (sw, sh, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        // Grayscale = mean over COLOR components only (ADVICE r10): raster
+        // bands are ordered color-then-alpha, so looping to
+        // numColorComponents makes RGBA embed identically to the same
+        // image saved as RGB; palette (IndexColorModel) rasters hold
+        // palette INDICES, not intensities, so those resolve through
+        // getRGB's sRGB lookup instead. 1-band gray is untouched
+        // (numColorComponents == 1), keeping the luma-free band mean
+        // deterministic and codec-independent.
+        val cm = img.getColorModel
+        val indexed = cm.isInstanceOf[java.awt.image.IndexColorModel]
+        val colorBands = cm.getNumColorComponents
         val x = new Array[Float](w * h)
         var y = 0
         while (y < h) {
@@ -451,11 +462,16 @@ object Multimodal {
           var xi = 0
           while (xi < w) {
             val sx = xi * sw / w
-            // grayscale = band mean (identity for 1-band; luma-free mean
-            // for RGB keeps the path deterministic and codec-independent)
-            var s = 0.0f; var b = 0
-            while (b < bands) { s += raster.getSample(sx, sy, b); b += 1 }
-            x(y * w + xi) = s / (bands * 255.0f)
+            var s = 0.0f
+            if (indexed) {
+              val rgb = img.getRGB(sx, sy)
+              s = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0f
+              x(y * w + xi) = s / 255.0f
+            } else {
+              var b = 0
+              while (b < colorBands) { s += raster.getSample(sx, sy, b); b += 1 }
+              x(y * w + xi) = s / (colorBands * 255.0f)
+            }
             xi += 1
           }
           y += 1

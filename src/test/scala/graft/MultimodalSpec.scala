@@ -210,4 +210,49 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(RawDoc(5L, Array[Byte](1, 2, 3, 4))).toDS(), srcW = 2, srcH = 2, w = 4, h = 4).head()
     assert(up2.data.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
   }
+
+  test("pngPcaEncoder embeds RGB, RGBA and palette encodings of the same image identically") {
+    // ADVICE r10: the grayscale mean must ignore the alpha band (RGBA ==
+    // RGB for the same colors) and must resolve palette INDICES to their
+    // sRGB entries, not read them as intensities. Same 8x8 pixel field
+    // encoded three ways -> byte-identical embeddings.
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val W = 8; val H = 8
+    val palette = Array(0x102030, 0x405060, 0x708090, 0xa0b0c0)
+    def colorAt(x: Int, y: Int): Int = palette((x + y * 3) % 4)
+
+    val rgb = new BufferedImage(W, H, BufferedImage.TYPE_3BYTE_BGR)
+    val rgba = new BufferedImage(W, H, BufferedImage.TYPE_INT_ARGB)
+    val r = palette.map(c => ((c >> 16) & 0xff).toByte)
+    val g = palette.map(c => ((c >> 8) & 0xff).toByte)
+    val b = palette.map(c => (c & 0xff).toByte)
+    val indexed = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_INDEXED,
+      new IndexColorModel(8, 4, r, g, b))
+    for (y <- 0 until H; x <- 0 until W) {
+      val c = colorAt(x, y)
+      rgb.setRGB(x, y, 0xff000000 | c)
+      // varying, sometimes-translucent alpha: it must not leak into the mean
+      rgba.setRGB(x, y, (((x * 31 + y * 7) % 256) << 24) | c)
+      indexed.getRaster.setSample(x, y, 0, (x + y * 3) % 4)
+    }
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos)); bos.toByteArray
+    }
+    // 2-component artifact: mean-of-all + an alternating contrast row
+    val art = java.nio.file.Files.createTempDirectory("graft_codec_inv").resolve("eigen.csv")
+    val row0 = Array.fill(W * H)("1.0").mkString(",")
+    val row1 = Array.tabulate(W * H)(i => if (i % 2 == 0) "1.0" else "-1.0").mkString(",")
+    java.nio.file.Files.write(art, s"$row0\n$row1".getBytes("UTF-8"))
+    val enc = Multimodal.pngPcaEncoder(art.toString, W, H)()
+    val Seq(eRgb, eRgba, eIdx) = Seq(rgb, rgba, indexed).map(i => enc(png(i)).toSeq)
+    assert(eRgb == eRgba, s"RGBA must embed exactly as RGB: $eRgb vs $eRgba")
+    assert(eRgb == eIdx, s"palette must resolve to sRGB entries: $eRgb vs $eIdx")
+    // and the values are the actual color means, not palette indices
+    val expected0 = (for (y <- 0 until H; x <- 0 until W) yield {
+      val c = colorAt(x, y)
+      (((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)) / 3.0f / 255.0f
+    }).sum
+    assert(math.abs(eRgb.head - expected0) < 1e-3, s"${eRgb.head} vs $expected0")
+  }
 }

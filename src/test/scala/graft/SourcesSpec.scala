@@ -101,6 +101,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.select(col("event_id")).head().getLong(0) == 1L)
   }
 
+  test("Tables.events refuses an NTZ fixture under a non-UTC session zone") {
+    // ADVICE r10: the NTZ->TZ cast reinterprets naive micros in the
+    // SESSION zone, so it is value-preserving only under UTC. An entry
+    // point that forgets the UTC pin must get a named failure, not
+    // silently shifted timestamps.
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_ntz").toString
+    val micros = 1704067200000000L // 2024-01-01T00:00:00 UTC
+    spark.range(1).select(
+      expr("1L").as("event_id"),
+      expr(s"timestamp_micros(${micros}L)").cast("timestamp_ntz").as("ts"),
+      expr("7L").as("user_id"),
+      expr("'click'").as("event_type"),
+      expr("1.5d").as("value"),
+      expr("'{}'").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // sanity: the fixture really surfaces as NTZ
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val pinned = spark.conf.get("spark.sql.session.timeZone")
+    assert(pinned == "UTC")
+    // under the pin the load works and preserves the instant
+    assert(Tables.events(spark, dir).select(expr("unix_micros(ts)")).head().getLong(0) == micros)
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] { Tables.events(spark, dir).collect() }
+      assert(e.getMessage.contains("session.timeZone=UTC"),
+        s"expected the named UTC guard, got: ${e.getMessage}")
+    } finally spark.conf.set("spark.sql.session.timeZone", pinned)
+  }
+
   test("csv sink/source round-trips the text-stats table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val stats = TextPipeline.textStats(spark, TestSpark.Sf0001)
