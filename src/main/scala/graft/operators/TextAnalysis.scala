@@ -480,6 +480,114 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 constants (q95): the standard Robertson/Walker defaults. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** q95: docs returned per query. */
+  val Bm25TopK = 10
+
+  /** q95_bm25_rank — RANKED LEXICAL RETRIEVAL: BM25 top-[[Bm25TopK]]
+    * documents per query (k1=[[Bm25K1]], b=[[Bm25B]], IDF = ln((N − df +
+    * 0.5)/(df + 0.5) + 1)). The lexical half of hybrid search next to
+    * q01's vector half (reference: vector_db_query.py:78-86 is the
+    * vector-only search this completes — a user running hybrid lexical +
+    * vector retrieval over the corpus needs exactly this ranking next to
+    * the cosine top-k).
+    *
+    * The query workload is derived deterministically from the corpus so
+    * the operator is self-contained across fixture regenerations: the 12
+    * highest-document-frequency alphabetic terms (df desc, token asc)
+    * form 4 three-term queries. Scores round to 6 dp BEFORE ranking (the
+    * q76 discipline: rank on the rounded value, ties to the smaller
+    * doc_id, so both engines rank identical numbers).
+    *
+    * 100 TB shape: q50's plan family with q72's broadcast discipline —
+    * two hash aggregates (per-(doc,token) tf with map-side combine; df +
+    * doc-length tables derived from the TYPE table, no second corpus
+    * pass), the query table is a 12-row broadcast that cuts the tf
+    * stream scan-side BEFORE any corpus-scale join, the doc-length join
+    * is id-to-id carrying two longs, the global stats ride a 1-row
+    * broadcast, and the final ranking is the bounded-heap [[TopK]]
+    * aggregate (≤ queries × partitions × k heap rows shuffle — never a
+    * corpus-scale window). Text never moves; the query derivation's
+    * orderBy+limit is TakeOrderedAndProject on the vocab-scale df table.
+    */
+  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame =
+    bm25RankOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q95 for ANY (doc_id, text, …) corpus. */
+  def bm25RankOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"), explode(tokenArr(col("text"))).as("token"))
+    val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // doc lengths and corpus stats from the tf table — no second corpus pass
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // deterministic workload: top-12 alphabetic terms by (df desc, token),
+    // 3 terms per query — orderBy+limit is a bounded TakeOrderedAndProject
+    // on the vocab-scale df table, then a 12-row window assigns qids
+    val top12 = dfTab.filter(col("token").rlike("^[A-Za-z]{3,}$"))
+      .orderBy(col("df").desc, col("token").asc).limit(12)
+    val qtab = top12
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .select(expr("CAST((rn - 1) div 3 AS BIGINT)").as("qid"), col("token"), col("df"))
+    val perTerm = tf
+      .join(broadcast(qtab), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * (Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))).as("s"))
+    val perDoc = perTerm.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+    val tk = TopK.topKUdaf(Bm25TopK)
+    perDoc.groupBy(col("qid"))
+      .agg(tk(col("doc_id"), col("score")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .toDF("qid", "pos", "s")
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q95OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+      |), dl AS (
+      |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(AVG(dl) AS DOUBLE) AS avgdl FROM dl
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), qt AS (
+      |  SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rn
+      |  FROM df WHERE regexp_full_match(token, '[A-Za-z]{3,}')
+      |  ORDER BY df DESC, token LIMIT 12
+      |), q AS (
+      |  SELECT CAST((rn - 1) // 3 AS BIGINT) AS qid, token, df FROM qt
+      |), s AS (
+      |  SELECT q.qid, tf.doc_id,
+      |         ln((stats.n - q.df + 0.5) / (q.df + 0.5) + 1) *
+      |         (tf.tf * (1.2 + 1)) /
+      |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      |  FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+      |), agg AS (
+      |  SELECT qid, doc_id, round(SUM(s), 6) AS score FROM s GROUP BY qid, doc_id
+      |), r AS (
+      |  SELECT qid, doc_id, score,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM agg
+      |)
+      |SELECT qid, CAST(rnk AS BIGINT) AS rank, doc_id, score
+      |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin
+
   /** q72_unigram_logprob — the CCNet/KenLM-shaped LM-quality stage of a
     * curation pipeline (round 7): a unigram language model is "trained" on
     * the corpus itself (token frequencies — the degenerate but fully

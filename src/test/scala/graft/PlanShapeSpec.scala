@@ -226,6 +226,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"selection is a filter, not a rank;\n$p")
   }
 
+  test("q95 bm25: broadcast query cut + heap top-k — the only window is the 12-row qid assignment") {
+    val p = plan(graft.operators.TextAnalysis.bm25Rank(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"scoring must stay token/id equi-joins;\n$p")
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 1,
+      s"only the 1-row corpus-stats broadcast may nested-loop;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 12-row query-term table must broadcast into the tf stream;\n$p")
+    // ranking is the bounded-heap aggregate, NOT row_number over every
+    // scored doc; the one Window allowed is the qid assignment on the
+    // 12-row limited query table
+    assert("Window".r.findAllIn(p).length <= 1,
+      s"per-query ranking must stay the heap aggregate, not a corpus window;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the query derivation must be orderBy+limit, not a global sort;\n$p")
+  }
+
   test("q71 greedy decode is scan-local: the only exchange is the presentation sort") {
     val p = plan(graft.operators.TensorOps.greedyDecode(spark, TestSpark.Sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),

@@ -173,6 +173,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"hand-computed span removal must match; got $out")
   }
 
+  test("q95 bm25 matches a brute-force reference ranking on the fixture corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    // brute-force BM25 from the operator's own tokenization
+    val toks = docs.select(col("doc_id"), graft.operators.TextPipeline.tokenArr(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().filter(_._2.nonEmpty)
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length).sum.toDouble / n
+    val dfm = toks.flatMap { case (_, t) => t.distinct }.groupBy(identity)
+      .map { case (k, v) => k -> v.length }
+    val top12 = dfm.toSeq.filter(_._1.matches("[A-Za-z]{3,}"))
+      .sortBy { case (tok, df) => (-df, tok) }.take(12)
+    val queries = top12.zipWithIndex.groupBy(_._2 / 3)
+      .map { case (qid, ts) => qid.toLong -> ts.map(_._1) }
+    val expected = queries.toSeq.flatMap { case (qid, terms) =>
+      val scores = toks.flatMap { case (id, t) =>
+        val tfm = t.groupBy(identity).map { case (k, v) => k -> v.length }
+        val hit = terms.exists { case (tok, _) => tfm.contains(tok) }
+        val s = terms.collect { case (tok, df) if tfm.contains(tok) =>
+          math.log((n - df + 0.5) / (df + 0.5) + 1) * (tfm(tok) * 2.2) /
+            (tfm(tok) + 1.2 * (0.25 + 0.75 * t.length / avgdl))
+        }.sum
+        // HALF_UP: Spark SQL round()'s mode
+        if (hit) Some((id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)) else None
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => (qid, (i + 1).toLong, id, s) }
+    }.toSet
+    val got = TextAnalysis.bm25Rank(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.size == 40, s"4 queries x top-10 expected, got ${got.size}")
+    assert(got == expected,
+      s"diff: spark-only=${(got -- expected).toSeq.sortBy(r => (r._1, r._2))}, " +
+        s"ref-only=${(expected -- got).toSeq.sortBy(r => (r._1, r._2))}")
+  }
+
   test("dup-span removal is exact on a long, heavily-duplicated document") {
     import spark.implicits._
     // Exercise the gap-slice rebuild at length: one 600-token doc built
