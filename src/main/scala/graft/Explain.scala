@@ -28,7 +28,8 @@ object Explain {
                          "q88_temperature_resample", "q89_length_buckets",
                          "q90_winnow_fingerprint", "q91_winnow_matches",
                          "q92_curation_pipeline", "q93_dup_span_remove",
-                         "q94_importance_select", "q95_bm25_rank")
+                         "q94_importance_select", "q95_bm25_rank",
+                         "q96_hybrid_rrf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

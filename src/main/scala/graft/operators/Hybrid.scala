@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q96_hybrid_rrf — HYBRID RETRIEVAL with Reciprocal Rank Fusion: the
+  * fusion layer that joins the engine's lexical half (q95 BM25,
+  * [[TextAnalysis.bm25RankOf]]) with its vector half (q01-family cosine
+  * top-k, [[Knn.topK]]) into one ranked answer — the complete hybrid
+  * search a user of the reference's vector-only `client.search`
+  * (reference: vector_db_query.py:78-86) upgrades to when lexical
+  * precision matters. RRF (Cormack et al., SIGIR'09) is the standard
+  * score-free fusion: `rrf(d) = Σ_lists 1/(k0 + rank_list(d))` with
+  * k0 = [[RrfK0]] = 60, immune to the two scorers' incomparable scales.
+  *
+  * Both halves run over the SAME corpus (`documents`) and the SAME
+  * deterministic query workload ([[TextAnalysis.bm25QueryTableOf]]: 4
+  * three-term queries from the 12 highest-df alphabetic terms). The
+  * lexical list is q95's BM25 top-10; the vector list embeds each query's
+  * term text AND every document through the oracle-checkable md5
+  * char-trigram count encoder ([[Embed.md5CountEncoder]], dim 16 — q41's
+  * pinned socket) and takes exact cosine top-10 via the broadcast-query
+  * bounded-heap [[Knn.topK]]. Fusion: full-outer join of the two ≤ q×10
+  * rank lists, `rrf` rounded 6 dp BEFORE ranking (rank on the rounded
+  * value, ties to the smaller doc_id — the q95 discipline), top-10 per
+  * query with both source ranks carried (null where one half missed).
+  *
+  * 100 TB shape: each half is independently scale-audited (q95: two hash
+  * aggregates + broadcast query cut + bounded heap; vector: one encoder
+  * scan + broadcast queries + bounded heap — corpus text/vectors never
+  * shuffle). The fusion layer itself touches only the two rank lists —
+  * queries × k rows each — so the full-outer join and the final
+  * row_number window are QUERY-scale, never corpus-scale; at production
+  * the per-half top lists are exactly what an index serving tier emits,
+  * and this is the reduce step over them. The query workload is derived
+  * once here and shared by both halves (one definition, no drift); a
+  * production run would persist it as an artifact (the q54 pattern)
+  * instead of re-deriving per half.
+  */
+object Hybrid {
+
+  /** RRF smoothing constant (Cormack et al.'s k = 60). */
+  val RrfK0 = 60
+
+  /** Docs returned per query by each half and by the fused list. */
+  val HybridTopK = 10
+
+  /** Encoder dim for the vector half — pinned with q41's oracle bucket
+    * arithmetic (`% 16`).
+    */
+  val HybridDim = 16
+
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame =
+    hybridRrfOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q96 for ANY (doc_id, text, …) corpus. */
+  def hybridRrfOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE workload derivation feeds both halves: cached because two
+    // consumers (the lexical ranker's term cut, the vector half's query
+    // text) would otherwise each re-run the corpus-scale df aggregate
+    // underneath it — the q92 multiply-consumed-stage discipline; the
+    // cached table is 12 rows
+    val qtab = TextAnalysis.bm25QueryTableOf(docs).cache()
+    // lexical half: q95's BM25 top-10 per query
+    val lex = TextAnalysis.bm25RankWith(docs, qtab)
+      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+    // query text for the vector half: the 3 terms in rn order, joined by
+    // a single space — a 12-row aggregate
+    val qtext = qtab
+      .groupBy(col("qid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("token")))),
+          s => s.getField("token")), " ").as("qtext"))
+    // vector half: both sides through the same per-partition-init encoder
+    // socket; corpus embeddings stream scan-side, queries broadcast
+    val qvecs = Embed.embedColumn[String](
+      qtext, "qtext", "qvec", Embed.md5CountEncoder(HybridDim))
+      .select(col("qid"), col("qvec"))
+    val dvecs = Embed.embedColumn[String](
+      docs.select(col("doc_id"), col("text")), "text", "emb",
+      Embed.md5CountEncoder(HybridDim))
+      .select(col("doc_id").as("vec_id"), col("emb").as("embedding"))
+    val vec = Knn.topK(qvecs, dvecs, HybridTopK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+    // fusion: query-scale only (≤ queries × 2k rows) — the window here is
+    // deliberate and safe, unlike a corpus-scale window
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK0) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK0) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q95's lexical CTEs + q41's encoder CTEs (dim 16) over docs AND query
+    * strings + cosine top-10 + the RRF full-outer fusion.
+    */
+  val q96OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+      |), dl AS (
+      |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(AVG(dl) AS DOUBLE) AS avgdl FROM dl
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), qt AS (
+      |  SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rn
+      |  FROM df WHERE regexp_full_match(token, '[A-Za-z]{3,}')
+      |  ORDER BY df DESC, token LIMIT 12
+      |), q AS (
+      |  SELECT CAST((rn - 1) // 3 AS BIGINT) AS qid, rn, token, df FROM qt
+      |), s AS (
+      |  SELECT q.qid, tf.doc_id,
+      |         ln((stats.n - q.df + 0.5) / (q.df + 0.5) + 1) *
+      |         (tf.tf * (1.2 + 1)) /
+      |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      |  FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+      |), agg AS (
+      |  SELECT qid, doc_id, round(SUM(s), 6) AS score FROM s GROUP BY qid, doc_id
+      |), lexr AS (
+      |  SELECT qid, doc_id, rnk FROM (
+      |    SELECT qid, doc_id,
+      |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |    FROM agg)
+      |  WHERE rnk <= 10
+      |), qtext AS (
+      |  SELECT qid, string_agg(token, ' ' ORDER BY rn) AS qtext FROM q GROUP BY qid
+      |), enc_ds AS (
+      |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+      |), enc_dtri AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+      |           i -> substring(s, CAST(i AS INT), 3))) AS t
+      |  FROM enc_ds
+      |), enc_db AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT % 16 AS BIGINT) AS bucket
+      |  FROM enc_dtri
+      |), enc_dc AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS n FROM enc_db GROUP BY doc_id, bucket
+      |), enc_dgrid AS (
+      |  SELECT d.doc_id, r.range AS bucket
+      |  FROM (SELECT doc_id FROM documents) d CROSS JOIN range(16) r
+      |), dvec AS (
+      |  SELECT g.doc_id, list(CAST(COALESCE(c.n, 0) AS DOUBLE) ORDER BY g.bucket) AS vec
+      |  FROM enc_dgrid g LEFT JOIN enc_dc c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
+      |  GROUP BY g.doc_id
+      |), enc_qs AS (
+      |  SELECT qid, ' ' || lower(qtext) || ' ' AS s FROM qtext
+      |), enc_qtri AS (
+      |  SELECT qid, unnest(list_transform(range(1, len(s) - 1),
+      |           i -> substring(s, CAST(i AS INT), 3))) AS t
+      |  FROM enc_qs
+      |), enc_qb AS (
+      |  SELECT qid, CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT % 16 AS BIGINT) AS bucket
+      |  FROM enc_qtri
+      |), enc_qc AS (
+      |  SELECT qid, bucket, COUNT(*) AS n FROM enc_qb GROUP BY qid, bucket
+      |), enc_qgrid AS (
+      |  SELECT q.qid, r.range AS bucket
+      |  FROM (SELECT DISTINCT qid FROM qtext) q CROSS JOIN range(16) r
+      |), qvec AS (
+      |  SELECT g.qid, list(CAST(COALESCE(c.n, 0) AS DOUBLE) ORDER BY g.bucket) AS vec
+      |  FROM enc_qgrid g LEFT JOIN enc_qc c ON c.qid = g.qid AND c.bucket = g.bucket
+      |  GROUP BY g.qid
+      |), cos AS (
+      |  SELECT q.qid, d.doc_id,
+      |         round(CASE WHEN sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)) = 0
+      |               THEN 0.0
+      |               ELSE list_dot_product(q.vec, d.vec)
+      |                    / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec))) END, 6) AS score
+      |  FROM qvec q CROSS JOIN dvec d
+      |), vecr AS (
+      |  SELECT qid, doc_id, rnk FROM (
+      |    SELECT qid, doc_id,
+      |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |    FROM cos)
+      |  WHERE rnk <= 10
+      |), fused AS (
+      |  SELECT COALESCE(l.qid, v.qid) AS qid,
+      |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |         l.rnk AS lex_rank, v.rnk AS vec_rank,
+      |         round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rnk), 0) +
+      |               COALESCE(CAST(1 AS DOUBLE) / (60 + v.rnk), 0), 6) AS rrf
+      |  FROM lexr l FULL OUTER JOIN vecr v ON l.qid = v.qid AND l.doc_id = v.doc_id
+      |)
+      |SELECT qid, rank, doc_id, rrf, lex_rank, vec_rank
+      |FROM (
+      |  SELECT qid, doc_id, rrf,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+      |         CAST(lex_rank AS BIGINT) AS lex_rank, CAST(vec_rank AS BIGINT) AS vec_rank
+      |  FROM fused)
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+}

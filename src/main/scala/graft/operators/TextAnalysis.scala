@@ -515,9 +515,39 @@ object TextAnalysis {
   def bm25Rank(spark: SparkSession, sfDir: String): DataFrame =
     bm25RankOf(Tables.documents(spark, sfDir))
 
-  /** Composable core of q95 for ANY (doc_id, text, …) corpus. */
-  def bm25RankOf(docs: DataFrame): DataFrame = {
+  /** The deterministic q95/q96 query workload over ANY (doc_id, text, …)
+    * corpus: the 12 highest-document-frequency alphabetic terms (df desc,
+    * token asc) grouped 3-per-query → `(qid, rn, token, df)`. The
+    * orderBy+limit is a bounded TakeOrderedAndProject on the vocab-scale
+    * df table; the rn window runs over 12 rows. Factored out so the BM25
+    * ranker (q95) and the hybrid fusion (q96) can never drift on what
+    * "the queries" are.
+    */
+  def bm25QueryTableOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"), explode(tokenArr(col("text"))).as("token"))
+    val dfTab = terms.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val top12 = dfTab.filter(col("token").rlike("^[A-Za-z]{3,}$"))
+      .orderBy(col("df").desc, col("token").asc).limit(12)
+    top12
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)))
+      .select(expr("CAST((rn - 1) div 3 AS BIGINT)").as("qid"),
+        col("rn"), col("token"), col("df"))
+  }
+
+  /** Composable core of q95 for ANY (doc_id, text, …) corpus. */
+  def bm25RankOf(docs: DataFrame): DataFrame =
+    bm25RankWith(docs, bm25QueryTableOf(docs))
+
+  /** q95's ranker against a PRE-DERIVED query workload (the
+    * [[bm25QueryTableOf]] shape `(qid, rn, token, df)`): q96 derives the
+    * workload once and feeds both halves through this, so the fused run
+    * does not re-derive it per half.
+    */
+  def bm25RankWith(docs: DataFrame, queryTable: DataFrame): DataFrame = {
     val terms = docs
       .select(col("doc_id"), explode(tokenArr(col("text"))).as("token"))
     val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -525,16 +555,7 @@ object TextAnalysis {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).cast("double").as("avgdl"))
-    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // deterministic workload: top-12 alphabetic terms by (df desc, token),
-    // 3 terms per query — orderBy+limit is a bounded TakeOrderedAndProject
-    // on the vocab-scale df table, then a 12-row window assigns qids
-    val top12 = dfTab.filter(col("token").rlike("^[A-Za-z]{3,}$"))
-      .orderBy(col("df").desc, col("token").asc).limit(12)
-    val qtab = top12
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("df").desc, col("token").asc)))
-      .select(expr("CAST((rn - 1) div 3 AS BIGINT)").as("qid"), col("token"), col("df"))
+    val qtab = queryTable.select(col("qid"), col("token"), col("df"))
     val perTerm = tf
       .join(broadcast(qtab), Seq("token"))
       .join(dl, Seq("doc_id"))

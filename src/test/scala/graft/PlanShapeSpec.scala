@@ -243,6 +243,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the query derivation must be orderBy+limit, not a global sort;\n$p")
   }
 
+  test("q96 hybrid rrf: both halves keep their audited shapes; fusion adds only query-scale work") {
+    val p = plan(graft.operators.Hybrid.hybridRrf(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded cartesian anywhere in the fused plan;\n$p")
+    // allowed nested-loops: the 1-row BM25 stats broadcast + the 4-row
+    // query-vector broadcast into the corpus embedding scan (Knn.topK)
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 2,
+      s"only the stats and query-vector broadcasts may nested-loop;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-term table must broadcast into the tf stream;\n$p")
+    // the shared 12-row workload table must be cache-reused by both
+    // halves, not re-derived per consumer
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"both halves must read the cached workload table;\n$p")
+    // allowed windows: the query-scale (<= queries x 2k rows) fusion
+    // ranking + the 12-row qid assignment, which prints once per cached
+    // scan — never a corpus window. (`Window \[` excludes
+    // WindowGroupLimit, the pushed-down rank<=k pre-filter)
+    assert("Window \\[".r.findAllIn(p).length <= 3,
+      s"fusion may rank only the joined top lists;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the query derivation must stay orderBy+limit;\n$p")
+  }
+
   test("q71 greedy decode is scan-local: the only exchange is the presentation sort") {
     val p = plan(graft.operators.TensorOps.greedyDecode(spark, TestSpark.Sf0001))
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),
