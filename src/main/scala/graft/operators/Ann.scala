@@ -189,4 +189,81 @@ object Ann {
       |      FROM scored)
       |WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
+
+  /** Neighbors kept by [[hammingTopk]]. */
+  val HammingK = 5
+
+  /** q99_hamming_topk — BINARY-quantized similarity search: each embedding
+    * collapses to its sign-bit code (bit i set iff component i > 0 — the
+    * [[IvfIndex.buildSignBit]] orthant rule, here at full width) packed
+    * into ONE long, and search ranks by Hamming distance via xor+popcount.
+    * This completes the quantization family the reference's float-only
+    * store motivates (reference: vector_db.py:20-24 stores full float
+    * vectors): float (q01) → int8 scalar (q49) → PQ/ADC (q57) → 1 bit per
+    * dimension here — 8 bytes per vector instead of 256, the
+    * memory-bandwidth regime binary embedding search runs at.
+    *
+    * 100 TB: the pack is scan-local column work; the packed corpus is
+    * 32× smaller than the float scan, the score is one xor+popcount per
+    * pair (no float math at all), and the reduction is the same
+    * bounded-heap TopK as q01 — corpus never shuffles, queries broadcast.
+    * Ties on distance break to the smaller vec_id.
+    */
+  def hammingTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    hammingTopkOf(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb.select(col("vec_id"), col("embedding")), HammingK)
+  }
+
+  /** Sign-bit pack of up to the first 64 components: bit i ⇔ component
+    * i > 0. `try_element_at` makes the pack total for dims < 64 (absent
+    * positions pack as 0 on every row, so they never differ).
+    */
+  private[graft] def signBitsPacked(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 64).map(i =>
+      when(try_element_at(c, lit(i + 1)) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Composable core: `queries` = (qid, qvec), `corpus` = (vec_id,
+    * embedding); both sides pack scan-side, score = bit_count(xor).
+    */
+  def hammingTopkOf(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("qid"), signBitsPacked(col("qvec")).as("qbits"))
+    val c = corpus.select(col("vec_id"), signBitsPacked(col("embedding")).as("bits"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("id"),
+        bit_count(col("bits").bitwiseXOR(col("qbits"))).cast("long").as("hamming"))
+    // the bounded heap orders (score desc, id asc): negated distance gives
+    // (hamming asc, vec_id asc) — the same ≤ q × partitions × k movement
+    val tk = TopK.topKUdaf(k)
+    scored
+      .groupBy(col("qid"))
+      .agg(tk(col("id"), -col("hamming").cast("double")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .toDF("qid", "pos", "s")
+      .select(col("qid"), col("s.id").as("vec_id"),
+        (-col("s.score")).cast("long").as("hamming"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q99OracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id, embedding AS ce FROM embeddings
+      |), s AS (
+      |  SELECT q.qid, c.vec_id,
+      |         (SELECT count(*) FROM (SELECT unnest(q.qe) AS qx, unnest(c.ce) AS cx) u
+      |          WHERE (u.qx > 0) <> (u.cx > 0)) AS hamming
+      |  FROM q CROSS JOIN c
+      |)
+      |SELECT qid, vec_id, CAST(hamming AS BIGINT) AS hamming, rank
+      |FROM (SELECT qid, vec_id, hamming,
+      |             row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rank
+      |      FROM s)
+      |WHERE rank <= $HammingK
+      |ORDER BY qid, rank""".stripMargin
 }

@@ -32,9 +32,23 @@ import graft.Tables
   * corpus-scale work is the exact pass's fingerprint aggregate (MinHash
   * sees one row per DISTINCT sentence); decontamination broadcast-joins
   * the benchmark gram set; selection broadcasts per-lang cuts back to the
-  * scan; packing windows within (lang, shard). Stage boundaries are where
-  * a production run would checkpoint to parquet — the fuzzy stage's
-  * localCheckpoint stands in for exactly that write.
+  * scan; packing windows within (lang, shard).
+  *
+  * Boundary placement is MEASURED, not assumed (round-11 boundary study,
+  * CurationBoundaryBench → BASELINE.md): (a) the fuzzy stage's internal
+  * caches and the decon cache pay at every scale factor — without any
+  * boundaries, the one-lazy-plan form recomputes the sentence machinery
+  * per consumer (ReusedExchange covers only identical shuffle subtrees,
+  * not their post-shuffle tails) and loses at BOTH sf0.1 (20.9 vs 9.5 s)
+  * and sf1 (27.6 vs 21.1 s); (b) the round-10 post-record survivors cache
+  * is the opposite — it saves ~1 s at sf0.1 but COSTS ×2.4 at sf1 (50.4
+  * vs 21.1 s median): a text-bearing corpus-scale frame whose cache
+  * build/storage grows linearly while the recompute it avoids is one
+  * scan-local clean pass over an exchange-reused shuffle. The declared
+  * row therefore keeps the stage boundaries but NOT the survivors cache
+  * ([[curationCheckpointedOf]] with `cacheSurvivors = false`); at 100 TB
+  * each kept boundary is a parquet checkpoint write and the dropped one
+  * is exactly the frame a production run would NOT persist.
   */
 object Curation {
 
@@ -42,32 +56,16 @@ object Curation {
     curationPipelineOf(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text")))
 
-  /** Composable end-to-end core for ANY (doc_id, lang, text) corpus. */
-  def curationPipelineOf(docs: DataFrame): DataFrame = {
-    // stage-2 survivors feed the fuzzy pass, the lang join, and (through
-    // `rebuilt`) both decontamination consumers — cache them or the
-    // exact-dedup fingerprint shuffle re-runs once per consumer; same for
-    // the four-consumer decontaminated frame below (q70's cache pattern;
-    // at 100 TB each boundary is a parquet checkpoint and the cache is
-    // that write's scan)
-    val survivors = dedupedClean(docs).cache()
-    try {
-      // stage 3 — FUZZY SENTENCE DEDUP (q70 core): exact first-occurrence
-      // pass + MinHash/LSH domination over distinct sentences, docs rebuilt
-      val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
-        .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
-      val decon = deconOf(docs, rebuilt).cache()
-      // stages 5-6, materialized while the stage caches are alive
-      try selectAndPack(decon).localCheckpoint(true)
-      finally decon.unpersist()
-    } finally survivors.unpersist()
-  }
+  /** Composable end-to-end core for ANY (doc_id, lang, text) corpus — the
+    * measured-fastest boundary placement (see object scaladoc).
+    */
+  def curationPipelineOf(docs: DataFrame): DataFrame =
+    curationCheckpointedOf(docs, cacheSurvivors = false)
 
-  /** The SAME stage chain, lazily composed (no cache, no checkpoint, the
-    * fuzzy stage's lazy plan body) — package-private so PlanShapeSpec pins
-    * the composition's REAL physical shape, which the public API's
-    * materialization boundaries would hide behind RDD scans.
+  /** The whole chain as ONE lazy plan (no cache, no checkpoint) —
+    * package-private so PlanShapeSpec pins the composition's REAL physical
+    * shape, which the public API's materialization boundaries would hide
+    * behind RDD scans; also the boundary study's no-boundaries arm.
     */
   private[graft] def curationPlanOf(docs: DataFrame): DataFrame = {
     val survivors = dedupedClean(docs)
@@ -76,6 +74,27 @@ object Curation {
       .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
     selectAndPack(deconOf(docs, rebuilt))
+  }
+
+  /** The stage chain with explicit materialization boundaries: the
+    * decontaminated frame cached across its consumers, the final pack plan
+    * eagerly localCheckpoint'ed, and optionally (`cacheSurvivors`) the
+    * stage-2 survivors frame cached too — the round-10 shape, kept as the
+    * boundary study's measured arm and NOT the default (see object
+    * scaladoc). All forms are row-identical (spec-pinned).
+    */
+  def curationCheckpointedOf(docs: DataFrame,
+                             cacheSurvivors: Boolean = true): DataFrame = {
+    val survivors0 = dedupedClean(docs)
+    val survivors = if (cacheSurvivors) survivors0.cache() else survivors0
+    try {
+      val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
+        .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
+      val decon = deconOf(docs, rebuilt).cache()
+      try selectAndPack(decon).localCheckpoint(true)
+      finally decon.unpersist()
+    } finally if (cacheSurvivors) survivors.unpersist()
   }
 
   /** Stages 1-2: plant dirt + copies, clean, keep exact-dedup survivors. */

@@ -1,15 +1,16 @@
 package graft.operators
 
-/** Measures what q92's stage-boundary materialization (survivors cache +
-  * decon cache + final localCheckpoint) costs or saves vs the same chain
-  * as ONE lazy plan (`runMain graft.operators.CurationBoundaryBench
-  * <sfDir> [samples]`): the boundaries model a production run's parquet
-  * checkpoints and pay for themselves when the shared stages (the exact-
-  * dedup fingerprint shuffle, the decontaminated frame) are each consumed
-  * several times — but the cached frames carry full document TEXT, so at
-  * larger scale factors the storage/serialization cost of the boundary
-  * itself grows linearly while the recompute it avoids may be cheaper
-  * scan-local work. This main produces the evidence at any sfDir.
+/** Measures q92's boundary-placement alternatives (`runMain
+  * graft.operators.CurationBoundaryBench <sfDir> [samples]`): full
+  * boundaries with the survivors cache (round-10 post-record shape), the
+  * declared form without it, and the whole chain as one lazy plan.
+  * Round-11 medians — sf0.1: 8.6 / 9.5 / 20.9 s; sf1: 50.4 / 21.1 /
+  * 27.6 s. Reading: the fuzzy/decon boundaries pay everywhere (lazy
+  * recomputes the sentence machinery per consumer — ReusedExchange covers
+  * identical shuffle subtrees, not their post-shuffle tails), while the
+  * survivors cache is a text-bearing corpus-scale frame whose storage
+  * cost grows linearly and overtakes its saved recompute by sf1. Evidence
+  * behind the BASELINE.md round-11 boundary study.
   */
 object CurationBoundaryBench {
   def main(args: Array[String]): Unit = {
@@ -29,9 +30,13 @@ object CurationBoundaryBench {
         val t = timed(force(mk()))
         spark.catalog.clearCache(); t
       }.sorted
-      println(f"""{"curation_variant":"$label","sec":${times(times.length / 2)}%.3f}""")
+      // all samples printed: the per-sample spread IS part of the evidence
+      // (JIT/codegen warmin and AQE re-plans show up as a fat first sample)
+      println(f"""{"curation_variant":"$label","sec":${times(times.length / 2)}%.3f,""" +
+        s""""samples":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     }
-    run("boundaries", () => Curation.curationPipelineOf(docs))
+    run("boundaries_surv_cache", () => Curation.curationCheckpointedOf(docs))
+    run("declared_no_surv_cache", () => Curation.curationPipelineOf(docs))
     run("lazy_one_plan", () => Curation.curationPlanOf(docs))
     spark.stop()
   }

@@ -36,4 +36,34 @@ class AnnSpec extends AnyFunSuite {
     assert(r.nonEmpty)
     r.foreach { case (_, probe, vid) => assert(labels(vid) == probe) }
   }
+
+  test("q99: packed xor+popcount Hamming equals the per-position sign diff count") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val out = Ann.hammingTopk(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length == 10)
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }.toLong
+    out.foreach { case (qid, vid, h, _) => assert(h == ham(emb(qid), emb(vid))) }
+    // rank 1 is the query itself at distance 0 (its own sign pattern)
+    out.filter(_._4 == 1L).foreach { case (qid, vid, h, _) =>
+      assert(vid == qid && h == 0L) }
+    // ranks are ascending in distance within each query
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4).map(_._3).toSeq
+      assert(sorted == sorted.sorted)
+    }
+  }
+
+  test("q99: pack is total for dims shorter than 64 (absent positions never differ)") {
+    import spark.implicits._
+    val queries = Seq((0L, Array(1f, -1f))).toDF("qid", "qvec")
+    val corpus = Seq((0L, Array(1f, -1f)), (1L, Array(1f, 1f)), (2L, Array(-1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.hammingTopkOf(queries, corpus, 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 0L, 0L, 1L), (0L, 1L, 1L, 2L), (0L, 2L, 2L, 3L)))
+  }
 }

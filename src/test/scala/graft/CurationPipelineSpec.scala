@@ -245,5 +245,18 @@ class CurationPipelineSpec extends AnyFunSuite {
         prefix += r.getLong(3)
       }
     }
+
+    // every boundary placement must be ROW-IDENTICAL to the declared form
+    // — the boundary study's speed comparison is only meaningful because
+    // all three arms compute the same result
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    val declared = out.map(key).sorted.toSeq
+    val viaSurvCache = Curation.curationCheckpointedOf(
+      rows.toDF("doc_id", "lang", "text")).collect()
+    assert(viaSurvCache.map(key).sorted.toSeq == declared,
+      "the survivors-cache form must equal the declared form row-for-row")
+    val viaLazy = Curation.curationPlanOf(rows.toDF("doc_id", "lang", "text")).collect()
+    assert(viaLazy.map(key).sorted.toSeq == declared,
+      "the one-lazy-plan form must equal the declared form row-for-row")
   }
 }

@@ -374,4 +374,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"the side gate is scan-local — no window;\n$p")
   }
+
+  test("q97 knn-classify: heap top-k + broadcast label probe; only the vote window") {
+    val p = plan(graft.operators.Classify.knnClassify(spark, TestSpark.Sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      s"neighbor ranking must stay the bounded-heap aggregate;\n$p")
+    // exactly one nested-loop: the query-vector broadcast into the corpus
+    // scan; the label lookup must be a broadcast HASH join (rank list
+    // broadcast against the label scan), never a shuffle
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 1,
+      s"only the query broadcast may nested-loop;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rank-list label probe must broadcast-hash-join;\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-side shuffle join anywhere;\n$p")
+    // the vote window partitions by qid over query-scale rows — allowed once
+    assert("Window \\[".r.findAllIn(p).length <= 1,
+      s"only the per-qid vote ranking may window;\n$p")
+  }
+
+  test("q98 triplet mining: one scoring pass, one aggregate — no window, no second scan") {
+    val p = plan(graft.operators.Classify.tripletMining(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"both triplet ends come from the conditional max_by pair, not windows;\n$p")
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 1,
+      s"only the anchor broadcast may nested-loop;\n$p")
+    // one corpus scan: embeddings is read for the scored pass and the
+    // broadcast anchor side only (2 file scans total)
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"the corpus must be scanned once per side, not per triplet end;\n$p")
+  }
+
+  test("q99 hamming top-k: scan-local pack + heap; no float math joins, no window") {
+    val p = plan(graft.operators.Ann.hammingTopk(spark, TestSpark.Sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      s"distance ranking must stay the bounded-heap aggregate;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no window in the binary search path;\n$p")
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 1,
+      s"only the packed-query broadcast may nested-loop;\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the packed corpus must never shuffle;\n$p")
+  }
 }
