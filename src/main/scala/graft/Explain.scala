@@ -30,7 +30,8 @@ object Explain {
                          "q92_curation_pipeline", "q93_dup_span_remove",
                          "q94_importance_select", "q95_bm25_rank",
                          "q96_hybrid_rrf", "q97_knn_classify",
-                         "q98_triplet_mining", "q99_hamming_topk")
+                         "q98_triplet_mining", "q99_hamming_topk",
+                         "q100_hamming_rerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -249,6 +249,91 @@ object Ann {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Shortlist width of [[hammingRerank]]: the binary stage keeps the
+    * `RerankM` Hamming-nearest, the float stage reranks those exactly.
+    */
+  val RerankM = 50
+
+  /** Neighbors kept after the rerank. */
+  val RerankK = 5
+
+  /** q100_hamming_rerank — the production TWO-STAGE binary search: q99's
+    * sign-bit Hamming scan produces a shortlist of `RerankM` candidates
+    * per query, then ONLY those fetch their float vectors and rerank by
+    * exact cosine (6 dp, ties to smaller vec_id) down to `RerankK`. This
+    * is how binary quantization is actually deployed (shortlist cheap,
+    * rerank exact — the q57 ADC+rerank discipline at 1 bit/dim): the
+    * float corpus is read but never scored in full.
+    *
+    * 100 TB: stage 1 is q99's shape (packed scan, no float math, heap
+    * shortlist); stage 2 broadcasts the ≤ queries×m id list back against
+    * the embedding scan (no corpus shuffle) and scores queries×m pairs;
+    * the final ranking is a window over query-scale rows (≤ queries×m).
+    * Output schema matches q01, so recall-vs-exact is a direct row
+    * comparison (HammingRecallBench records it).
+    */
+  def hammingRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    hammingRerankOf(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb.select(col("vec_id"), col("embedding")), RerankM, RerankK)
+  }
+
+  def hammingRerankOf(queries: DataFrame, corpus: DataFrame,
+                      m: Int, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val shortlist = hammingTopkOf(queries, corpus, m)
+      .select(col("qid"), col("vec_id"))
+    // stage 2: the ≤ queries×m shortlist broadcasts against the embedding
+    // scan — only shortlisted vectors leave the scan, the corpus never
+    // shuffles; then the scored frame is query-scale
+    val fetched = corpus
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    fetched
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q100OracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe, embedding::DOUBLE[] AS qvec
+      |  FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id, embedding AS ce, embedding::DOUBLE[] AS vec FROM embeddings
+      |), h AS (
+      |  SELECT q.qid, c.vec_id,
+      |         (SELECT count(*) FROM (SELECT unnest(q.qe) AS qx, unnest(c.ce) AS cx) u
+      |          WHERE (u.qx > 0) <> (u.cx > 0)) AS hamming
+      |  FROM q CROSS JOIN c
+      |), short AS (
+      |  SELECT qid, vec_id
+      |  FROM (SELECT qid, vec_id,
+      |               row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS hrank
+      |        FROM h)
+      |  WHERE hrank <= $RerankM
+      |), scored AS (
+      |  SELECT s.qid, s.vec_id,
+      |         round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec)) = 0
+      |               THEN 0.0
+      |               ELSE list_dot_product(q.qvec, c.vec)
+      |                    / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec))) END, 6) AS score
+      |  FROM short s JOIN q ON q.qid = s.qid JOIN c ON c.vec_id = s.vec_id
+      |)
+      |SELECT qid, vec_id, score, rank
+      |FROM (SELECT qid, vec_id, score,
+      |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      |      FROM scored)
+      |WHERE rank <= $RerankK
+      |ORDER BY qid, rank""".stripMargin
+
   val q99OracleSql: String =
     s"""WITH q AS (
       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10

@@ -66,4 +66,28 @@ class AnnSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq((0L, 0L, 0L, 1L), (0L, 1L, 1L, 2L), (0L, 2L, 2L, 3L)))
   }
+
+  test("q100: a full-width shortlist makes the rerank EXACTLY the float top-k") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id", $"embedding")
+    val n = corpus.count().toInt
+    // shortlist = whole corpus → stage 2 IS brute-force cosine: rows must
+    // match Knn.topK exactly (same rounding, same tie-break)
+    val viaRerank = Ann.hammingRerankOf(queries, corpus, n, 5)
+      .select($"qid", $"vec_id", $"score", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val viaExact = graft.operators.Knn.topK(queries, corpus, 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    assert(viaRerank == viaExact)
+    // and the declared m=50 shortlist keeps every rerank row inside its
+    // own Hamming shortlist
+    val short = Ann.hammingTopkOf(queries, corpus, Ann.RerankM)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val reranked = Ann.hammingRerank(spark, TestSpark.Sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+    assert(reranked.nonEmpty && reranked.forall(short.contains))
+  }
 }
