@@ -16,6 +16,10 @@ object CurationBoundaryBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val samples = if (args.length > 1) args(1).toInt else 3
+    // optional arm filter: at big scale factors the arms bias each other
+    // (each warms the JIT for the next), so a fair comparison runs each
+    // arm in its OWN identically-warmed JVM
+    val onlyArm = if (args.length > 2) Some(args(2)) else None
     val spark = graft.MainSupport.localSession()
     import graft.MainSupport.timed
     import org.apache.spark.sql.functions.col
@@ -25,7 +29,8 @@ object CurationBoundaryBench {
       df.write.mode("overwrite").format("noop").save()
     force(Curation.curationPipelineOf(docs.limit(2000))) // warmup
     spark.catalog.clearCache()
-    def run(label: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+    def run(label: String, mk: () => org.apache.spark.sql.DataFrame): Unit =
+      if (onlyArm.forall(_ == label)) {
       val times = (1 to samples).map { _ =>
         val t = timed(force(mk()))
         spark.catalog.clearCache(); t
@@ -34,7 +39,7 @@ object CurationBoundaryBench {
       // (JIT/codegen warmin and AQE re-plans show up as a fat first sample)
       println(f"""{"curation_variant":"$label","sec":${times(times.length / 2)}%.3f,""" +
         s""""samples":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
-    }
+      }
     run("boundaries_surv_cache", () => Curation.curationCheckpointedOf(docs))
     run("declared_no_surv_cache", () => Curation.curationPipelineOf(docs))
     run("lazy_one_plan", () => Curation.curationPlanOf(docs))
