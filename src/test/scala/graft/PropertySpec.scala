@@ -173,6 +173,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sign-bit pack: packed popcount-xor Hamming equals the per-position sign diff, any dim <= 64") {
+    import spark.implicits._
+    val gen = for {
+      dim <- Gen.choose(1, 64)
+      n   <- Gen.choose(2, 12)
+      vs  <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-2f, 2f)))
+    } yield vs.map(_.toArray)
+    forAllSamples(gen, 8) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val packed = df.select($"vec_id",
+          graft.operators.Ann.signBitsPacked($"embedding").as("bits"))
+        .as[(Long, Long)].collect().toMap
+      def refBits(v: Array[Float]): Long =
+        v.take(64).zipWithIndex.collect { case (x, i) if x > 0 => 1L << i }
+          .foldLeft(0L)(_ | _)
+      rows.foreach { case (id, v) =>
+        assert(packed(id) == refBits(v), s"pack mismatch for row $id dim ${v.length}")
+      }
+      for ((ida, va) <- rows; (idb, vb) <- rows if ida < idb) {
+        val ham = java.lang.Long.bitCount(packed(ida) ^ packed(idb))
+        val ref = va.zip(vb).count { case (x, y) => (x > 0) != (y > 0) }
+        assert(ham == ref, s"hamming mismatch ($ida,$idb)")
+      }
+    }
+  }
+
   /** Evaluate a deterministic block over a few scalacheck samples. */
   private def forAllSamples[A](gen: Gen[A], samples: Int)(body: A => Unit): Unit =
     (0 until samples).foreach { i =>
