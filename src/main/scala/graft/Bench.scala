@@ -181,10 +181,11 @@ object Bench {
 
   /** True median: average the two middles on an even sample count
     * (upper-middle alone would bias a 2-sample run toward the worse run).
-    * ONE definition shared by the declared-query loop and the split index
-    * timing, so the two stay methodologically identical.
+    * ONE definition shared by the declared-query loop, the split index
+    * timing, and the measurement benches (CurationBoundaryBench), so all
+    * recorded medians stay methodologically identical (ADVICE r11).
     */
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }

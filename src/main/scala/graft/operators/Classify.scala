@@ -142,7 +142,11 @@ object Classify {
 
   /** Composable core: `anchors` = (qid, qvec, anchor_label), `corpus` =
     * (vec_id, embedding, label). Self-matches excluded; ties on the
-    * 6-dp-rounded score break to the smaller vec_id on both ends.
+    * 6-dp-rounded score break to the smaller vec_id on both ends. EVERY
+    * anchor returns a row (the oracle's LEFT-JOIN-from-anchors semantics,
+    * ADVICE r11): an anchor whose non-self corpus side is empty keeps null
+    * pos/neg ends instead of vanishing, so a composable caller mining a
+    * sparse corpus sees the anchor, not a silent drop.
     */
   def tripletMiningOf(anchors: DataFrame, corpus: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(anchors.sparkSession)
@@ -157,11 +161,17 @@ object Classify {
     def bestWhere(cond: org.apache.spark.sql.Column) =
       max_by(struct(col("vec_id"), col("score")),
         when(cond, struct(col("score"), (col("vec_id") * -1).as("negid"))))
-    scored
-      .groupBy(col("qid"), col("anchor_label"))
+    val best = scored
+      .groupBy(col("qid"))
       .agg(
         bestWhere(col("label") === col("anchor_label")).as("pos"),
         bestWhere(col("label") =!= col("anchor_label")).as("neg"))
+    // keep-anchor join: anchors and `best` are both query-scale, so the
+    // left join is a broadcast-hash over ≤ |anchors| rows — the grouping
+    // key stays qid alone (anchor_label is functionally dependent on it
+    // and rides back in from the anchor side)
+    anchors.select(col("qid"), col("anchor_label"))
+      .join(broadcast(best), Seq("qid"), "left")
       .select(
         col("qid"), col("anchor_label"),
         col("pos.vec_id").as("pos_id"), col("pos.score").as("pos_score"),

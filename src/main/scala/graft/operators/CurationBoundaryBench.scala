@@ -36,8 +36,10 @@ object CurationBoundaryBench {
         spark.catalog.clearCache(); t
       }.sorted
       // all samples printed: the per-sample spread IS part of the evidence
-      // (JIT/codegen warmin and AQE re-plans show up as a fat first sample)
-      println(f"""{"curation_variant":"$label","sec":${times(times.length / 2)}%.3f,""" +
+      // (JIT/codegen warmin and AQE re-plans show up as a fat first sample).
+      // The headline is graft.Bench's true median (two middles averaged on
+      // even n — ADVICE r11: the upper-middle alone biased even-n runs).
+      println(f"""{"curation_variant":"$label","sec":${graft.Bench.median(times)}%.3f,""" +
         s""""samples":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
       }
     run("boundaries_surv_cache", () => Curation.curationCheckpointedOf(docs))

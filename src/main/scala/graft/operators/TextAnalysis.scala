@@ -532,8 +532,12 @@ object TextAnalysis {
     val top12 = dfTab.filter(col("token").rlike("^[A-Za-z]{3,}$"))
       .orderBy(col("df").desc, col("token").asc).limit(12)
     top12
+      // partitionBy(lit(0)): same single-partition execution over the 12
+      // limited rows, but an explicit (constant) partition key, so Spark
+      // does not log the no-partition-defined WindowExec warning into
+      // every consumer's log (VERDICT r11 item 5)
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("df").desc, col("token").asc)))
+        Window.partitionBy(lit(0)).orderBy(col("df").desc, col("token").asc)))
       .select(expr("CAST((rn - 1) div 3 AS BIGINT)").as("qid"),
         col("rn"), col("token"), col("df"))
   }

@@ -71,6 +71,21 @@ class ClassifySpec extends AnyFunSuite {
     assert(r.isNullAt(6), "margin is null when a side is missing")
   }
 
+  test("q98: an anchor with NO non-self corpus rows keeps its row, both ends null (ADVICE r11)") {
+    // before the keep-anchor left join, filter+groupBy produced no group
+    // for such an anchor and the row silently vanished — diverging from
+    // the oracle's LEFT-JOIN-from-anchors semantics
+    val anchors = Seq((0L, vec(0), 1L)).toDF("qid", "qvec", "anchor_label")
+    val corpus = Seq((0L, vec(0), 1L))   // the anchor is the whole corpus
+      .toDF("vec_id", "embedding", "label")
+    val out = Classify.tripletMiningOf(anchors, corpus).collect()
+    assert(out.length == 1, "the anchor must survive an empty non-self corpus side")
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+      "all mined ends and the margin are null when nothing can be mined")
+  }
+
   test("q97/q98 declared rows run on the sf0.001 fixtures with sane shapes") {
     val cls = Classify.knnClassify(spark, TestSpark.Sf0001)
     val rows = cls.collect()

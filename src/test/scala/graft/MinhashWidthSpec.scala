@@ -180,4 +180,26 @@ class MinhashWidthSpec extends AnyFunSuite {
     val recalled = highJ.count(wideV.keySet)
     assert(recalled >= 58, s"64/16 must verify nearly all high-J planted pairs: $recalled of 60")
   }
+
+  test("q16 declared row IS the (NumHashes, Bands, md5) parameterization — defaults cannot drift") {
+    // The declared q16 row is oracle-checked at the 8/4 md5 width; now
+    // that width and hash family are constructor parameters, this pin
+    // asserts the declared entry point equals the explicit
+    // parameterization, so a future default change (e.g. flipping
+    // fastHash on) cannot silently move the oracle row (VERDICT r11
+    // item 7).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+    val declared = DedupExtras.minhashLshDedupOf(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    val explicit0 = DedupExtras.minhashVerifiedPairsOf(
+        docs, threshold = DedupExtras.JaccardThreshold,
+        numHashes = DedupExtras.NumHashes, bands = DedupExtras.Bands,
+        fastHash = false)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(50)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(declared == explicit0,
+      "the declared q16 row must equal minhashVerifiedPairsOf(docs, 0.5, NumHashes, Bands, fastHash=false) top-50")
+  }
 }

@@ -253,18 +253,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the stats and query-vector broadcasts may nested-loop;\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the query-term table must broadcast into the tf stream;\n$p")
-    // the shared 12-row workload table must be cache-reused by both
-    // halves, not re-derived per consumer
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
-      s"both halves must read the cached workload table;\n$p")
-    // allowed windows: the query-scale (<= queries x 2k rows) fusion
-    // ranking + the 12-row qid assignment, which prints once per cached
-    // scan — never a corpus window. (`Window \[` excludes
-    // WindowGroupLimit, the pushed-down rank<=k pre-filter)
-    assert("Window \\[".r.findAllIn(p).length <= 3,
+    // the shared 12-row workload table materializes to the driver once
+    // and replants as a local relation (VERDICT r11 item 5): both halves
+    // read in-memory rows — no cached table, no per-half re-derivation
+    assert("LocalTableScan".r.findAllIn(p).length >= 2,
+      s"both halves must read the driver-materialized workload table;\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"the workload table must not hold a cache entry (r11 leak fix);\n$p")
+    // allowed window: ONLY the query-scale (<= queries x 2k rows) fusion
+    // ranking — the 12-row qid assignment now runs in the separate
+    // workload derivation job, and never a corpus window. (`Window \[`
+    // excludes WindowGroupLimit, the pushed-down rank<=k pre-filter)
+    assert("Window \\[".r.findAllIn(p).length <= 1,
       s"fusion may rank only the joined top lists;\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"the query derivation must stay orderBy+limit;\n$p")
   }
 
   test("q71 greedy decode is scan-local: the only exchange is the presentation sort") {
@@ -393,16 +394,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the per-qid vote ranking may window;\n$p")
   }
 
-  test("q98 triplet mining: one scoring pass, one aggregate — no window, no second scan") {
+  test("q98 triplet mining: one scoring pass, one aggregate — no window, no per-end scan") {
     val p = plan(graft.operators.Classify.tripletMining(spark, TestSpark.Sf0001))
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"both triplet ends come from the conditional max_by pair, not windows;\n$p")
     assert("BroadcastNestedLoop".r.findAllIn(p).length <= 1,
       s"only the anchor broadcast may nested-loop;\n$p")
-    // one corpus scan: embeddings is read for the scored pass and the
-    // broadcast anchor side only (2 file scans total)
-    assert("Scan parquet".r.findAllIn(p).length <= 2,
+    // scans: the corpus scored pass + the broadcast anchor side + the
+    // query-scale keep-anchor side (ADVICE r11 left join) — all three are
+    // pruned scans, and the keep-side joins broadcast-hash, never shuffled
+    assert("Scan parquet".r.findAllIn(p).length <= 3,
       s"the corpus must be scanned once per side, not per triplet end;\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the keep-anchor join must stay broadcast over query-scale rows;\n$p")
   }
 
   test("q99 hamming top-k: scan-local pack + heap; no float math joins, no window") {
