@@ -142,6 +142,21 @@ object GraftFunctions {
   val NormalizeName = "graft_l2_normalize"
   val BloomAggName          = "graft_bloom_agg"
   val BloomMightContainName = "graft_bloom_might_contain"
+  val SignBitsName  = "graft_sign_bits_pack"
+  val HammingName   = "graft_hamming_dist"
+
+  /** Builder shared by the registry and the session extension: the pack
+    * width must arrive as an integer literal (it is a plan-time constant —
+    * the compiled word count — not data).
+    */
+  private[functions] def signBitsBuilder(exprs: Seq[Expression]): Expression = {
+    val dim = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$SignBitsName: dim must be an integer literal, got $other")
+    }
+    SignBitsPack(exprs(0), dim)
+  }
 
   /** Idempotently register graft expressions on a session. Checks the
     * registry first: re-registering on every operator call logs a
@@ -163,6 +178,8 @@ object GraftFunctions {
         exprs(0), exprs(1), exprs(2)))
     registerIfAbsent(spark, BloomMightContainName, exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
+    registerIfAbsent(spark, SignBitsName, signBitsBuilder)
+    registerIfAbsent(spark, HammingName, exprs => HammingDistPacked(exprs(0), exprs(1)))
   }
 
   private[functions] def registerIfAbsent(
@@ -182,6 +199,15 @@ object GraftFunctions {
     * arrays; emits array<double>).
     */
   def normalize(a: Column): Column = call_function(NormalizeName, a)
+
+  /** Multi-word sign-bit pack via the native expression: `array<long>` of
+    * ceil(dim/64) words over a float/double embedding.
+    */
+  def signBitsPack(a: Column, dim: Int): Column =
+    call_function(SignBitsName, a, org.apache.spark.sql.functions.lit(dim))
+
+  /** Summed per-word popcount-xor Hamming distance between two packs. */
+  def hammingDist(a: Column, b: Column): Column = call_function(HammingName, a, b)
 }
 
 /** Session-extension entry point for cluster deployments: registers graft's
@@ -229,6 +255,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         GraftFunctions.BloomMightContainName),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.SignBitsName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SignBitsPack].getCanonicalName, GraftFunctions.SignBitsName),
+      (exprs: Seq[Expression]) => GraftFunctions.signBitsBuilder(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.HammingName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HammingDistPacked].getCanonicalName, GraftFunctions.HammingName),
+      (exprs: Seq[Expression]) => HammingDistPacked(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.StripCosineCasts)
     e.injectOptimizerRule(_ => graft.plans.StripRedundantNormalize)
   }

@@ -173,29 +173,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("sign-bit pack: packed popcount-xor Hamming equals the per-position sign diff, any dim <= 64") {
+  test("sign-bit pack: multi-word popcount-xor Hamming equals the per-position sign diff, any dim to 2048") {
+    // r11's single-long pack capped at 64 dims (VERDICT r11 item 1); the
+    // multi-word pack must cover the reference's own regime (512-d CLIP,
+    // 2048-d ResNet — the word count just grows), so the dim generator
+    // sweeps across word boundaries: 1..64 (one word), 65..128 (two),
+    // and up to 512 (eight), including the exact boundaries.
     import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dimGen = Gen.frequency(
+      3 -> Gen.choose(1, 64), 3 -> Gen.choose(65, 128),
+      2 -> Gen.choose(129, 512),
+      2 -> Gen.oneOf(63, 64, 65, 127, 128, 129, 191, 256, 512, 2048))
     val gen = for {
-      dim <- Gen.choose(1, 64)
-      n   <- Gen.choose(2, 12)
+      dim <- dimGen
+      n   <- Gen.choose(2, 8)
       vs  <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-2f, 2f)))
     } yield vs.map(_.toArray)
-    forAllSamples(gen, 8) { vecs =>
+    def refWords(v: Array[Float], dim: Int): Vector[Long] =
+      Vector.tabulate((dim + 63) / 64) { w =>
+        (0 until 64).collect {
+          case i if w * 64 + i < v.length && v(w * 64 + i) > 0 => 1L << i
+        }.foldLeft(0L)(_ | _)
+      }
+    forAllSamples(gen, 10) { vecs =>
+      val dim = vecs.head.length
       val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       val df = rows.toDF("vec_id", "embedding")
       val packed = df.select($"vec_id",
-          graft.operators.Ann.signBitsPacked($"embedding").as("bits"))
-        .as[(Long, Long)].collect().toMap
-      def refBits(v: Array[Float]): Long =
-        v.take(64).zipWithIndex.collect { case (x, i) if x > 0 => 1L << i }
-          .foldLeft(0L)(_ | _)
+          graft.operators.Ann.signBitsPacked($"embedding", dim).as("bits"))
+        .as[(Long, Seq[Long])].collect().toMap
       rows.foreach { case (id, v) =>
-        assert(packed(id) == refBits(v), s"pack mismatch for row $id dim ${v.length}")
+        assert(packed(id).toVector == refWords(v, dim),
+          s"pack mismatch for row $id dim $dim")
       }
       for ((ida, va) <- rows; (idb, vb) <- rows if ida < idb) {
-        val ham = java.lang.Long.bitCount(packed(ida) ^ packed(idb))
+        val ham = packed(ida).zip(packed(idb))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
         val ref = va.zip(vb).count { case (x, y) => (x > 0) != (y > 0) }
-        assert(ham == ref, s"hamming mismatch ($ida,$idb)")
+        assert(ham == ref, s"hamming mismatch ($ida,$idb) at dim $dim")
+      }
+      // the packed-column distance must agree with the Scala fold above:
+      // the plan-side zip_with/aggregate is what q99/q100 actually run
+      val pairDf = df.select($"vec_id".as("a_id"),
+          graft.operators.Ann.signBitsPacked($"embedding", dim).as("abits"))
+        .crossJoin(df.select($"vec_id".as("b_id"),
+          graft.operators.Ann.signBitsPacked($"embedding", dim).as("bbits")))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          graft.operators.Ann.hammingDistPacked($"abits", $"bbits").as("h"))
+        .as[(Long, Long, Long)].collect()
+      pairDf.foreach { case (a, b, h) =>
+        val ref = rows(a.toInt)._2.zip(rows(b.toInt)._2)
+          .count { case (x, y) => (x > 0) != (y > 0) }
+        assert(h == ref, s"plan-side hamming mismatch ($a,$b) at dim $dim")
       }
     }
   }
