@@ -144,6 +144,7 @@ object GraftFunctions {
   val BloomMightContainName = "graft_bloom_might_contain"
   val SignBitsName  = "graft_sign_bits_pack"
   val HammingName   = "graft_hamming_dist"
+  val RotateHdName  = "graft_rotate_hd"
 
   /** Builder shared by the registry and the session extension: the pack
     * width must arrive as an integer literal (it is a plan-time constant —
@@ -156,6 +157,20 @@ object GraftFunctions {
         s"$SignBitsName: dim must be an integer literal, got $other")
     }
     SignBitsPack(exprs(0), dim)
+  }
+
+  /** Builder for the pinned HD rotation: (vector, dim, seed, rounds) with
+    * the last three as literals — the rotation is a plan-time constant.
+    */
+  private[functions] def rotateHdBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    (exprs(1), exprs(2), exprs(3)) match {
+      case (Literal(d: Int, IntegerType), Literal(s: Long, LongType), Literal(r: Int, IntegerType)) =>
+        RotateHd(exprs(0), d, s, r)
+      case other => throw new IllegalArgumentException(
+        s"$RotateHdName: (dim, seed, rounds) must be (int, long, int) literals, got $other")
+    }
   }
 
   /** Idempotently register graft expressions on a session. Checks the
@@ -180,6 +195,7 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
     registerIfAbsent(spark, SignBitsName, signBitsBuilder)
     registerIfAbsent(spark, HammingName, exprs => HammingDistPacked(exprs(0), exprs(1)))
+    registerIfAbsent(spark, RotateHdName, rotateHdBuilder)
   }
 
   private[functions] def registerIfAbsent(
@@ -208,6 +224,16 @@ object GraftFunctions {
 
   /** Summed per-word popcount-xor Hamming distance between two packs. */
   def hammingDist(a: Column, b: Column): Column = call_function(HammingName, a, b)
+
+  /** Pinned seeded HD rotation (±1 diagonal × Walsh–Hadamard, `rounds`
+    * blocks) over the first `dim` components, zero-padded to the next
+    * power of two; emits `array<double>` of that padded width.
+    */
+  def rotateHd(a: Column, dim: Int, seed: Long,
+               rounds: Int = RotateHd.DefaultRounds): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(RotateHdName, a, lit(dim), lit(seed), lit(rounds))
+  }
 }
 
 /** Session-extension entry point for cluster deployments: registers graft's
@@ -265,6 +291,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HammingDistPacked].getCanonicalName, GraftFunctions.HammingName),
       (exprs: Seq[Expression]) => HammingDistPacked(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.RotateHdName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RotateHd].getCanonicalName, GraftFunctions.RotateHdName),
+      (exprs: Seq[Expression]) => GraftFunctions.rotateHdBuilder(exprs)))
     e.injectOptimizerRule(_ => graft.plans.StripCosineCasts)
     e.injectOptimizerRule(_ => graft.plans.StripRedundantNormalize)
   }

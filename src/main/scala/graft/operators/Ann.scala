@@ -325,9 +325,17 @@ object Ann {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val shortlist = hammingTopkOf(queries, corpus, m, dim)
       .select(col("qid"), col("vec_id"))
-    // stage 2: the ≤ queries×m shortlist broadcasts against the embedding
-    // scan — only shortlisted vectors leave the scan, the corpus never
-    // shuffles; then the scored frame is query-scale
+    exactRerank(queries, corpus, shortlist, k)
+  }
+
+  /** Stage 2 shared by the plain and rotated two-stage searches: the
+    * ≤ queries×m shortlist broadcasts against the embedding scan — only
+    * shortlisted vectors leave the scan, the corpus never shuffles; then
+    * the scored frame is query-scale and ranks by exact cosine (6 dp,
+    * ties to the smaller vec_id).
+    */
+  private def exactRerank(queries: DataFrame, corpus: DataFrame,
+                          shortlist: DataFrame, k: Int): DataFrame = {
     val fetched = corpus
       .join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(queries), Seq("qid"))
@@ -339,6 +347,50 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Seed of the PINNED rotation used by the rotated binary search — a
+    * literal constant (the q88 closed-form discipline): no training pass,
+    * every engine and every run derives the identical rotation.
+    */
+  val RotationSeed = 0x67726166745f7231L // "graft_r1"
+
+  /** Stage-1 codes with a pinned HD rotation before the sign (VERDICT r11
+    * item 4): axis-aligned sign quantization is the known weak point of
+    * the 1-bit path — it loses exactly when variance concentrates along a
+    * few non-axis directions — and a fixed seeded rotation
+    * ([[graft.functions.RotateHd]]: ±1 diagonal × Walsh–Hadamard blocks,
+    * the structured-spinner stand-in for trained ITQ) spreads every input
+    * direction across all code bits with no training artifact. The codes
+    * widen to the next power of two of `dim`; the exact rerank stage
+    * scores the ORIGINAL float vectors, so rotation affects only which
+    * candidates make the shortlist, never the final scores.
+    */
+  def rotatedHammingTopkOf(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                           seed: Long = RotationSeed,
+                           rounds: Int = graft.functions.RotateHd.DefaultRounds): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val rdim = graft.functions.RotateHd.paddedDim(dim)
+    val rq = queries.select(col("qid"),
+      GraftFunctions.rotateHd(col("qvec"), dim, seed, rounds).as("qvec"))
+    val rc = corpus.select(col("vec_id"),
+      GraftFunctions.rotateHd(col("embedding"), dim, seed, rounds).as("embedding"))
+    hammingTopkOf(rq, rc, k, rdim)
+  }
+
+  /** The two-stage search with rotated stage-1 codes and the exact float
+    * rerank of [[hammingRerankOf]] — same plan family (packed scan,
+    * bounded heap, broadcast shortlist), the rotation riding inside the
+    * scan-local pack projection.
+    */
+  def rotatedHammingRerankOf(queries: DataFrame, corpus: DataFrame,
+                             m: Int, k: Int, dim: Int,
+                             seed: Long = RotationSeed,
+                             rounds: Int = graft.functions.RotateHd.DefaultRounds): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val shortlist = rotatedHammingTopkOf(queries, corpus, m, dim, seed, rounds)
+      .select(col("qid"), col("vec_id"))
+    exactRerank(queries, corpus, shortlist, k)
   }
 
   val q100OracleSql: String =
