@@ -35,9 +35,10 @@ import graft.Tables
   * row_number window are QUERY-scale, never corpus-scale; at production
   * the per-half top lists are exactly what an index serving tier emits,
   * and this is the reduce step over them. The query workload is derived
-  * once here and shared by both halves (one definition, no drift); a
-  * production run would persist it as an artifact (the q54 pattern)
-  * instead of re-deriving per half.
+  * once here and shared by both halves (one definition, no drift); the
+  * serving-tier shape — encode once, query many — is
+  * [[buildHybridArtifacts]] + [[hybridRrfAgainstArtifacts]], spec-pinned
+  * row-identical to the inline path with no corpus text in its plan.
   */
 object Hybrid {
 
@@ -57,20 +58,67 @@ object Hybrid {
 
   /** Composable core of q96 for ANY (doc_id, text, …) corpus. */
   def hybridRrfOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ONE workload derivation feeds both halves: two consumers (the
     // lexical ranker's term cut, the vector half's query text) would
     // otherwise each re-run the corpus-scale df aggregate underneath it —
-    // the q92 multiply-consumed-stage discipline. The table is 12 rows by
-    // construction, so it materializes to the DRIVER once and replants as
-    // a local relation: both halves read in-memory rows and there is no
-    // cache entry to leak (VERDICT r11 item 5 — the earlier `.cache()`
-    // was never unpersisted).
-    val derived = TextAnalysis.bm25QueryTableOf(docs)
-    val qtab = docs.sparkSession.createDataFrame(
+    // the q92 multiply-consumed-stage discipline.
+    val qtab = localized(TextAnalysis.bm25QueryTableOf(docs))
+    val dvecs = Embed.embedColumn[String](
+      docs.select(col("doc_id"), col("text")), "text", "emb",
+      Embed.md5CountEncoder(HybridDim))
+      .select(col("doc_id").as("vec_id"), col("emb").as("embedding"))
+    fuseWith(qtab, TextAnalysis.bm25RankWith(docs, qtab), dvecs)
+  }
+
+  /** Build the SERVING-TIER artifacts for hybrid search (VERDICT r11
+    * item 3 — encode once, query many): the per-(doc, token) tf table
+    * (every lexical input — dl, stats, df, the query workload — derives
+    * from it) and the doc-embedding table (the corpus through the q41
+    * encoder exactly once). The q54/q80 persisted-artifact pattern: at
+    * 100 TB these are maintained per corpus snapshot and every query
+    * run probes them without touching corpus text.
+    */
+  def buildHybridArtifacts(docs: DataFrame, dir: String): Unit = {
+    TextAnalysis.tokenTfOf(docs)
+      .write.mode("overwrite").parquet(s"$dir/tf.parquet")
+    Embed.embedColumn[String](
+      docs.select(col("doc_id"), col("text")), "text", "embedding",
+      Embed.md5CountEncoder(HybridDim))
+      .select(col("doc_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/doc_embs.parquet")
+  }
+
+  /** The artifact-backed q96: spec-pinned row-identical to
+    * [[hybridRrfOf]] over the same corpus, with NO corpus text scan and
+    * NO re-encode in the plan — the lexical half ranks from the persisted
+    * tf table, the vector half reads persisted doc embeddings, and only
+    * the 4 query strings go through the encoder at query time.
+    */
+  def hybridRrfAgainstArtifacts(spark: SparkSession, artifactsDir: String): DataFrame = {
+    val tf = spark.read.parquet(s"$artifactsDir/tf.parquet")
+    val dvecs = spark.read.parquet(s"$artifactsDir/doc_embs.parquet")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val qtab = localized(TextAnalysis.bm25QueryTableFromTf(tf))
+    fuseWith(qtab, TextAnalysis.bm25RankFromTf(tf, qtab), dvecs)
+  }
+
+  /** The 12-row workload table materialized to the DRIVER once and
+    * replanted as a local relation: both halves read in-memory rows and
+    * there is no cache entry to leak (VERDICT r11 item 5 — the earlier
+    * `.cache()` was never unpersisted).
+    */
+  private def localized(derived: DataFrame): DataFrame =
+    derived.sparkSession.createDataFrame(
       java.util.Arrays.asList(derived.collect(): _*), derived.schema)
-    // lexical half: q95's BM25 top-10 per query
-    val lex = TextAnalysis.bm25RankWith(docs, qtab)
+
+  /** Fusion core shared by the inline and artifact paths: the vector
+    * half's query embedding + exact cosine top-10, then the RRF
+    * full-outer fusion — all query-scale (≤ queries × 2k rows) past the
+    * two half rankings.
+    */
+  private def fuseWith(qtab: DataFrame, lexRanked: DataFrame, dvecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = lexRanked
       .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
     // query text for the vector half: the 3 terms in rn order, joined by
     // a single space — a 12-row aggregate
@@ -79,15 +127,12 @@ object Hybrid {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("rn"), col("token")))),
           s => s.getField("token")), " ").as("qtext"))
-    // vector half: both sides through the same per-partition-init encoder
-    // socket; corpus embeddings stream scan-side, queries broadcast
+    // vector half: queries through the same per-partition-init encoder
+    // socket as the docs; corpus embeddings stream scan-side, queries
+    // broadcast
     val qvecs = Embed.embedColumn[String](
       qtext, "qtext", "qvec", Embed.md5CountEncoder(HybridDim))
       .select(col("qid"), col("qvec"))
-    val dvecs = Embed.embedColumn[String](
-      docs.select(col("doc_id"), col("text")), "text", "emb",
-      Embed.md5CountEncoder(HybridDim))
-      .select(col("doc_id").as("vec_id"), col("emb").as("embedding"))
     val vec = Knn.topK(qvecs, dvecs, HybridTopK)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
     // fusion: query-scale only (≤ queries × 2k rows) — the window here is

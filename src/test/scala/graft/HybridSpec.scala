@@ -95,4 +95,24 @@ class HybridSpec extends AnyFunSuite {
         s"rrf not non-increasing for qid $qid: $rrfs")
     }
   }
+
+  test("artifact-backed hybrid is row-identical to inline, with NO corpus text in its plan") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_artifacts").toString
+    Hybrid.buildHybridArtifacts(docs, dir)
+    val viaArtifacts = Hybrid.hybridRrfAgainstArtifacts(spark, dir)
+    // parity: the serving path must reproduce the oracle-verified inline
+    // rows exactly (same workload, same ranks, same rrf values)
+    val inline  = Hybrid.hybridRrfOf(docs).collect().toSeq
+    val artRows = viaArtifacts.collect().toSeq
+    assert(artRows == inline,
+      "encode-once serving path must be row-identical to the inline q96")
+    // no corpus re-encode, no corpus text: the plan reads ONLY the two
+    // artifact tables (tf + doc_embs) — the documents table never appears
+    val p = viaArtifacts.queryExecution.executedPlan.toString
+    assert(p.contains("tf.parquet") && p.contains("doc_embs.parquet"),
+      s"artifact path must rank from the persisted tables;\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"artifact path must never scan corpus text;\n$p")
+  }
 }
