@@ -107,9 +107,26 @@ object Hybrid {
     * there is no cache entry to leak (VERDICT r11 item 5 — the earlier
     * `.cache()` was never unpersisted).
     */
-  private def localized(derived: DataFrame): DataFrame =
+  private[graft] def localized(derived: DataFrame): DataFrame =
     derived.sparkSession.createDataFrame(
       java.util.Arrays.asList(derived.collect(): _*), derived.schema)
+
+  /** The vector-half query embeddings shared by q96 and the shortlist
+    * consumers (q105 MMR): each query's 3 terms in rn order joined by a
+    * single space (a 12-row aggregate), pushed through the same
+    * per-partition-init encoder socket as the docs — ONE definition of
+    * "the query vector", so fusion and diversification can never drift.
+    */
+  private[graft] def queryVecsOf(qtab: DataFrame): DataFrame = {
+    val qtext = qtab
+      .groupBy(col("qid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("token")))),
+          s => s.getField("token")), " ").as("qtext"))
+    Embed.embedColumn[String](
+      qtext, "qtext", "qvec", Embed.md5CountEncoder(HybridDim))
+      .select(col("qid"), col("qvec"))
+  }
 
   /** Fusion core shared by the inline and artifact paths: the vector
     * half's query embedding + exact cosine top-10, then the RRF
@@ -120,19 +137,7 @@ object Hybrid {
     import org.apache.spark.sql.expressions.Window
     val lex = lexRanked
       .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
-    // query text for the vector half: the 3 terms in rn order, joined by
-    // a single space — a 12-row aggregate
-    val qtext = qtab
-      .groupBy(col("qid"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("rn"), col("token")))),
-          s => s.getField("token")), " ").as("qtext"))
-    // vector half: queries through the same per-partition-init encoder
-    // socket as the docs; corpus embeddings stream scan-side, queries
-    // broadcast
-    val qvecs = Embed.embedColumn[String](
-      qtext, "qtext", "qvec", Embed.md5CountEncoder(HybridDim))
-      .select(col("qid"), col("qvec"))
+    val qvecs = queryVecsOf(qtab)
     val vec = Knn.topK(qvecs, dvecs, HybridTopK)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
     // fusion: query-scale only (≤ queries × 2k rows) — the window here is

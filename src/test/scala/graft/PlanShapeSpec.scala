@@ -420,4 +420,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the packed corpus must never shuffle;\n$p")
   }
+
+  test("q101 kmeans assignment is scan-local: literal centroids, no join, one presentation sort") {
+    val p = plan(graft.operators.Cluster.kmeansAssign(spark, TestSpark.Sf0001))
+    assert(!p.contains("Join"),
+      s"the argmin must fold the driver-held centroids as literals, never join;\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"only the ORDER BY vec_id may exchange — assignment itself is per-row;\n$p")
+  }
+
+  test("q102 semdedup pairs stay cluster-blocked: equi-join on cluster, no cartesian") {
+    val p = plan(graft.operators.Cluster.semdedup(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate pairs must form only inside a cluster block;\n$p")
+  }
+
+  test("q104 ndcg: heap-ranked IDCG, broadcast rank-list joins, no corpus window") {
+    val p = plan(graft.operators.Ranking.ndcgEval(spark, TestSpark.Sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      s"both the BM25 ranking and IDCG must use the bounded-heap aggregate;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no corpus-scale window in the evaluation path;\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"relevance must come from the broadcast-cut tf stream;\n$p")
+  }
+
+  test("q105 mmr: the greedy unroll runs on local relations — no corpus scan past retrieval") {
+    val df = graft.operators.Ranking.mmrDiversify(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(!p.contains("Scan parquet"),
+      s"the MmrSelect−1 unrolled steps must read the localized shortlist, not the corpus;\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"candidates and pair-sims must be driver-localized query-scale relations;\n$p")
+  }
 }
