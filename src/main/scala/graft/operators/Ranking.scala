@@ -172,10 +172,15 @@ object Ranking {
       .select(col("doc_id").as("vec_id"), col("emb").as("embedding"))
     val short = Knn.topK(Hybrid.queryVecsOf(qtab), dvecs, MmrShortlist)
       .select(col("qid"), col("vec_id").as("doc_id"), col("score").as("rel"))
+    // localize the shortlist FIRST so the retrieval pass runs exactly
+    // once: the pair-sims derivation below probes the already-collected
+    // id list instead of re-executing the top-k plan underneath it (the
+    // q92 multiply-consumed-stage discipline)
+    val cand = Hybrid.localized(short)
     // shortlist-member embeddings: broadcast the q×s id list against the
     // encoder scan — corpus never shuffles, output is shortlist-scale
     val shortVecs = dvecs
-      .join(broadcast(short.select(col("qid"), col("doc_id").as("vec_id"))), Seq("vec_id"))
+      .join(broadcast(cand.select(col("qid"), col("doc_id").as("vec_id"))), Seq("vec_id"))
       .select(col("qid"), col("vec_id").as("doc_id"), col("embedding"))
     val a = shortVecs.select(col("qid"), col("doc_id").as("a_id"), col("embedding").as("va"))
     val b = shortVecs.select(col("qid"), col("doc_id").as("b_id"), col("embedding").as("vb"))
@@ -183,9 +188,8 @@ object Ranking {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("qid"), col("a_id"), col("b_id"),
         round(GraftFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
-    // query-scale from here on: localize the shortlist and its pair sims
-    // once, run the greedy unroll over local relations
-    mmrSelectFrom(Hybrid.localized(short), Hybrid.localized(simPairs))
+    // query-scale from here on: run the greedy unroll over local relations
+    mmrSelectFrom(cand, Hybrid.localized(simPairs))
   }
 
   /** The greedy selection core over a (qid, doc_id, rel) candidate frame
@@ -200,8 +204,13 @@ object Ranking {
       .select(col("qid"), lit(step.toLong).as("step"),
         col("k.doc_id").as("doc_id"), col("k.mmr").as("mmr"))
 
-    var selected = argmax(
-      cand.withColumn("mmr", round(lit(MmrLambda) * col("rel"), 7)), 1)
+    // each step's pick re-localizes (a ≤ queries-row collect): `selected`
+    // feeds THREE places in the next step (max-sim probe, anti-join,
+    // union), so leaving it symbolic would triple the plan tree per step
+    // (~3^k tiny aggregates by the last one); flat local relations keep
+    // every step a constant-size plan
+    var selected = Hybrid.localized(argmax(
+      cand.withColumn("mmr", round(lit(MmrLambda) * col("rel"), 7)), 1))
     for (step <- 2 to MmrSelect) {
       val selIds = selected.select(col("qid"), col("doc_id"))
       val maxSim = sims
@@ -213,7 +222,7 @@ object Ranking {
         .join(maxSim.withColumnRenamed("a_id", "doc_id"), Seq("qid", "doc_id"))
         .withColumn("mmr",
           round(lit(MmrLambda) * col("rel") - lit(MmrDiv) * col("ms"), 7))
-      selected = selected.unionByName(argmax(scored, step))
+      selected = Hybrid.localized(selected.unionByName(argmax(scored, step)))
     }
     selected.orderBy(col("qid"), col("step"))
   }
