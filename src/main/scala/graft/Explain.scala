@@ -31,7 +31,9 @@ object Explain {
                          "q94_importance_select", "q95_bm25_rank",
                          "q96_hybrid_rrf", "q97_knn_classify",
                          "q98_triplet_mining", "q99_hamming_topk",
-                         "q100_hamming_rerank")
+                         "q100_hamming_rerank", "q101_kmeans_assign",
+                         "q102_semdedup", "q103_cluster_purity",
+                         "q104_ndcg_eval", "q105_mmr_diversify")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
