@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level distributional statistics for a training-data pipeline:
+  * CCNet-style perplexity bucketing (the head/middle/tail split the
+  * CommonCrawl curation literature publishes) and a Zipf power-law fit
+  * over the token frequency spectrum (the one-row report-card a corpus
+  * build emits next to its counts).
+  *
+  * Both are REDUCE-side summaries of streams other declared operators
+  * already audit (q78's bigram LM, q21's tokenizer): the corpus is
+  * scanned, per-doc/per-type rows aggregate with map-side combine, and
+  * everything past that is decision-scale.
+  */
+object CorpusStats {
+
+  /** Tertile boundaries as double literals — spelled out in FULL so the
+    * Scala plan and the oracle SQL parse the IDENTICAL nearest-double
+    * (`1.0/3` computed in either engine would give the same value, but a
+    * shorter literal like 0.333 would not).
+    */
+  val TertileLow  = "0.3333333333333333"
+  val TertileHigh = "0.6666666666666666"
+
+  /** q106_perplexity_bucket — CCNet-style PERPLEXITY BUCKETING (Wenzek et
+    * al., LREC'20): every scored document lands in its language's head /
+    * middle / tail tertile by bigram-LM score (q78's add-one bigram
+    * log-probability — high avg_logp2 = low perplexity = "head", the
+    * Wikipedia-like third CCNet keeps). Emits the per-(lang, bucket)
+    * volume report: doc count and summed score (sum, not mean: a sum of
+    * 6-dp values rounds deterministically at 6 dp, while a mean can land
+    * on exact half-way points where the two engines' double rounding
+    * disagrees — the q105 lesson applied to aggregates). Docs with < 2
+    * tokens carry no bigram evidence and are outside the scored
+    * population (the q78 convention, one level up).
+    *
+    * 100 TB: the scored stream is q78's audited two-aggregate shape; the
+    * per-lang tertile cuts are exact interpolated-percentile AGGREGATES
+    * (value-count buffers, the q79 discipline — never a percent_rank
+    * window over corpus rows), the ≤ langs×2 cut table broadcasts back,
+    * bucket assignment is a scan-side comparison, and the final
+    * aggregate is (langs × 3)-scale. The scored frame caches across its
+    * two consumers (cut build + bucket cut) exactly as q79's does; a
+    * production pipeline persists the score column and re-buckets
+    * without re-tokenizing.
+    */
+  def perplexityBucket(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityBucketOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, text, lang, …) corpus. */
+  def perplexityBucketOf(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.bigramLogProbOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("avg_logp2"))
+      .cache()
+    try {
+      val cuts = scored.groupBy(col("lang")).agg(
+        expr(s"percentile(avg_logp2, $TertileLow)").as("c_low"),
+        expr(s"percentile(avg_logp2, $TertileHigh)").as("c_high"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("avg_logp2") >= col("c_high"), lit("head"))
+            .when(col("avg_logp2") >= col("c_low"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("avg_logp2")), 6).as("sum_logp2"))
+        .orderBy(col("lang"), col("bucket"))
+    } finally scored.unpersist()
+  }
+
+  val q106OracleSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+      |), b AS (
+      |  SELECT doc_id, toks[g.i] AS w1, toks[g.i+1] AS w2
+      |  FROM d CROSS JOIN UNNEST(generate_series(1, length(toks)-1)) AS g(i)
+      |  WHERE length(toks) >= 2
+      |), bf AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+      |), cf AS (
+      |  SELECT w1, CAST(SUM(c12) AS DOUBLE) AS c1 FROM bf GROUP BY w1
+      |), v AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM (
+      |    SELECT DISTINCT unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token
+      |    FROM documents)
+      |), s AS (
+      |  SELECT doc_id, round(avg(ln((c12 + 1) / (c1 + vocab))), 6) AS avg_logp2
+      |  FROM b JOIN bf USING (w1, w2) JOIN cf USING (w1) CROSS JOIN v
+      |  GROUP BY doc_id
+      |), g AS (
+      |  SELECT dd.lang, s.doc_id, s.avg_logp2 FROM s JOIN documents dd USING (doc_id)
+      |), c AS (
+      |  SELECT lang, quantile_cont(avg_logp2, $TertileLow) AS c_low,
+      |         quantile_cont(avg_logp2, $TertileHigh) AS c_high
+      |  FROM g GROUP BY lang
+      |)
+      |SELECT g.lang,
+      |       CASE WHEN g.avg_logp2 >= c.c_high THEN 'head'
+      |            WHEN g.avg_logp2 >= c.c_low THEN 'middle'
+      |            ELSE 'tail' END AS bucket,
+      |       COUNT(*) AS n_docs, round(SUM(g.avg_logp2), 6) AS sum_logp2
+      |FROM g JOIN c USING (lang)
+      |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
+  /** Frequency spectrum depth for the q109 fit. */
+  val ZipfTopN = 1000
+
+  /** q109_zipf_slope — ZIPF POWER-LAW FIT: the least-squares line through
+    * (ln rank, ln freq) over the corpus' top-[[ZipfTopN]] token types
+    * (rank ties broken token-asc), plus the total type count — the
+    * one-row frequency-spectrum report card (Zipf's law: slope ≈ −1 for
+    * natural text; a corpus whose slope drifts far off is boilerplate- or
+    * spam-heavy before any per-doc filter can see it). slope/intercept/r2
+    * are the regr_* aggregates both engines define identically
+    * (covariance/variance form), rounded at 6 dp.
+    *
+    * 100 TB: the type table is a map-side-combined hash aggregate (the
+    * q04 vocab shape); the top-[[ZipfTopN]] cut is `orderBy.limit` =
+    * Spark's TakeOrderedAndProject (bounded per-partition heaps merged on
+    * the driver — never a global sort or window over the vocab); ranking
+    * numbers the [[ZipfTopN]] survivors via the sort_array/posexplode
+    * fold (the q95 query-table discipline — no single-partition window),
+    * and the regression is a 3-value aggregate over [[ZipfTopN]] rows.
+    */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
+    zipfSlopeOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, text, …) corpus. */
+  def zipfSlopeOf(docs: DataFrame): DataFrame = {
+    val types = docs
+      .select(explode(TextPipeline.tokenArr(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val nTypes = types.agg(count(lit(1)).as("n_types"))
+    val ranked = types
+      .orderBy(col("freq").desc, col("token").asc).limit(ZipfTopN)
+      .agg(sort_array(collect_list(
+        struct((-col("freq")).as("negfreq"), col("token"), col("freq")))).as("rows"))
+      .select(posexplode(col("rows")))
+      .select((col("pos") + 1).cast("double").as("rank"),
+        col("col.freq").cast("double").as("freq"))
+    ranked
+      .agg(
+        round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("slope"),
+        round(expr("regr_intercept(ln(freq), ln(rank))"), 6).as("intercept"),
+        round(expr("regr_r2(ln(freq), ln(rank))"), 6).as("r2"))
+      .crossJoin(nTypes)
+      .select(col("n_types"), col("slope"), col("intercept"), col("r2"))
+  }
+
+  val q109OracleSql: String =
+    s"""WITH t AS (
+      |  SELECT unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents
+      |), f AS (
+      |  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+      |), n AS (
+      |  SELECT COUNT(*) AS n_types FROM f
+      |), top AS (
+      |  SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT $ZipfTopN
+      |), r AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE) AS rank,
+      |         CAST(freq AS DOUBLE) AS freq
+      |  FROM top
+      |)
+      |SELECT n.n_types,
+      |       round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+      |       round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept,
+      |       round(regr_r2(ln(freq), ln(rank)), 6) AS r2
+      |FROM r CROSS JOIN n GROUP BY n.n_types""".stripMargin
+}

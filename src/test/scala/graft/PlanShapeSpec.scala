@@ -453,4 +453,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"),
       s"candidates and pair-sims must be driver-localized query-scale relations;\n$p")
   }
+
+  test("q106 perplexity buckets: percentile aggregate + broadcast cuts, no corpus window") {
+    val p = plan(graft.operators.CorpusStats.perplexityBucket(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"tertile cuts must be percentile AGGREGATES, never a percent_rank window;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the langs×2 cut table must broadcast back onto the scored stream;\n$p")
+  }
+
+  test("q107 matryoshka: every width scores in one corpus scan, ranks by bounded heap") {
+    // the scale claim lives in the pre-checkpoint scoring stage
+    val emb = graft.Tables.embeddings(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Audit.prefixTopsOf(emb))
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-(query, width) ranking must be the bounded-heap aggregate;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no window in the recall path;\n$p")
+    // scored pass + query broadcast: the corpus is never rescanned per width
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"all ${graft.operators.Audit.MatryoshkaDims.size} widths must share one scored scan;\n$p")
+    // the recall arithmetic downstream must not rescan the corpus either
+    val pr = plan(graft.operators.Audit.matryoshkaRecall(spark, TestSpark.Sf0001))
+    assert("Scan parquet".r.findAllIn(pr).length <= 1,
+      s"past the checkpointed tops only the dense-grid query list may scan;\n$pr")
+  }
+
+  test("q108 lsh audit: the corpus-scale banding stays an equi-join; quadratic work is sample-only") {
+    val df = graft.operators.Audit.lshAudit(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the candidate stage and truth side are materialized behind
+    // localCheckpoints; the audited claim is the CANDIDATE stage's plan
+    val cand = graft.operators.DedupExtras
+      .bandCandidatesOf(graft.Tables.documents(spark, TestSpark.Sf0001))
+    val pc = plan(cand)
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoop"),
+      s"banding candidates must come from the (band, bkey) equi-join;\n$pc")
+    assert(!p.contains("CartesianProduct"),
+      s"the metric joins over checkpointed pair sets must stay equi-joins;\n$p")
+  }
+
+  test("q109 zipf: the spectrum cut is TakeOrderedAndProject, the rank needs no window") {
+    val p = plan(graft.operators.CorpusStats.zipfSlope(spark, TestSpark.Sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N types must use per-partition heaps, never a global sort;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"ranking the N survivors must fold via sort_array, not a window;\n$p")
+  }
 }
