@@ -33,7 +33,9 @@ object Explain {
                          "q98_triplet_mining", "q99_hamming_topk",
                          "q100_hamming_rerank", "q101_kmeans_assign",
                          "q102_semdedup", "q103_cluster_purity",
-                         "q104_ndcg_eval", "q105_mmr_diversify")
+                         "q104_ndcg_eval", "q105_mmr_diversify",
+                         "q106_perplexity_bucket", "q107_matryoshka_recall",
+                         "q108_lsh_audit", "q109_zipf_slope")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
