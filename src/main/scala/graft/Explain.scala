@@ -35,7 +35,9 @@ object Explain {
                          "q102_semdedup", "q103_cluster_purity",
                          "q104_ndcg_eval", "q105_mmr_diversify",
                          "q106_perplexity_bucket", "q107_matryoshka_recall",
-                         "q108_lsh_audit", "q109_zipf_slope")
+                         "q108_lsh_audit", "q109_zipf_slope",
+                         "q110_overlap_pagerank", "q111_containment_dedup",
+                         "q112_ngram_diversity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

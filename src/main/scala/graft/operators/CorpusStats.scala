@@ -171,4 +171,82 @@ object CorpusStats {
       |       round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept,
       |       round(regr_r2(ln(freq), ln(rank)), 6) AS r2
       |FROM r CROSS JOIN n GROUP BY n.n_types""".stripMargin
+
+  /** Longest n-gram order measured by q112. */
+  val DiversityMaxN = 3
+
+  /** q112_ngram_diversity — the DISTINCT-N diversity report (Li et al.,
+    * NAACL'16): per (lang, n) for n = 1..[[DiversityMaxN]], the count of
+    * distinct n-gram TYPES, total n-gram INSTANCES, and their ratio — the
+    * repetitiveness report card a generation/curation pipeline publishes
+    * next to its Zipf fit (q109): a low distinct-2/distinct-3 language
+    * slice is template- or spam-heavy even when every individual doc
+    * passes q51's within-doc repetition gate (the signal here is
+    * CROSS-doc sameness at sub-shingle granularity).
+    *
+    * 100 TB: n-gram assembly is scan-local (the q78 zip-with-tail trick
+    * per order — no window, no positional self-join); the type table is
+    * a two-level hash aggregate — (lang, n, gram) partial counts map-side
+    * combine before the only gram-scale shuffle, then (lang, n) sums are
+    * (langs × 3)-scale. The gram shuffle carries TYPES per partition, the
+    * q04 vocab argument; grams hash as strings, text never shuffles
+    * whole-doc.
+    */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    ngramDiversityOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, text, lang, …) corpus. */
+  def ngramDiversityOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"), TextPipeline.tokenArr(col("text")).as("toks"))
+    // every order's grams in one pass — each order via the q78
+    // zip-with-tails trick (an index-probing lambda would re-run the
+    // inlined tokenizer per element reference, the shingleSetsOf lesson)
+    def gramsOfOrder(n: Int): org.apache.spark.sql.Column = {
+      val gram =
+        if (n == 1) transform(col("toks"), t =>
+          struct(lit(1L).as("n"), t.as("gram")))
+        else transform(
+          arrays_zip((1 to n).map(j =>
+            slice(col("toks"), lit(j), size(col("toks")) - (n - 1)).as(s"w$j")): _*),
+          s => struct(lit(n.toLong).as("n"),
+            concat_ws(" ", (1 to n).map(j => s.getField(s"w$j")): _*).as("gram")))
+      when(size(col("toks")) >= n, gram)
+        .otherwise(expr("array()").cast("array<struct<n:bigint,gram:string>>"))
+    }
+    val grams = toks.select(col("lang"),
+      explode(flatten(array((1 to DiversityMaxN).map(gramsOfOrder): _*))).as("g"))
+      .select(col("lang"), col("g.n").as("n"), col("g.gram").as("gram"))
+    grams
+      .groupBy(col("lang"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("n"))
+      .agg(count(lit(1)).as("types"), sum(col("c")).as("instances"))
+      .select(col("lang"), col("n"), col("types"), col("instances"),
+        round(col("types") / col("instances").cast("double"), 6).as("diversity"))
+      .orderBy(col("lang"), col("n"))
+  }
+
+  /** One per-order arm of the oracle's gram stream (DuckDB's correlated
+    * LATERAL over a cross-joined order table hits an internal binder
+    * error, so the orders unroll as UNION ALL arms — q78's proven
+    * generate_series pattern per arm).
+    */
+  private def gramArmSql(n: Int): String = {
+    val concat = (0 until n).map(j => s"toks[g.i${if (j > 0) s"+$j" else ""}]").mkString(" || ' ' || ")
+    s"""SELECT lang, CAST($n AS BIGINT) AS n, $concat AS gram
+       |  FROM d CROSS JOIN UNNEST(generate_series(1, len(toks) - ${n - 1})) AS g(i)
+       |  WHERE len(toks) >= $n""".stripMargin
+  }
+
+  val q112OracleSql: String =
+    s"""WITH d AS (
+      |  SELECT lang, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+      |), g AS (
+      |  ${(1 to DiversityMaxN).map(gramArmSql).mkString("\n  UNION ALL\n  ")}
+      |), t AS (
+      |  SELECT lang, n, gram, COUNT(*) AS c FROM g GROUP BY lang, n, gram
+      |)
+      |SELECT lang, n, COUNT(*) AS types, CAST(SUM(c) AS BIGINT) AS instances,
+      |       round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS diversity
+      |FROM t GROUP BY lang, n ORDER BY lang, n""".stripMargin
 }

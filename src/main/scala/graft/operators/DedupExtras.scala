@@ -35,14 +35,25 @@ object DedupExtras {
   /** Distinct word-3-gram shingle set per document (docs with <3 tokens have
     * no shingles and drop out) — the standard shingling step. Works on ANY
     * (doc_id, text, …) frame.
+    *
+    * Assembly is the q78 zip-with-tails trick, NOT an index-probing
+    * lambda (`transform(sequence(…), i -> concat(toks[i], …))`): after
+    * CollapseProject inlines `toks`, an index probe re-evaluates the
+    * regexp tokenizer PER ELEMENT REFERENCE (3 × shingles per doc), while
+    * the three slices reference it a constant few times per row —
+    * measured 8.8 s → 0.6 s for the q108 signature aggregate at sf0.1.
     */
   private[operators] def shingleSetsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextPipeline.tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), " +
-          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
+      .select(col("doc_id"), array_distinct(transform(
+        arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 2).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 2).as("w2"),
+          slice(col("toks"), lit(3), size(col("toks")) - 2).as("w3")),
+        s => concat_ws(" ", s.getField("w1"), s.getField("w2"), s.getField("w3"))))
+        .as("sh"))
 
   /** 8-way MinHash signature (doc_id, sig0..sig7) from a shingle-set frame.
     * 8 INDEPENDENT salted digests per shingle — md5(i || ':' || s) — one
@@ -105,9 +116,19 @@ object DedupExtras {
   private[graft] def bandCandidatesOf(docs: DataFrame,
                                       numHashes: Int = NumHashes,
                                       bands: Int = Bands,
-                                      fastHash: Boolean = false): DataFrame = {
+                                      fastHash: Boolean = false): DataFrame =
+    bandCandidatesFromShingles(shingleSetsOf(docs), numHashes, bands, fastHash)
+
+  /** [[bandCandidatesOf]] over a PRE-BUILT (doc_id, sh) shingle frame —
+    * callers that also consume the shingles elsewhere (q108's truth side)
+    * pass their cached frame so the tokenize+shingle subtree runs once.
+    */
+  private[graft] def bandCandidatesFromShingles(sh: DataFrame,
+                                                numHashes: Int = NumHashes,
+                                                bands: Int = Bands,
+                                                fastHash: Boolean = false): DataFrame = {
     val bandRows = bandRowsOf(
-      signaturesOf(shingleSetsOf(docs), numHashes, fastHash), numHashes, bands, fastHash)
+      signaturesOf(sh, numHashes, fastHash), numHashes, bands, fastHash)
     val a = bandRows.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
     val b = bandRows.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -489,4 +510,119 @@ object DedupExtras {
       |WHERE len(list_intersect(a.sh, b.sh)) > 0
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 50""".stripMargin
+
+  /** q111 knobs: a shingle is "rare" while ≤ [[ContainMaxDf]] docs carry
+    * it (the q91 cull — both the noise rule and the Σ df² fanout bound);
+    * pairs must share ≥ [[ContainMinShared]] rare shingles to reach
+    * verification; [[ContainThreshold]] is the kept containment floor.
+    */
+  val ContainMaxDf = 10
+  val ContainMinShared = 3
+  val ContainThreshold = 0.5
+
+  /** q111_containment_dedup — ASYMMETRIC near-dup detection by
+    * CONTAINMENT (Broder's other resemblance measure; the Lee et al.
+    * 2022 dedup-survey case MinHash-as-Jaccard structurally misses): a
+    * short document wholly quoted inside a long one has containment
+    * |A∩B|/|A| ≈ 1 while its Jaccard ≈ |A|/|B| can sit far below any
+    * banding threshold — q16's candidate generator is blind to exactly
+    * the pairs this row exists for. So candidates come from the q91
+    * machinery instead: a bounded inverted index over RARE shingles
+    * (df ≤ [[ContainMaxDf]] via [[BoundedDistinct]] — a contained doc
+    * shares ALL its shingles with its container, so any non-boilerplate
+    * shingle it owns surfaces the pair; recall misses only docs built
+    * ENTIRELY of >maxDf boilerplate, which the cull classifies as
+    * template text by design). Exact containment verifies both
+    * directions; emits (a_id, b_id, cont_a, cont_b, cmax =
+    * max of the two ROUNDED values) ≥ [[ContainThreshold]], top-50 by
+    * (cmax desc, a, b).
+    *
+    * 100 TB: the shingle stream aggregates once through the bounded-set
+    * UDAF (state ≤ maxDf+1 ids per key, map-side combine intact); pairs
+    * explode from ≤ maxDf sorted sets (≤ maxDf²/2 per shingle — array
+    * work, no self-join); verification joins shingle sets only for the
+    * decision-scale surviving pairs. Corpus text never shuffles — the
+    * shuffled keys are shingles and id-pairs.
+    */
+  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    containmentDedupOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q111 for ANY (doc_id, text, …) corpus. */
+  def containmentDedupOf(docs: DataFrame,
+                         maxDf: Int = ContainMaxDf,
+                         minShared: Int = ContainMinShared,
+                         threshold: Double = ContainThreshold): DataFrame = {
+    val sh = shingleSetsOf(docs).cache()
+    try {
+      val pairs = containmentPairsOf(sh, maxDf, minShared)
+      val out = pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(size(array_intersect(col("sha"), col("shb")))
+            / size(col("sha")).cast("double"), 6).as("cont_a"),
+          round(size(array_intersect(col("sha"), col("shb")))
+            / size(col("shb")).cast("double"), 6).as("cont_b"))
+        .withColumn("cmax", greatest(col("cont_a"), col("cont_b")))
+        .filter(col("cmax") >= threshold)
+        .orderBy(col("cmax").desc, col("a_id"), col("b_id"))
+        .limit(50)
+        .localCheckpoint(true)
+      out
+    } finally sh.unpersist()
+  }
+
+  /** q111's candidate stage over a (doc_id, sh) shingle-set frame — the
+    * bounded inverted index whose plan carries the scale claim (exposed
+    * for the plan pin; the declared row wraps it with verification).
+    */
+  private[graft] def containmentPairsOf(sh: DataFrame,
+                                        maxDf: Int = ContainMaxDf,
+                                        minShared: Int = ContainMinShared): DataFrame = {
+    val bd = BoundedDistinct.udafOf(maxDf)
+    sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(bd(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** q111's shingle frame for ANY corpus (the q16/q18 3-gram universe) —
+    * exposed so audits and plan pins reuse ONE definition of "shingle".
+    */
+  private[graft] def shinglesFor(docs: DataFrame): DataFrame = shingleSetsOf(docs)
+
+  val q111OracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), rare AS (
+       |  SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $ContainMaxDf
+       |), kept AS (
+       |  SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)
+       |), p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b USING (s)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $ContainMinShared
+       |), v AS (
+       |  SELECT p.a_id, p.b_id,
+       |         round(len(list_intersect(sa.sh, sb.sh)) / CAST(len(sa.sh) AS DOUBLE), 6) AS cont_a,
+       |         round(len(list_intersect(sa.sh, sb.sh)) / CAST(len(sb.sh) AS DOUBLE), 6) AS cont_b
+       |  FROM p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
+       |)
+       |SELECT a_id, b_id, cont_a, cont_b, greatest(cont_a, cont_b) AS cmax
+       |FROM v
+       |WHERE greatest(cont_a, cont_b) >= $ContainThreshold
+       |ORDER BY cmax DESC, a_id, b_id
+       |LIMIT 50""".stripMargin
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Link analysis over the document-overlap graph — the iterative
+  * fixed-point family (alongside q74's connected components): PageRank
+  * with a pinned iteration count over the q91 winnow-match edges.
+  *
+  * Why a curation engine wants this: q91's pairs say "these two share a
+  * span"; PageRank over that graph says WHICH documents are template
+  * HUBS — the license stubs, navigation boilerplate, and mirror indexes
+  * that overlap half the corpus sit at the top of the ranking long
+  * before any single pairwise score looks alarming. The classic web use
+  * (rank by endorsement) inverts here into a cleaning signal: high
+  * overlap-rank = shared-text concentrator = inspect/remove first.
+  */
+object OverlapGraph {
+
+  /** Damping factor and its complement — BOTH pinned as literals (the
+    * q105 lesson: `1 - 0.85` computed in doubles is not 0.15's nearest
+    * double times anything predictable; spell the pair out so the two
+    * engines iterate the identical affine map).
+    */
+  val PrDamping = 0.85
+  val PrBase = 0.15
+
+  /** Fixed Lloyd-style iteration count (the q101 discipline: both
+    * engines run the identical unrolled computation).
+    */
+  val PrIters = 3
+
+  /** Presentation cut of the declared row. */
+  val PrTopN = 20
+
+  /** Edge-evidence floor: ≥ 2 shared rare fingerprints. Deliberately
+    * BELOW q91's declared minShared=5 — a pair report needs each edge to
+    * stand alone, but link analysis AGGREGATES edges, so weak-but-many
+    * evidence is exactly its regime (at q91's floor the fixture graph
+    * degenerates to isolated pairs and every pr fixes at 1.0; at 2 the
+    * degree spectrum reaches ~27 and the hub ranking carries signal —
+    * measured, the q10/q102 fixture-meaningfulness lesson).
+    */
+  val PrMinShared = 2
+
+  /** Per-iteration carry precision: 10 dp keeps the two engines'
+    * reduction-order ulp noise (~1e-16 per sum) from accumulating
+    * across iterations without eating signal (pr mass is ≥ [[PrBase]]
+    * by construction, 8 orders above the carry grain); the declared
+    * output re-rounds to the house 6 dp.
+    */
+  val PrCarryDp = 10
+
+  /** q110_overlap_pagerank — WEIGHTED PAGERANK over the q91 overlap
+    * graph, [[PrIters]] unrolled iterations, mass units (init 1.0 per
+    * node, base [[PrBase]] + [[PrDamping]] · weighted in-sum), edge
+    * weight = n_shared normalized by the source's total out-weight (an
+    * exact integer ratio — both engines divide identical longs). The
+    * graph is symmetrized, so no dangling mass exists by construction.
+    * Emits the top-[[PrTopN]] hub documents by (pr desc, doc_id).
+    *
+    * 100 TB: the edge list is q91's output — DECISION-scale by the
+    * maxDf cull (fanout per fingerprint structurally capped), not
+    * corpus-scale — and every iteration is one equi-join + one hash
+    * aggregate over it (the q74 per-round shape); the iteration count
+    * is a pinned constant, so the whole fixed-point costs
+    * [[PrIters]] edge-scale shuffles. The corpus is touched exactly
+    * once (q91's fingerprint scan); ranking is TakeOrderedAndProject.
+    */
+  def overlapPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    overlapPagerankOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, text, …) corpus. */
+  def overlapPagerankOf(docs: DataFrame): DataFrame =
+    pagerankOverEdges(TextAnalysis.winnowMatchesOf(docs, minShared = PrMinShared))
+
+  /** The fixed-point core over ANY undirected (a_id, b_id, n_shared)
+    * edge frame (edge-scale by contract). Checkpointed per round: each
+    * iteration's frame feeds the next join, and an unbroken lineage
+    * would re-execute the whole prefix per round (the q74 per-round
+    * discipline).
+    */
+  private[graft] def pagerankOverEdges(matches: DataFrame): DataFrame = {
+    val edges = matches
+      .select(col("a_id").as("src"), col("b_id").as("dst"), col("n_shared"))
+      .unionByName(matches
+        .select(col("b_id").as("src"), col("a_id").as("dst"), col("n_shared")))
+    val ratios = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("n_shared")).as("wsum")), Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("n_shared").cast("double") / col("wsum")).as("r"))
+      .localCheckpoint(true)
+    var pr = ratios.select(col("src").as("doc_id")).distinct()
+      .withColumn("pr", lit(1.0))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      pr = ratios
+        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(round(lit(PrBase) + lit(PrDamping) * sum(col("pr") * col("r")), PrCarryDp)
+          .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("doc_id"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(PrTopN)
+  }
+
+  /** q91's edge CTEs + symmetrize/normalize + [[PrIters]] unrolled
+    * mass-update rounds.
+    */
+  val q110OracleSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s""", p$i AS (
+         |  SELECT e.dst AS doc_id,
+         |         round($PrBase + $PrDamping * SUM(p.pr * e.r), $PrCarryDp) AS pr
+         |  FROM re e JOIN p${i - 1} p ON p.doc_id = e.src
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString
+    // q91's fingerprint/match pipeline, verbatim up to the pair set
+    val matchCtes = TextAnalysis.q91OracleSql
+      .split("\\n\\)\\nSELECT")(0)
+    s"""$matchCtes
+       |), m AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+       |  FROM kept a JOIN kept b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $PrMinShared
+       |), e AS (
+       |  SELECT a_id AS src, b_id AS dst, n_shared FROM m
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst, n_shared FROM m
+       |), w AS (
+       |  SELECT src, SUM(n_shared) AS wsum FROM e GROUP BY src
+       |), re AS (
+       |  SELECT e.src, e.dst, CAST(e.n_shared AS DOUBLE) / w.wsum AS r
+       |  FROM e JOIN w USING (src)
+       |), p0 AS (
+       |  SELECT DISTINCT src AS doc_id, 1.0 AS pr FROM re
+       |)$iters
+       |SELECT doc_id, round(pr, 6) AS pr
+       |FROM p$PrIters
+       |ORDER BY pr DESC, doc_id
+       |LIMIT $PrTopN""".stripMargin
+  }
+}

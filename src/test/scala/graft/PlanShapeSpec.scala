@@ -500,4 +500,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"ranking the N survivors must fold via sort_array, not a window;\n$p")
   }
+
+  test("q110 pagerank: each iteration is one equi-join + one hash agg over checkpointed edges") {
+    // the iteration frames are checkpointed (the q74 per-round
+    // discipline) — the declared row's final plan must read the last
+    // round's checkpoint, not re-execute the fingerprint pipeline
+    val p = plan(graft.operators.OverlapGraph.overlapPagerank(spark, TestSpark.Sf0001))
+    assert(!p.contains("Scan parquet"),
+      s"the presentation cut must rank the checkpointed fixed point, not rescan;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-N hub cut must be heap-based;\n$p")
+  }
+
+  test("q111 containment: bounded inverted index — no cartesian, no self-join fanout") {
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.DedupExtras.containmentPairsOf(
+      graft.operators.DedupExtras.shinglesFor(docs)))
+    assert(!p.contains("Join"),
+      s"pairs must explode from the bounded sets — never a shingle self-join;\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the bounded-distinct UDAF is the inverted index's aggregation;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    val df = graft.operators.DedupExtras.containmentDedupOf(docs)
+    assert(df.columns.toSeq == Seq("a_id", "b_id", "cont_a", "cont_b", "cmax"))
+  }
+
+  test("q112 diversity: scan-local gram assembly, two-level hash agg, no window") {
+    val p = plan(graft.operators.CorpusStats.ngramDiversity(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no window in the diversity report;\n$p")
+    assert(!p.contains("Join"), s"gram assembly must be scan-local, never a positional join;\n$p")
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, s"type counting must hash-aggregate;\n$p")
+  }
 }
