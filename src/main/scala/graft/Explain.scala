@@ -37,7 +37,8 @@ object Explain {
                          "q106_perplexity_bucket", "q107_matryoshka_recall",
                          "q108_lsh_audit", "q109_zipf_slope",
                          "q110_overlap_pagerank", "q111_containment_dedup",
-                         "q112_ngram_diversity")
+                         "q112_ngram_diversity", "q113_funnel_steps",
+                         "q114_rfm_segments")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

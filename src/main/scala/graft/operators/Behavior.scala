@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral analytics over the event stream — the two classic
+  * product-analytics reductions (windowed funnel conversion, RFM
+  * segmentation) that exercise semantics the relational family
+  * (q13/q28/q30/q35/q44) does not: q113 is ORDER- and TIME-constrained
+  * stage progression (a GROUP BY per type cannot express "a click that
+  * follows the view within the window"), q114 is the
+  * percentile-score-and-segment reduction every CRM/growth stack runs.
+  */
+object Behavior {
+
+  /** q113's ordered stages and per-step conversion window. 12 hours is
+    * the measured fixture knee: at 1 h the funnel collapses (150→3→0)
+    * and the row carries no signal — the q10/q110 fixture-meaningfulness
+    * lesson; at 12 h it steps 150→37→7.
+    */
+  val FunnelStages = Seq("view", "click", "purchase")
+  val FunnelWindow = "12 HOURS"
+
+  /** q113_funnel_steps — WINDOWED funnel conversion (the Amplitude-style
+    * semantics): stage 1 anchors at each user's FIRST view; stage 2 is
+    * their first click STRICTLY AFTER it and within [[FunnelWindow]];
+    * stage 3 their first purchase strictly after that click, again
+    * within the window. Sequential AND time-bounded — a user who
+    * purchases before viewing, or a day after clicking, is not a
+    * conversion. Timestamps compare as exact microsecond integers, so
+    * both engines agree bit-for-bit. Emits one report row: stage
+    * populations and conversion rates (6 dp; degenerate denominators
+    * report 0.0).
+    *
+    * 100 TB: three hash aggregates over the stream (map-side combined,
+    * keyed by user) and two equi-joins whose right side is a per-user
+    * single-row frame — AQE broadcasts it when it fits, shuffles on
+    * user_id otherwise (the q45 keeper-set discipline). The per-stage
+    * filter (type + window bounds) evaluates scan-side against the
+    * joined anchor. No window function, no per-user sequence
+    * materialization, no driver-side state.
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame =
+    funnelStepsOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (user_id, ts, event_type, …) stream. */
+  def funnelStepsOf(events: DataFrame): DataFrame = {
+    def firstAfter(prev: DataFrame, prevCol: String, stage: String, outCol: String) =
+      events.filter(col("event_type") === stage)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevCol) &&
+          col("ts") <= col(prevCol) + expr(s"INTERVAL $FunnelWindow"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    val t1 = events.filter(col("event_type") === FunnelStages(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = firstAfter(t1, "t1", FunnelStages(1), "t2")
+    val t3 = firstAfter(t2, "t2", FunnelStages(2), "t3")
+    def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    def rate(num: String, den: String) =
+      round(when(col(den) === 0, 0.0)
+        .otherwise(col(num) / col(den).cast("double")), 6)
+    cnt(events.select(col("user_id")).distinct(), "n_users")
+      .crossJoin(cnt(t1, "n_view"))
+      .crossJoin(cnt(t2, "n_click"))
+      .crossJoin(cnt(t3, "n_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+        rate("n_click", "n_view").as("conv_click"),
+        rate("n_purchase", "n_click").as("conv_purchase"),
+        rate("n_purchase", "n_view").as("conv_total"))
+  }
+
+  val q113OracleSql: String = {
+    val w = FunnelWindow.replace("HOURS", "HOUR")
+    s"""WITH t1 AS (
+       |  SELECT user_id, MIN(ts) AS t1 FROM events
+       |  WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id
+       |), t2 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t2
+       |  FROM events e JOIN t1 USING (user_id)
+       |  WHERE e.event_type = '${FunnelStages(1)}'
+       |    AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL $w
+       |  GROUP BY e.user_id
+       |), t3 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t3
+       |  FROM events e JOIN t2 USING (user_id)
+       |  WHERE e.event_type = '${FunnelStages(2)}'
+       |    AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL $w
+       |  GROUP BY e.user_id
+       |)
+       |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       |       (SELECT COUNT(*) FROM t1) AS n_view,
+       |       (SELECT COUNT(*) FROM t2) AS n_click,
+       |       (SELECT COUNT(*) FROM t3) AS n_purchase,
+       |       round(CASE WHEN (SELECT COUNT(*) FROM t1) = 0 THEN 0.0
+       |             ELSE (SELECT COUNT(*) FROM t2) / CAST((SELECT COUNT(*) FROM t1) AS DOUBLE) END, 6) AS conv_click,
+       |       round(CASE WHEN (SELECT COUNT(*) FROM t2) = 0 THEN 0.0
+       |             ELSE (SELECT COUNT(*) FROM t3) / CAST((SELECT COUNT(*) FROM t2) AS DOUBLE) END, 6) AS conv_purchase,
+       |       round(CASE WHEN (SELECT COUNT(*) FROM t1) = 0 THEN 0.0
+       |             ELSE (SELECT COUNT(*) FROM t3) / CAST((SELECT COUNT(*) FROM t1) AS DOUBLE) END, 6) AS conv_total""".stripMargin
+  }
+
+  /** q114's quintile boundaries, full-literal doubles (the q106
+    * discipline).
+    */
+  val RfmQuantiles = Seq("0.2", "0.4", "0.6", "0.8")
+
+  /** q114_rfm_segments — RFM SEGMENTATION (Hughes '94, the classic CRM
+    * reduction): each user scores 1–5 on Recency (days from their last
+    * event to the corpus' last day — HIGH r_score = stale), Frequency
+    * (event count), and Monetary (summed value, rounded 4 dp BEFORE
+    * cuts/comparisons: per-event values are 2-dp decimals, so the
+    * per-user true sum is a 2-dp decimal and 4-dp rounding erases the
+    * two engines' summation-order ulp noise without touching signal).
+    * Scores are quintile indices — 1 + (number of 20/40/60/80-percentile
+    * cuts at or below the value), the exact interpolated-percentile
+    * aggregate both engines share (q79/q106 discipline) — and the output
+    * is the populated segment matrix (r_score, f_score, m_score, users).
+    *
+    * 100 TB: one per-user hash aggregate over the stream (count, sum,
+    * max ts — map-side combined), one 12-value percentile aggregate over
+    * the user-scale frame broadcast back, scan-side scoring, and a
+    * ≤ 125-row segment count. No window anywhere.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame =
+    rfmSegmentsOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (user_id, ts, value, …) stream. */
+  def rfmSegmentsOf(events: DataFrame): DataFrame = {
+    val refDate = events.agg(max(to_date(col("ts"))).as("ref"))
+    val users = events.groupBy(col("user_id")).agg(
+      max(to_date(col("ts"))).as("last_day"),
+      count(lit(1)).cast("double").as("f"),
+      round(sum(col("value")), 4).as("m"))
+      .crossJoin(broadcast(refDate))
+      .select(col("user_id"),
+        datediff(col("ref"), col("last_day")).cast("double").as("r"),
+        col("f"), col("m"))
+      .cache()
+    try {
+      val cutCols = for (d <- Seq("r", "f", "m"); (q, i) <- RfmQuantiles.zipWithIndex)
+        yield expr(s"percentile($d, $q)").as(s"${d}_c${i + 1}")
+      val cuts = users.agg(cutCols.head, cutCols.tail: _*)
+      def score(d: String): Column =
+        RfmQuantiles.indices.map(i => when(col(d) >= col(s"${d}_c${i + 1}"), 1).otherwise(0))
+          .reduce(_ + _) + 1
+      users.crossJoin(broadcast(cuts))
+        .select(col("user_id"),
+          score("r").cast("long").as("r_score"),
+          score("f").cast("long").as("f_score"),
+          score("m").cast("long").as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    } finally users.unpersist()
+  }
+
+  val q114OracleSql: String = {
+    val cutSelect = (for (d <- Seq("r", "f", "m"); (q, i) <- RfmQuantiles.zipWithIndex)
+      yield s"quantile_cont($d, $q) AS ${d}_c${i + 1}").mkString(", ")
+    def scoreSql(d: String) =
+      "1 + " + RfmQuantiles.indices.map(i => s"(CASE WHEN u.$d >= c.${d}_c${i + 1} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH ref AS (
+       |  SELECT MAX(CAST(ts AS DATE)) AS ref FROM events
+       |), u AS (
+       |  SELECT user_id,
+       |         CAST(date_diff('day', MAX(CAST(ts AS DATE)), (SELECT ref FROM ref)) AS DOUBLE) AS r,
+       |         CAST(COUNT(*) AS DOUBLE) AS f,
+       |         round(SUM(value), 4) AS m
+       |  FROM events GROUP BY user_id
+       |), c AS (
+       |  SELECT $cutSelect FROM u
+       |), s AS (
+       |  SELECT CAST(${scoreSql("r")} AS BIGINT) AS r_score,
+       |         CAST(${scoreSql("f")} AS BIGINT) AS f_score,
+       |         CAST(${scoreSql("m")} AS BIGINT) AS m_score
+       |  FROM u CROSS JOIN c
+       |)
+       |SELECT r_score, f_score, m_score, COUNT(*) AS users
+       |FROM s GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+  }
+}

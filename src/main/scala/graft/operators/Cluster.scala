@@ -213,6 +213,34 @@ object Cluster {
       .orderBy(col("cluster"), col("red").desc, col("vec_id"))
   }
 
+  /** The 100 TB shape of q102 — SemDeDup with the BLOCK COUNT growing
+    * with the corpus (the paper's own tractability condition, and the
+    * q62 nlist ∝ n discipline): clusters come from the scan-local
+    * sign-bit orthant code at width b = smallest with 2^b·target ≥ n
+    * ([[IvfIndex.signBitWidth]] — integer arithmetic, no training pass,
+    * no driver-held centroids to outgrow), so per-block pair work stays
+    * ~target²/2 at ANY corpus size while the declared q101-blocked row
+    * (k pinned at [[KmK]] for the closed-form oracle) grows
+    * quadratically-in-block past the fixture scale — measured exp 1.29
+    * at sf1, the q56→q62 pattern repeated (SemdedupScaleBench).
+    * Redundancy semantics are [[semdedupOf]]'s, unchanged; only the
+    * blocking key differs. At b = 0 (n ≤ target) this IS the exact
+    * all-pairs SemDeDup — the spec's equivalence anchor.
+    */
+  def semdedupScaledOf(emb: DataFrame, targetBlockRows: Int = 500): DataFrame = {
+    val stats = emb.agg(count(lit(1)), min(size(col("embedding")))).head()
+    val b = math.min(
+      IvfIndex.signBitWidth(stats.getLong(0), targetBlockRows), stats.getInt(1))
+    val clusterExpr =
+      if (b == 0) lit(0L)
+      else (0 until b).map(i =>
+        when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    semdedupOf(emb.select(
+      col("vec_id"), toDouble(col("embedding")).as("vec"),
+      clusterExpr.as("cluster")))
+  }
+
   val q102OracleSql: String =
     s"""$kmeansCtes, av AS (
       |  SELECT a2.vec_id, a2.cid, c.vec FROM a2 JOIN c USING (vec_id)

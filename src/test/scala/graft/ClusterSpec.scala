@@ -112,4 +112,38 @@ class ClusterSpec extends AnyFunSuite {
     assert(p.map(_.getLong(1)).sum == 500L)
     assert(p.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
   }
+
+  test("q102 scale path: at the one-block floor the sign-bit variant IS exact all-pairs semdedup") {
+    // target ≥ n ⇒ b = 0 ⇒ a single block: the scaled variant must equal
+    // semdedupOf over the trivial all-in-one assignment, row for row
+    val emb = TestSpark.spark.read
+      .parquet(s"${TestSpark.Sf0001}/embeddings.parquet").limit(100)
+    import org.apache.spark.sql.functions._
+    val scaled = Cluster.semdedupScaledOf(emb, targetBlockRows = 1000).collect().toSeq
+    val exact = Cluster.semdedupOf(emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("vec"),
+      lit(0L).as("cluster"))).collect().toSeq
+    assert(scaled == exact)
+  }
+
+  test("q102 scale path: block count grows with n and every block's drop quota is honored") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val out = Cluster.semdedupScaledOf(emb, targetBlockRows = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clusters = out.map(_._2).distinct
+    assert(clusters.length > 1, "500 vectors at target 100 must split into multiple orthants")
+    // drops per cluster = floor(size/4): recompute sizes from the same code
+    import org.apache.spark.sql.functions._
+    val b = 3 // signBitWidth(500, 100) = bit_length(4) = 3
+    val sizes = emb.select(((0 until b).map(i =>
+      when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)).as("cluster"))
+      .groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropsPer = out.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.foreach { case (c, n) =>
+      assert(dropsPer.getOrElse(c, 0) == (n / Cluster.SemDedupDropDiv).toInt,
+        s"cluster $c size $n must drop exactly ${n / 4}")
+    }
+  }
 }

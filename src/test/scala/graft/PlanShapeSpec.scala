@@ -532,4 +532,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"gram assembly must be scan-local, never a positional join;\n$p")
     assert("HashAggregate".r.findAllIn(p).nonEmpty, s"type counting must hash-aggregate;\n$p")
   }
+
+  test("q113 funnel: per-stage aggregates + anchor equi-joins — no window, no sequence collect") {
+    val p = plan(graft.operators.Behavior.funnelSteps(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"stage anchors are MIN aggregates, never a window over the stream;\n$p")
+    assert(!p.contains("collect_list"),
+      s"the windowed formulation needs no per-user sequence materialization;\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"stage joins are equi-joins on user_id;\n$p")
+  }
+
+  test("q114 rfm: one user aggregate, broadcast cuts, scan-side scoring — no window") {
+    val p = plan(graft.operators.Behavior.rfmSegments(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"quintile scores come from percentile aggregates, never ntile windows;\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 12-value cut row must broadcast back onto the user frame;\n$p")
+  }
 }
