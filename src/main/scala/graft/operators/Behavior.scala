@@ -145,6 +145,9 @@ object Behavior {
       def score(d: String): Column =
         RfmQuantiles.indices.map(i => when(col(d) >= col(s"${d}_c${i + 1}"), 1).otherwise(0))
           .reduce(_ + _) + 1
+      // eager materialization inside the cache's lifetime (the
+      // DedupExtras pattern): the ≤125-row matrix checkpoints before the
+      // finally releases the per-user aggregate
       users.crossJoin(broadcast(cuts))
         .select(col("user_id"),
           score("r").cast("long").as("r_score"),
@@ -153,6 +156,7 @@ object Behavior {
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("users"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
+        .localCheckpoint(true)
     } finally users.unpersist()
   }
 

@@ -228,14 +228,7 @@ object Cluster {
     * all-pairs SemDeDup — the spec's equivalence anchor.
     */
   def semdedupScaledOf(emb: DataFrame, targetBlockRows: Int = 500): DataFrame = {
-    val stats = emb.agg(count(lit(1)), min(size(col("embedding")))).head()
-    val b = math.min(
-      IvfIndex.signBitWidth(stats.getLong(0), targetBlockRows), stats.getInt(1))
-    val clusterExpr =
-      if (b == 0) lit(0L)
-      else (0 until b).map(i =>
-        when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _)
+    val (_, clusterExpr) = IvfIndex.signBitCode(emb, targetBlockRows)
     semdedupOf(emb.select(
       col("vec_id"), toDouble(col("embedding")).as("vec"),
       clusterExpr.as("cluster")))

@@ -61,6 +61,10 @@ object CorpusStats {
       val cuts = scored.groupBy(col("lang")).agg(
         expr(s"percentile(avg_logp2, $TertileLow)").as("c_low"),
         expr(s"percentile(avg_logp2, $TertileHigh)").as("c_high"))
+      // materialize the (langs×3)-row report EAGERLY inside the cache's
+      // lifetime (the DedupExtras operator-scoped pattern) — returning
+      // the lazy frame would let the finally drop the cache before any
+      // action runs and silently recompute the LM pipeline per consumer
       scored.join(broadcast(cuts), Seq("lang"))
         .withColumn("bucket",
           when(col("avg_logp2") >= col("c_high"), lit("head"))
@@ -70,6 +74,7 @@ object CorpusStats {
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("avg_logp2")), 6).as("sum_logp2"))
         .orderBy(col("lang"), col("bucket"))
+        .localCheckpoint(true)
     } finally scored.unpersist()
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -218,18 +218,31 @@ object IvfIndex {
     64 - java.lang.Long.numberOfLeadingZeros(t) // bit_length; 0 when t == 0
   }
 
+  /** THE sign-bit orthant rule, shared by every nlist ∝ n consumer
+    * ([[buildSignBit]], `Cluster.semdedupScaledOf`): one count+dim pass
+    * (b caps at dim — reading sign bit `i >= dim` would be an
+    * out-of-bounds array access under ANSI mode), then the orthant code
+    * as a scan-local expression over `embedding` (bit i ⇔ component
+    * i > 0). Returns (b, code column); b = 0 ⇒ the single-list floor.
+    */
+  private[graft] def signBitCode(emb: DataFrame,
+                                 targetListRows: Int): (Int, Column) = {
+    val stats = emb.agg(count(lit(1)), min(size(col("embedding")))).head()
+    val b = math.min(signBitWidth(stats.getLong(0), targetListRows), stats.getInt(1))
+    val code =
+      if (b == 0) lit(0L)
+      else (0 until b).map(i =>
+        when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    (b, code)
+  }
+
   def buildSignBit(spark: SparkSession, emb: DataFrame, indexDir: String,
                    targetListRows: Int = 200): Int = {
     GraftFunctions.ensureRegistered(spark)
     // count and dim in ONE pass; b caps at dim — there are only 2^dim
     // orthants, and reading sign bit `i >= dim` would be an out-of-bounds
     // array access (an error under ANSI mode, not a null)
-    val stats = emb.agg(count(lit(1)), min(size(col("embedding")))).head()
-    val b = math.min(signBitWidth(stats.getLong(0), targetListRows), stats.getInt(1))
-    val listExpr =
-      if (b == 0) lit(0L)
-      else (0 until b).map(i =>
-        when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val (b, listExpr) = signBitCode(emb, targetListRows)
     // long label, like writeIndex: one parquet type across build + appends
     val labelCol =
       if (emb.columns.contains("label")) col("label").cast("long") else lit(-1L)
