@@ -137,27 +137,25 @@ object Behavior {
       .select(col("user_id"),
         datediff(col("ref"), col("last_day")).cast("double").as("r"),
         col("f"), col("m"))
-      .cache()
-    try {
-      val cutCols = for (d <- Seq("r", "f", "m"); (q, i) <- RfmQuantiles.zipWithIndex)
-        yield expr(s"percentile($d, $q)").as(s"${d}_c${i + 1}")
-      val cuts = users.agg(cutCols.head, cutCols.tail: _*)
-      def score(d: String): Column =
-        RfmQuantiles.indices.map(i => when(col(d) >= col(s"${d}_c${i + 1}"), 1).otherwise(0))
-          .reduce(_ + _) + 1
-      // eager materialization inside the cache's lifetime (the
-      // DedupExtras pattern): the ≤125-row matrix checkpoints before the
-      // finally releases the per-user aggregate
-      users.crossJoin(broadcast(cuts))
-        .select(col("user_id"),
-          score("r").cast("long").as("r_score"),
-          score("f").cast("long").as("f_score"),
-          score("m").cast("long").as("m_score"))
-        .groupBy(col("r_score"), col("f_score"), col("m_score"))
-        .agg(count(lit(1)).as("users"))
-        .orderBy(col("r_score"), col("f_score"), col("m_score"))
-        .localCheckpoint(true)
-    } finally users.unpersist()
+    val cutCols = for (d <- Seq("r", "f", "m"); (q, i) <- RfmQuantiles.zipWithIndex)
+      yield expr(s"percentile($d, $q)").as(s"${d}_c${i + 1}")
+    val cuts = users.agg(cutCols.head, cutCols.tail: _*)
+    def score(d: String): Column =
+      RfmQuantiles.indices.map(i => when(col(d) >= col(s"${d}_c${i + 1}"), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    // both consumers of `users` live in this ONE plan — the per-user
+    // aggregate's user_id exchange is shared via ReusedExchange
+    // (measured: caching it changed nothing across the ladder), so no
+    // operator-scoped cache is needed and the returned plan keeps its
+    // auditable lineage
+    users.crossJoin(broadcast(cuts))
+      .select(col("user_id"),
+        score("r").cast("long").as("r_score"),
+        score("f").cast("long").as("f_score"),
+        score("m").cast("long").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
   val q114OracleSql: String = {

@@ -43,10 +43,13 @@ object CorpusStats {
     * (value-count buffers, the q79 discipline — never a percent_rank
     * window over corpus rows), the ≤ langs×2 cut table broadcasts back,
     * bucket assignment is a scan-side comparison, and the final
-    * aggregate is (langs × 3)-scale. The scored frame caches across its
-    * two consumers (cut build + bucket cut) exactly as q79's does; a
-    * production pipeline persists the score column and re-buckets
-    * without re-tokenizing.
+    * aggregate is (langs × 3)-scale. The scored stream feeds both
+    * consumers (cut build + bucket cut) inside ONE action: the heavy LM
+    * derivation ends at a doc_id hash exchange that ReusedExchange
+    * shares between them (measured: a cache over the stream changed
+    * nothing across the sf0.1→sf10 ladder), so no operator-scoped cache
+    * is needed — a production pipeline persists the score column and
+    * re-buckets without re-tokenizing.
     */
   def perplexityBucket(spark: SparkSession, sfDir: String): DataFrame =
     perplexityBucketOf(Tables.documents(spark, sfDir))
@@ -56,26 +59,22 @@ object CorpusStats {
     val scored = TextAnalysis.bigramLogProbOf(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("lang"), col("doc_id"), col("avg_logp2"))
-      .cache()
-    try {
-      val cuts = scored.groupBy(col("lang")).agg(
-        expr(s"percentile(avg_logp2, $TertileLow)").as("c_low"),
-        expr(s"percentile(avg_logp2, $TertileHigh)").as("c_high"))
-      // materialize the (langs×3)-row report EAGERLY inside the cache's
-      // lifetime (the DedupExtras operator-scoped pattern) — returning
-      // the lazy frame would let the finally drop the cache before any
-      // action runs and silently recompute the LM pipeline per consumer
-      scored.join(broadcast(cuts), Seq("lang"))
-        .withColumn("bucket",
-          when(col("avg_logp2") >= col("c_high"), lit("head"))
-            .when(col("avg_logp2") >= col("c_low"), lit("middle"))
-            .otherwise(lit("tail")))
-        .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("avg_logp2")), 6).as("sum_logp2"))
-        .orderBy(col("lang"), col("bucket"))
-        .localCheckpoint(true)
-    } finally scored.unpersist()
+    val cuts = scored.groupBy(col("lang")).agg(
+      expr(s"percentile(avg_logp2, $TertileLow)").as("c_low"),
+      expr(s"percentile(avg_logp2, $TertileHigh)").as("c_high"))
+    // both consumers of `scored` live in this ONE plan — the LM
+    // pipeline's doc_id exchange is shared via ReusedExchange, so no
+    // cache (whose lifetime a lazily-returned frame can't scope) is
+    // needed, and the returned plan keeps its auditable lineage
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_logp2") >= col("c_high"), lit("head"))
+          .when(col("avg_logp2") >= col("c_low"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("avg_logp2")), 6).as("sum_logp2"))
+      .orderBy(col("lang"), col("bucket"))
   }
 
   val q106OracleSql: String =
