@@ -253,4 +253,118 @@ object CorpusStats {
       |SELECT lang, n, COUNT(*) AS types, CAST(SUM(c) AS BIGINT) AS instances,
       |       round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS diversity
       |FROM t GROUP BY lang, n ORDER BY lang, n""".stripMargin
+
+  /** Symmetric co-occurrence window (context words up to this many
+    * positions away pair with the center — the word2vec/GloVe default
+    * neighborhood scale), reported-pair count floor (the classic
+    * collocation-extraction guard: PMI on singleton pairs is pure noise),
+    * and the presentation cut.
+    */
+  val CoocWindow   = 4
+  val CoocMinCount = 5
+  val CoocTopK     = 200
+
+  /** q115_pmi_cooccur — windowed CO-OCCURRENCE counts + PMI collocation
+    * ranking (Church & Hanks, CL'90; the GloVe/word2vec co-occurrence
+    * pass, Pennington et al. EMNLP'14 §3): every unordered token pair
+    * within a [[CoocWindow]]-position window counts once per occurrence,
+    * and pairs seen ≥ [[CoocMinCount]] times rank by pointwise mutual
+    * information ln(P(a,b) / (P(a)·P(b))) — P(a,b) over the pair stream,
+    * P(w) over the token stream. Emits the top-[[CoocTopK]] by
+    * (rounded pmi desc, a, b): the deterministic presentation cut orders
+    * on the 6-dp ROUNDED score so a last-ulp ln() divergence between
+    * engines cannot flip the boundary (the q105 rounding lesson applied
+    * to ordering).
+    *
+    * This is the TRAINING-DATA side of the embedding stack the search
+    * family (q01/q24/q41…) consumes: the co-occurrence pair table IS the
+    * input matrix GloVe factorizes and the implicit matrix SGNS shifts
+    * (Levy & Goldberg, NeurIPS'14).
+    *
+    * 100 TB: pair assembly is SCAN-LOCAL (per-order slice+zip over the
+    * token array — the q78/q112 idiom, never a positional self-join), so
+    * the only corpus-scale shuffle carries pair TYPES with map-side
+    * combine (Heaps-law sublinear, the q04 vocab argument). Unigram
+    * counts join the pair-type table on each end — vocab-scale equi-joins,
+    * broadcast by default with the q94 `broadcastCounts` escape hatch for
+    * vocabularies past broadcast size. The two scalar totals broadcast,
+    * and the cut is a TakeOrderedAndProject heap, never a global sort.
+    */
+  def pmiCooccur(spark: SparkSession, sfDir: String): DataFrame =
+    pmiCooccurOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (text, …) corpus. */
+  def pmiCooccurOf(docs: DataFrame, broadcastCounts: Boolean = true): DataFrame = {
+    val toks = docs.select(TextPipeline.tokenArr(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("double").as("cw"))
+    val nTok = uni.agg(sum(col("cw")).as("n_tok"))
+    // all W offsets' pairs in one scan-local pass: offset d pairs toks[i]
+    // with toks[i+d] via the slice+zip idiom (an index-probing lambda
+    // would re-run the inlined tokenizer per element, the shingleSetsOf
+    // lesson); unordered pairs canonicalize as (least, greatest)
+    def pairsAtOffset(d: Int) = {
+      val zipped = transform(
+        arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - d).as("x"),
+          slice(col("toks"), lit(1 + d), size(col("toks")) - d).as("y")),
+        s => struct(least(s.getField("x"), s.getField("y")).as("a"),
+          greatest(s.getField("x"), s.getField("y")).as("b")))
+      when(size(col("toks")) > d, zipped)
+        .otherwise(expr("array()").cast("array<struct<a:string,b:string>>"))
+    }
+    val pairCounts = toks
+      .select(explode(flatten(array((1 to CoocWindow).map(pairsAtOffset): _*))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nPairs = pairCounts.agg(sum(col("c_ab")).cast("double").as("n_pairs"))
+    val kept = pairCounts.filter(col("c_ab") >= CoocMinCount)
+    val withEnds =
+      if (broadcastCounts)
+        kept.join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("cw", "cw_a")), Seq("a"))
+          .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("cw", "cw_b")), Seq("b"))
+      else
+        kept.join(uni.withColumnRenamed("w", "a").withColumnRenamed("cw", "cw_a").hint("shuffle_hash"), Seq("a"))
+          .join(uni.withColumnRenamed("w", "b").withColumnRenamed("cw", "cw_b").hint("shuffle_hash"), Seq("b"))
+    withEnds
+      .crossJoin(broadcast(nPairs))
+      .crossJoin(broadcast(nTok))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("c_ab") / col("n_pairs")) /
+          ((col("cw_a") / col("n_tok")) * (col("cw_b") / col("n_tok")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(CoocTopK)
+  }
+
+  /** One per-offset arm of the oracle's pair stream (the q112 UNION ALL
+    * unroll — DuckDB's correlated UNNEST over a cross-joined offset
+    * table hits the same binder error).
+    */
+  private def coocArmSql(d: Int): String =
+    s"""SELECT least(toks[g.i], toks[g.i+$d]) AS a, greatest(toks[g.i], toks[g.i+$d]) AS b
+       |  FROM d CROSS JOIN UNNEST(generate_series(1, len(toks) - $d)) AS g(i)
+       |  WHERE len(toks) > $d""".stripMargin
+
+  val q115OracleSql: String =
+    s"""WITH d AS (
+      |  SELECT regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks FROM documents
+      |), u AS (
+      |  SELECT unnest(toks) AS w FROM d
+      |), uc AS (
+      |  SELECT w, CAST(COUNT(*) AS DOUBLE) AS cw FROM u GROUP BY w
+      |), nt AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM u
+      |), p AS (
+      |  ${(1 to CoocWindow).map(coocArmSql).mkString("\n  UNION ALL\n  ")}
+      |), pc AS (
+      |  SELECT a, b, COUNT(*) AS c_ab FROM p GROUP BY a, b
+      |), np AS (
+      |  SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_pairs FROM pc
+      |)
+      |SELECT a, b, c_ab,
+      |       round(ln((c_ab / n_pairs) / ((ua.cw / n_tok) * (ub.cw / n_tok))), 6) AS pmi
+      |FROM pc JOIN uc ua ON pc.a = ua.w JOIN uc ub ON pc.b = ub.w
+      |CROSS JOIN np CROSS JOIN nt
+      |WHERE c_ab >= $CoocMinCount
+      |ORDER BY pmi DESC, a, b LIMIT $CoocTopK""".stripMargin
 }

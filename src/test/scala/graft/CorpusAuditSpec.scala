@@ -74,4 +74,42 @@ class CorpusAuditSpec extends AnyFunSuite {
     val r = CorpusStats.zipfSlopeOf(docs).collect().head
     assert(r.getLong(0) == 3)
   }
+
+  test("q115: pair counts and pmi match a brute-force reference on a constructed corpus") {
+    val base = Seq("alpha beta gamma alpha delta", "beta gamma beta epsilon alpha zeta")
+    val reps = 6 // lift every pair past the CoocMinCount floor
+    val texts = Seq.fill(reps)(base).flatten
+    val out = CorpusStats.pmiCooccurOf(texts.toDF("text")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+
+    // brute-force reference: all unordered within-window pairs
+    val tokss = texts.map(_.split(" ").toSeq)
+    val uni = tokss.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val nTok = tokss.map(_.size).sum.toDouble
+    val pairs = tokss.flatMap { t =>
+      for { i <- t.indices; d <- 1 to CorpusStats.CoocWindow if i + d < t.size }
+        yield { val (x, y) = (t(i), t(i + d)); if (x <= y) (x, y) else (y, x) }
+    }
+    val nPairs = pairs.size.toDouble
+    val expect = pairs.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= CorpusStats.CoocMinCount)
+      .map { case (k, c) =>
+        k -> (c.toLong, BigDecimal(
+          math.log((c / nPairs) / ((uni(k._1) / nTok) * (uni(k._2) / nTok))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    assert(expect.nonEmpty && expect.size <= CorpusStats.CoocTopK)
+    assert(out.toMap == expect)
+
+    // canonical unordered pairs, presentation order (pmi desc, a, b)
+    assert(out.forall { case ((a, b), _) => a <= b })
+    val keys = out.map { case ((a, b), (_, p)) => (-p, a, b) }
+    assert(keys.sameElements(keys.sorted), "rows must order by (pmi desc, a, b)")
+  }
+
+  test("q115: the min-count floor drops rare pairs") {
+    // every pair occurs exactly once — below the floor, nothing reported
+    val docs = Seq("one two three four five six seven").toDF("text")
+    assert(CorpusStats.pmiCooccurOf(docs).count() == 0)
+  }
 }

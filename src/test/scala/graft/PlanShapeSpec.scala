@@ -550,4 +550,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"the 12-value cut row must broadcast back onto the user frame;\n$p")
   }
+
+  test("q115 pmi: scan-local pair assembly, type-scale joins, heap-based cut") {
+    val p = plan(graft.operators.CorpusStats.pmiCooccur(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"no window anywhere in the collocation path;\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair assembly must be the slice+zip scan-local idiom, never a positional self-join;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the unigram type table must broadcast onto the pair-type stream;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-$${CoocTopK} cut must be per-partition heaps, never a global sort;\n$p")
+  }
 }
