@@ -38,7 +38,9 @@ object Explain {
                          "q108_lsh_audit", "q109_zipf_slope",
                          "q110_overlap_pagerank", "q111_containment_dedup",
                          "q112_ngram_diversity", "q113_funnel_steps",
-                         "q114_rfm_segments")
+                         "q114_rfm_segments", "q115_pmi_cooccur",
+                         "q116_entity_tag", "q117_mad_outliers",
+                         "q118_overlap_triangles", "q119_isotropy_report")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

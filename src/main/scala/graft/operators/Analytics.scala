@@ -90,4 +90,135 @@ object Analytics {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** 3 × the 1.4826 normal-consistency factor (median absolute deviation
+    * ≈ σ/1.4826 under normality — Hampel '74): the classic robust
+    * "3-sigma" cut. Computed ONCE here and interpolated into the oracle
+    * SQL via Scala's round-tripping Double print, so both engines
+    * multiply by the bit-identical constant.
+    */
+  val MadCutoff: Double = 3.0 * 1.4826
+
+  /** q117_mad_outliers — ROBUST per-group anomaly report (median/MAD,
+    * Hampel identifier): per event_type, the median, the median absolute
+    * deviation, and how many events sit past [[MadCutoff]]·MAD from the
+    * median. The robust pair is immune to the very outliers it hunts —
+    * a mean/stddev z-score lets a heavy tail inflate σ and hide itself
+    * (the standard argument for MAD in monitoring pipelines).
+    *
+    * 100 TB: three passes over the stream, each a map-side-combined
+    * aggregate keyed by event_type — no corpus-scale shuffle ever
+    * carries event rows (the med/mad tables are type-scale and
+    * broadcast back; the dev column evaluates scan-side). Exact-median
+    * state is a per-group value-count buffer, which the fixture's 2-dp
+    * value domain bounds at (range × 100) entries — the q36/q79
+    * discipline; on an unbounded-domain stream swap the aggregate for
+    * approx_percentile and keep the identical plan.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    madOutliersOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (event_type, value, …) stream. */
+  def madOutliersOf(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = events.select(col("event_type"), col("value"))
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("hit", when(col("dev") > lit(MadCutoff) * col("mad"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(col("hit")).as("n_outliers"),
+        round(sum(col("hit")).cast("double") / count(lit(1)), 6).as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  val q117OracleSql: String =
+    s"""WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+      |), d AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN m USING (event_type)
+      |), a AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY event_type
+      |)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |       round(MIN(d.med), 6) AS med, round(MIN(a.mad), 6) AS mad,
+      |       CAST(SUM(CASE WHEN d.dev > $MadCutoff * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       round(CAST(SUM(CASE WHEN d.dev > $MadCutoff * a.mad THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+      |FROM d JOIN a USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  /** q119_isotropy_report — EMBEDDING-SPACE HEALTH per label: vector
+    * count, mean L2 norm, mean resultant length R̄ = ‖Σû‖/n (directional
+    * statistics' concentration measure — 0 isotropic, 1 collimated), and
+    * the mean pairwise cosine across ALL n(n−1) ordered pairs — computed
+    * in CLOSED FORM via the identity Σᵢⱼ cos(vᵢ,vⱼ) = ‖Σû‖² (û the unit
+    * vectors), so the all-pairs statistic costs ONE vector-sum
+    * aggregate, never a pair join. Anisotropy (mean cosine ≫ 0) is the
+    * known failure mode of contextual embedding spaces (Ethayarajh
+    * EMNLP'19) and degrades both cosine k-NN contrast (q01) and IVF
+    * partition balance (q24/q38) — this is the report a pipeline runs
+    * BEFORE building the index.
+    *
+    * Zero vectors carry no direction and are outside the population
+    * (the q23/q01 cosine convention, one level up).
+    *
+    * 100 TB: one scan; per-vector norms are scan-local array folds; the
+    * per-(label, dim) unit-component sums aggregate with map-side
+    * combine (label × dim partials — decision-scale), and everything
+    * past that is label-scale arithmetic. The pair semantics that would
+    * be O(n²) anywhere else ride the algebraic identity.
+    */
+  def isotropyReport(spark: SparkSession, sfDir: String): DataFrame =
+    isotropyReportOf(Tables.embeddings(spark, sfDir))
+
+  /** Composable core for ANY (label, embedding) frame. */
+  def isotropyReportOf(emb: DataFrame): DataFrame = {
+    val withNorm = emb.select(col("label"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val stats = withNorm.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), avg(col("nrm")).as("anorm"))
+    val ssq = withNorm
+      .select(col("label"), col("nrm"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"), (col("v").cast("double") / col("nrm")).as("u"))
+      .groupBy(col("label"), col("pos")).agg(sum(col("u")).as("sv"))
+      .groupBy(col("label")).agg(sum(col("sv") * col("sv")).as("ssq"))
+    stats.join(ssq, Seq("label"))
+      .select(col("label"), col("n"),
+        round(col("anorm"), 6).as("avg_norm"),
+        round(sqrt(col("ssq")) / col("n"), 6).as("rbar"),
+        round((col("ssq") - col("n")) / (col("n") * (col("n") - lit(1L))), 6)
+          .as("avg_pairwise_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q119OracleSql: String =
+    """WITH w AS (
+      |  SELECT label, embedding,
+      |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings
+      |), f AS (
+      |  SELECT * FROM w WHERE nrm > 0
+      |), s AS (
+      |  SELECT label, COUNT(*) AS n, AVG(nrm) AS anorm FROM f GROUP BY label
+      |), d AS (
+      |  SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) / nrm AS u
+      |  FROM f CROSS JOIN UNNEST(generate_series(1, len(embedding))) g(i)
+      |), ds AS (
+      |  SELECT label, pos, SUM(u) AS sv FROM d GROUP BY label, pos
+      |), q AS (
+      |  SELECT label, SUM(sv * sv) AS ssq FROM ds GROUP BY label
+      |)
+      |SELECT s.label, s.n, round(s.anorm, 6) AS avg_norm,
+      |       round(sqrt(q.ssq) / s.n, 6) AS rbar,
+      |       round((q.ssq - s.n) / (s.n * (s.n - 1)), 6) AS avg_pairwise_cos
+      |FROM s JOIN q USING (label) ORDER BY label""".stripMargin
 }

@@ -146,4 +146,74 @@ object OverlapGraph {
        |ORDER BY pr DESC, doc_id
        |LIMIT $PrTopN""".stripMargin
   }
+
+  /** Presentation cut for the triangle report. */
+  val TriTopN = 20
+
+  /** q118_overlap_triangles — TRIANGLE PARTICIPATION over the q91
+    * winnow-match graph: how many closed triads each document sits in,
+    * top-[[TriTopN]] by (triangles desc, doc_id). Triangles are the
+    * link-analysis complement to q110's PageRank: rank finds HUBS, triads
+    * find CLIQUES — a content farm cross-quoting itself forms dense
+    * triangle clusters long before any single page accumulates rank
+    * (the classic web-spam signal; trusses/clustering coefficients are
+    * this count normalized).
+    *
+    * Each triangle a<b<c counts exactly once: the canonical orientation
+    * ((a,b) ⋈ (b,c) closing with (a,c)) makes the count a pure
+    * equi-join expression — no distinct, no per-node set intersection.
+    *
+    * 100 TB: the edge list is decision-scale by the q91 contract and
+    * checkpoints once (one winnow execution feeds all three join
+    * sides); both triangle joins are equi-joins on edge endpoints. On a
+    * web-scale graph with heavy-hitter degrees the same plan holds
+    * after re-orienting edges by (degree, id) — Cohen's
+    * degree-ordering bounds each node's out-set by √|E| and with it the
+    * wedge fanout; the fixture graph's near-dup cliques don't need it.
+    */
+  def overlapTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOverEdges(TextAnalysis.winnowMatchesOf(
+      graft.Tables.documents(spark, sfDir), minShared = PrMinShared))
+
+  /** Composable core over ANY canonical (a_id < b_id) edge frame. */
+  private[graft] def trianglesOverEdges(matches: DataFrame): DataFrame = {
+    val e = matches.select(col("a_id").as("a"), col("b_id").as("b"))
+      .localCheckpoint(true)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges.join(e.as("e3"),
+      col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select(col("wa"), col("wb"), col("wc"))
+    tri.select(explode(array(col("wa"), col("wb"), col("wc"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("doc_id"))
+      .limit(TriTopN)
+  }
+
+  /** q91's edge CTEs + the oriented two-join triangle closure. */
+  val q118OracleSql: String = {
+    val matchCtes = TextAnalysis.q91OracleSql
+      .split("\\n\\)\\nSELECT")(0)
+    s"""$matchCtes
+       |), m AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $PrMinShared
+       |), tg AS (
+       |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+       |  FROM m e1
+       |  JOIN m e2 ON e1.b_id = e2.a_id
+       |  JOIN m e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+       |), corners AS (
+       |  SELECT a AS doc_id FROM tg
+       |  UNION ALL SELECT b FROM tg
+       |  UNION ALL SELECT c FROM tg
+       |)
+       |SELECT doc_id, COUNT(*) AS triangles
+       |FROM corners GROUP BY doc_id
+       |ORDER BY triangles DESC, doc_id
+       |LIMIT $TriTopN""".stripMargin
+  }
 }

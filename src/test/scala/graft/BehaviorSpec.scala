@@ -4,10 +4,11 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Behavior
+import graft.operators.{Analytics, Behavior}
 
-/** q113/q114 — windowed funnel conversion and RFM segmentation, on
-  * constructed event streams with hand-checkable outcomes.
+/** q113/q114/q117 — windowed funnel conversion, RFM segmentation, and
+  * the MAD outlier report, on constructed event streams with
+  * hand-checkable outcomes.
   */
 class BehaviorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -91,5 +92,64 @@ class BehaviorSpec extends AnyFunSuite {
     // though one reached it through 100 float adds
     val mByRow = segs.flatMap { case (_, m, n) => Seq.fill(n.toInt)(m) }.sorted
     assert(mByRow.toSeq == Seq(3L, 3L, 5L), s"got ${segs.toSeq}")
+  }
+
+  test("q117: median, MAD, and the outlier cut match closed-form values") {
+    // type a: 1..9 plus one wild point. med 5.5; devs sorted
+    // [.5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5] -> mad 2.5;
+    // cutoff 4.4478*2.5 = 11.1195 -> only the wild point is out.
+    // type b: uniform 1..5 -> mad 1, nothing past the cut.
+    val events =
+      ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 1000.0)) ++
+        (1 to 5).map(v => ("b", v.toDouble))
+    val out = Analytics.madOutliersOf(events.toDF("event_type", "value")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out("a") == ((10L, 5.5, 2.5, 1L, 0.1)))
+    assert(out("b") == ((5L, 3.0, 1.0, 0L, 0.0)))
+  }
+
+  test("q117: the robust pair is immune to the outlier it hunts") {
+    // a mean/stddev z-score on this stream reads z ~ 3.0 for the wild
+    // point only because sigma inflated 300x; the MAD cut flags it at
+    // dev/mad ~ 400 regardless of how extreme it is
+    val events = ((1 to 99).map(v => ("a", (v % 10 + 1).toDouble)) :+ ("a", 1e6)).toSeq
+    val out = Analytics.madOutliersOf(events.toDF("event_type", "value")).collect().head
+    assert(out.getLong(4) == 1L, "exactly the planted point is out")
+    assert(out.getDouble(3) <= 3.0, "MAD must stay at the bulk's scale")
+  }
+
+  test("q119: collimated and isotropic label populations hit the closed-form poles") {
+    // label 1: four vectors on ONE ray, norms 1..4 -> rbar 1, mean
+    // pairwise cos 1, avg_norm 2.5. label 2: the four 2-d axis
+    // directions -> resultant 0, mean pairwise cos (0-n)/(n(n-1)) = -1/3.
+    // label 3: a zero vector among them is outside the population.
+    val emb = Seq(
+      (1, Array(1f, 0f)), (1, Array(2f, 0f)), (1, Array(3f, 0f)), (1, Array(4f, 0f)),
+      (2, Array(1f, 0f)), (2, Array(-1f, 0f)), (2, Array(0f, 1f)), (2, Array(0f, -1f)),
+      (3, Array(0f, 0f)), (3, Array(0f, 5f)), (3, Array(0f, 7f))
+    ).toDF("label", "embedding")
+    val out = graft.operators.Analytics.isotropyReportOf(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1) == ((4L, 2.5, 1.0, 1.0)))
+    assert(out(2) == ((4L, 1.0, 0.0, -0.333333)))
+    assert(out(3) == ((2L, 6.0, 1.0, 1.0)), "the zero vector must be excluded")
+  }
+
+  test("q119: the sum-identity equals the brute-force pairwise mean") {
+    val vs = Seq(Array(3f, 1f, 2f), Array(-1f, 4f, 0f), Array(2f, -2f, 5f),
+      Array(0f, 1f, 1f), Array(-3f, -1f, 2f))
+    val out = graft.operators.Analytics.isotropyReportOf(
+      vs.map(v => (9, v)).toDF("label", "embedding")).collect().head
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def cos(a: Array[Float], b: Array[Float]) =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val pairs = for (i <- vs.indices; j <- vs.indices if i != j) yield cos(vs(i), vs(j))
+    val expect = BigDecimal(pairs.sum / pairs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.getDouble(4) - expect) <= 1e-6,
+      s"identity ${out.getDouble(4)} vs brute force $expect")
   }
 }

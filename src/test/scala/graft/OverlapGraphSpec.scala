@@ -4,9 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{CorpusStats, DedupExtras, OverlapGraph}
 
-/** q110/q111/q112 — overlap PageRank, containment dedup, and the
-  * distinct-n diversity report, on constructed corpora with closed-form
-  * expectations.
+/** q110/q111/q112/q118 — overlap PageRank, containment dedup, the
+  * distinct-n diversity report, and triangle participation, on
+  * constructed corpora with closed-form expectations.
   */
 class OverlapGraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -80,5 +80,31 @@ class OverlapGraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // en: 1-grams 2/2, 2-grams 1/1 — no 3-gram row; fr: only 1-grams 1/1
     assert(out.toSeq == Seq(("en", 1L, 2L, 2L), ("en", 2L, 1L, 1L), ("fr", 1L, 1L, 1L)))
+  }
+
+  test("q118 core: cliques close, wedges and isolated edges do not") {
+    // a 4-clique (each node in C(3,2)=3 triangles), an isolated edge,
+    // and an open wedge 7-8-9 (no closing edge -> no triangle)
+    val edges = (Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)) ++
+      Seq((5L,6L),(7L,8L),(8L,9L))).map { case (a,b) => (a,b,9L) }
+      .toDF("a_id", "b_id", "n_shared")
+    val out = OverlapGraph.trianglesOverEdges(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toMap == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // ordering: triangles desc, then doc_id
+    val keys = out.map { case (id, n) => (-n, id) }
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q118: the declared row is non-degenerate and heap-cut") {
+    val df = OverlapGraph.overlapTriangles(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"the triangle closure must read the checkpointed edges, not re-run the winnow scan;\n$p")
+    assert(!p.contains("CartesianProduct"), s"oriented closure joins are equi-joins;\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"the top-N cut must be heap-based;\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the sf0.001 fixture graph must contain triangles")
+    assert(rows.length <= OverlapGraph.TriTopN)
   }
 }

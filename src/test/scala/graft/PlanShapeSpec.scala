@@ -562,4 +562,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-$${CoocTopK} cut must be per-partition heaps, never a global sort;\n$p")
   }
+
+  test("q117 mad: three type-keyed aggregates, broadcast med/mad, no window") {
+    val p = plan(graft.operators.Analytics.madOutliers(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"medians are percentile AGGREGATES, never a median() window;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the type-scale med/mad tables must broadcast back onto the stream;\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-side shuffle join anywhere;\n$p")
+  }
+
+  test("q119 isotropy: the all-pairs statistic rides the sum identity — no pair join") {
+    val p = plan(graft.operators.Analytics.isotropyReport(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mean pairwise cosine must come from the closed-form vector sum, never a pair join;\n$p")
+    val gen = "Generate posexplode".r.findAllIn(p).length
+    assert(gen == 1, s"one (label, dim) unit-component stream;\n$p")
+  }
+
+  test("q116 gazetteer: hit-scale explode, no join, no window") {
+    val p = plan(graft.operators.Gazetteer.entityTag(spark, TestSpark.Sf0001))
+    assert(!p.contains("Join"),
+      s"the inlined dictionary matches scan-side — no terms-table join at this size;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    // the scan-side filter must precede the explode: the generator's input
+    // is the FILTERED array (hit-scale), not the raw token array
+    assert(p.contains("array_contains"), s"set membership must be the codegen'd array_contains;\n$p")
+    val gen = "Generate explode".r.findAllIn(p).length
+    assert(gen == 1, s"exactly one hit-scale generator;\n$p")
+  }
 }
