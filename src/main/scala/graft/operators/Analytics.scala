@@ -221,4 +221,71 @@ object Analytics {
       |       round(sqrt(q.ssq) / s.n, 6) AS rbar,
       |       round((q.ssq - s.n) / (s.n * (s.n - 1)), 6) AS avg_pairwise_cos
       |FROM s JOIN q USING (label) ORDER BY label""".stripMargin
+
+  /** Poisson-surprise threshold for the burst report: flag buckets more
+    * than this many √λ above the per-type hourly rate.
+    */
+  val BurstZ = 3.0
+
+  /** q120_rate_bursts — RATE anomaly detection per (event_type, hour):
+    * the Poisson-surprise complement to q117's VALUE outliers. Each
+    * type's base rate λ = its event total over the corpus' observed
+    * hours; a bucket with count n flags when (n − λ)/√λ > [[BurstZ]]
+    * (the variance-stabilized Poisson z — under H₀ counts fluctuate
+    * √λ, so the threshold is scale-free across types with different
+    * traffic). Emits flagged buckets with their z, ordered by
+    * (event_type, bucket_start).
+    *
+    * λ is a ratio of exact integers (per-type total / distinct observed
+    * hours), so both engines derive the identical double and the
+    * strict-inequality flag cannot straddle an ulp.
+    *
+    * 100 TB: one map-side-combined (type, hour) count aggregate over
+    * the stream; the hour-distinct count and per-type totals derive
+    * from THAT bucket table (hour-scale, not event-scale); the rate
+    * table broadcasts back and the flag evaluates bucket-side. No
+    * window, no corpus re-scan — a monitoring deployment runs exactly
+    * this shape incrementally per partition-hour.
+    */
+  def rateBursts(spark: SparkSession, sfDir: String): DataFrame =
+    rateBurstsOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (event_type, ts) stream. */
+  def rateBurstsOf(events: DataFrame): DataFrame = {
+    val buckets = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("bucket_start"),
+        col("event_type"), col("n"))
+    val hours = buckets.agg(countDistinct(col("bucket_start")).cast("double").as("hrs"))
+    val rates = buckets.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"))
+      .crossJoin(broadcast(hours))
+      .select(col("event_type"), (col("total") / col("hrs")).as("lam"))
+    buckets.join(broadcast(rates), Seq("event_type"))
+      .withColumn("z", (col("n") - col("lam")) / sqrt(col("lam")))
+      .filter(col("z") > BurstZ)
+      .select(col("event_type"), col("bucket_start"), col("n"),
+        round(col("lam"), 6).as("lam"), round(col("z"), 6).as("z"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
+  val q120OracleSql: String =
+    s"""WITH h AS (
+      |  SELECT event_type,
+      |         CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT CAST(COUNT(DISTINCT bucket_start) AS DOUBLE) AS hrs FROM h
+      |), lam AS (
+      |  SELECT event_type, SUM(n) / (SELECT hrs FROM span) AS lam
+      |  FROM h GROUP BY event_type
+      |)
+      |SELECT h.event_type, h.bucket_start, h.n,
+      |       round(lam.lam, 6) AS lam,
+      |       round((h.n - lam.lam) / sqrt(lam.lam), 6) AS z
+      |FROM h JOIN lam USING (event_type)
+      |WHERE (h.n - lam.lam) / sqrt(lam.lam) > $BurstZ
+      |ORDER BY h.event_type, h.bucket_start""".stripMargin
 }

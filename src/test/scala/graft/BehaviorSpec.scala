@@ -152,4 +152,23 @@ class BehaviorSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(4) - expect) <= 1e-6,
       s"identity ${out.getDouble(4)} vs brute force $expect")
   }
+
+  test("q120: a planted burst hour flags; steady traffic does not") {
+    // type a: 2/hour for 10 hours plus 18 extra in hour 5 (n=20);
+    // lam_a = 38/10 = 3.8 -> z(20) = 16.2/sqrt(3.8) ~ 8.3, flagged.
+    // type b: exactly 2 every hour -> z < 0 everywhere, never flagged.
+    val events = (0 until 10).flatMap { h =>
+      val base = Seq.fill(2)(("a", tsH(h))) ++ Seq.fill(2)(("b", tsH(h)))
+      if (h == 5) base ++ Seq.fill(18)(("a", tsH(h))) else base
+    }
+    val out = graft.operators.Analytics.rateBurstsOf(
+      events.toDF("event_type", "ts")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val z = BigDecimal((20 - 3.8) / math.sqrt(3.8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)) ==
+      (("a", 20L, 3.8, z)))
+    assert(r.getLong(1) == tsH(5).getTime / 1000, "the flagged bucket is hour 5")
+  }
 }

@@ -573,6 +573,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no corpus-side shuffle join anywhere;\n$p")
   }
 
+  test("q120 bursts: bucket-table derivation, broadcast rates, no window") {
+    val p = plan(graft.operators.Analytics.rateBursts(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"hour bucketing is a projection + aggregate, never a window;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the type-scale rate table must broadcast back onto the bucket table;\n$p")
+  }
+
   test("q119 isotropy: the all-pairs statistic rides the sum identity — no pair join") {
     val p = plan(graft.operators.Analytics.isotropyReport(spark, TestSpark.Sf0001))
     assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
