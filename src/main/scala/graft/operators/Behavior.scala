@@ -183,4 +183,114 @@ object Behavior {
        |SELECT r_score, f_score, m_score, COUNT(*) AS users
        |FROM s GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
   }
+
+  /** The per-user consecutive-event pair stream `(user_id, from_type,
+    * to_type, gap_s)` shared by q122/q123: a lag over (user_id, ts,
+    * event_id) — the ONE place the behavioral family uses a window
+    * function, and the legitimate one: the partition key is user_id, so
+    * window state is bounded per user (the q28 sessionize precedent),
+    * never a global ordering. Gaps are exact microsecond-integer
+    * differences; ties inside a user's stream break on event_id so both
+    * engines walk the identical sequence.
+    */
+  private[graft] def consecutivePairsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("user_id"), col("prev_type").as("from_type"),
+        col("event_type").as("to_type"),
+        (col("ts").cast("double") - col("prev_ts").cast("double")).as("gap_s"))
+  }
+
+  /** q122_event_transitions — the first-order MARKOV TRANSITION MATRIX
+    * between event types: for every consecutive pair in a user's stream
+    * (ordered by ts, event_id), count (from → to) and normalize per
+    * from-row. The funnel (q113) asks about ONE path; the transition
+    * matrix is the full navigation graph product analytics derives
+    * next-step predictions and "where do users go after X" reports from.
+    * Probabilities are ratios of exact integer counts, rounded 6 dp.
+    *
+    * 100 TB: the lag window partitions by user_id — per-user bounded
+    * state, map-side sort within hash partitions (the q28 discipline) —
+    * then one (from, to) hash aggregate over the pair stream (≤ types²
+    * groups, map-side combined) and a broadcast row-total join. Nothing
+    * downstream of the lag is corpus-scale.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    eventTransitionsOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (user_id, ts, event_id, event_type) stream. */
+  def eventTransitionsOf(events: DataFrame): DataFrame = {
+    val pairs = consecutivePairsOf(events)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("row_n").cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q122OracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), pr AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      |  FROM o WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, SUM(n) AS row_n FROM pr GROUP BY from_type
+      |)
+      |SELECT pr.from_type, pr.to_type, pr.n,
+      |       round(pr.n / CAST(tot.row_n AS DOUBLE), 6) AS p
+      |FROM pr JOIN tot USING (from_type)
+      |ORDER BY pr.from_type, pr.to_type""".stripMargin
+
+  /** q123_interarrival_stats — the POINT-PROCESS report per destination
+    * event type: count, mean, median, and p90 of the seconds between a
+    * user's consecutive events, keyed by the LATER event's type ("how
+    * long does a user dwell before a purchase"). Gaps are exact
+    * microsecond-integer differences in seconds (both engines subtract
+    * identical epoch values), percentiles are the exact interpolated
+    * aggregates (q79/q106 discipline), means round at 6 dp.
+    *
+    * 100 TB: the q122 lag derivation (per-user bounded window state),
+    * then ONE map-side-combined aggregate keyed by type. The exact
+    * percentile buffer holds distinct GAP values per type — bounded by
+    * the fixture's microsecond grain in practice and swappable for
+    * approx_percentile on continuous-time streams, same plan.
+    */
+  def interarrivalStats(spark: SparkSession, sfDir: String): DataFrame =
+    interarrivalStatsOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (user_id, ts, event_id, event_type) stream. */
+  def interarrivalStatsOf(events: DataFrame): DataFrame =
+    consecutivePairsOf(events)
+      .groupBy(col("to_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("gap_s")), 6).as("mean_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 6).as("med_gap_s"),
+        round(expr("percentile(gap_s, 0.9)"), 6).as("p90_gap_s"))
+      .orderBy(col("event_type"))
+
+  val q123OracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, epoch(ts) - epoch(prev_ts) AS gap_s
+      |  FROM o WHERE prev_type IS NOT NULL
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |       round(AVG(gap_s), 6) AS mean_gap_s,
+      |       round(quantile_cont(gap_s, 0.5), 6) AS med_gap_s,
+      |       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -634,6 +634,188 @@ object TextAnalysis {
       |SELECT qid, CAST(rnk AS BIGINT) AS rank, doc_id, score
       |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** RM3 knobs: feedback depth (round-1 docs that define the relevance
+    * model), expansion width (terms added per query), and the
+    * interpolation weight of the ORIGINAL query. The derived weights
+    * ([[Rm3ExpWeight]], [[Rm3OrigTermWeight]]) are computed once here
+    * and interpolated into the oracle via Scala's round-tripping Double
+    * print — the q117 bit-identical-constant discipline.
+    */
+  val Rm3FbDocs = 5
+  val Rm3ExpTerms = 5
+  val Rm3Alpha = 0.6
+  val Rm3ExpWeight: Double = 1 - Rm3Alpha
+  val Rm3OrigTermWeight: Double = Rm3Alpha / 3.0
+
+  /** q121_rm3_expand — PSEUDO-RELEVANCE-FEEDBACK retrieval (RM3, Lavrenko
+    * & Croft SIGIR'01 as deployed in Indri/Anserini): run the q95 BM25
+    * ranking, treat each query's top-[[Rm3FbDocs]] documents as a
+    * relevance sample, estimate the relevance model P(w|R) =
+    * mean_{d∈R} tf(w,d)/|d|, add the top-[[Rm3ExpTerms]] new terms
+    * (alphabetic, not already in the query; weights 6-dp-rounded BEFORE
+    * ranking, ties to the smaller token — the q76 discipline), and
+    * re-rank with the interpolated weighted query ([[Rm3Alpha]] split
+    * evenly over the 3 original terms, 1−α over the normalized expansion
+    * weights). The classic recall lever a lexical serving tier pulls
+    * when embeddings are unavailable or stale — and the missing third
+    * piece of the retrieval stack next to q95 (rank) and q96 (fuse).
+    *
+    * 100 TB: ONE tokenization pass — every stage (both ranking rounds,
+    * doc lengths, document frequencies, the feedback model) derives from
+    * the (doc, token, tf) table, whose aggregation exchange
+    * ReusedExchange shares across consumers (the q106/q114 stateless
+    * discipline; the artifact-backed serving path feeds a persisted tf
+    * via [[rm3FromTf]] exactly like q96's). The feedback pair set is
+    * queries×[[Rm3FbDocs]] rows and BROADCASTS into the tf stream; the
+    * relevance model aggregates feedback-doc tokens only; expansion
+    * selection is a per-qid sort_array fold over the feedback vocabulary
+    * (decision-scale, no window — the q95 rn idiom); both ranking rounds
+    * are the audited q95 shape (broadcast query cut, bounded-heap TopK).
+    */
+  def rm3Rank(spark: SparkSession, sfDir: String): DataFrame =
+    rm3RankOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q121 for ANY (doc_id, text, …) corpus. */
+  def rm3RankOf(docs: DataFrame): DataFrame = {
+    val tf = tokenTfOf(docs)
+    rm3FromTf(tf, bm25QueryTableFromTf(tf))
+  }
+
+  /** The expanded weighted query table `(qid, token, weight)` — exposed
+    * for spec assertions on the expansion semantics.
+    */
+  private[graft] def rm3ExpandedQueryOf(tf: DataFrame, queryTable: DataFrame): DataFrame = {
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val fb = bm25RankFromTf(tf, queryTable)
+      .filter(col("rank") <= Rm3FbDocs)
+      .select(col("qid"), col("doc_id"))
+    val relModel = tf
+      .join(broadcast(fb), Seq("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .select(col("qid"), col("token"), (col("tf").cast("double") / col("dl")).as("p"))
+      .groupBy(col("qid"), col("token"))
+      .agg(round(sum(col("p")) / Rm3FbDocs, 6).as("w"))
+    val candidates = relModel
+      .join(queryTable.select(col("qid"), col("token")), Seq("qid", "token"), "left_anti")
+      .filter(col("token").rlike("^[A-Za-z]{3,}$"))
+    // top-E per qid WITHOUT a window: the feedback vocabulary per qid is
+    // decision-scale (≤ FbDocs documents' types), so the q95 rn idiom
+    // (sorted-struct fold) applies per query
+    val expTerms = candidates
+      .groupBy(col("qid"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("w")).as("negw"), col("token"), col("w")))), 1, Rm3ExpTerms).as("rows"))
+      .select(col("qid"), explode(col("rows")).as("r"))
+      .select(col("qid"), col("r.token").as("token"), col("r.w").as("w"))
+    val expNorm = expTerms
+      .join(expTerms.groupBy(col("qid")).agg(sum(col("w")).as("wsum")), Seq("qid"))
+      .select(col("qid"), col("token"),
+        (lit(Rm3ExpWeight) * col("w") / col("wsum")).as("weight"))
+    queryTable.select(col("qid"), col("token"), lit(Rm3OrigTermWeight).as("weight"))
+      .unionByName(expNorm)
+  }
+
+  /** q121 against a PRE-BUILT tf table — the artifact-backed serving
+    * shape (encode the corpus once, expand-and-rank many).
+    */
+  private[graft] def rm3FromTf(tf: DataFrame, queryTable: DataFrame): DataFrame = {
+    val wq = rm3ExpandedQueryOf(tf, queryTable)
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wqDf = dfTab.join(broadcast(wq), Seq("token"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val perTerm = tf
+      .join(broadcast(wqDf), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (col("weight") *
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * (Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))).as("s"))
+    val perDoc = perTerm.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+    val tk = TopK.topKUdaf(Bm25TopK)
+    perDoc.groupBy(col("qid"))
+      .agg(tk(col("doc_id"), col("score")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .toDF("qid", "pos", "s")
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q121OracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+      |), dl AS (
+      |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(AVG(dl) AS DOUBLE) AS avgdl FROM dl
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), qt AS (
+      |  SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rn
+      |  FROM df WHERE regexp_full_match(token, '[A-Za-z]{3,}')
+      |  ORDER BY df DESC, token LIMIT 12
+      |), q AS (
+      |  SELECT CAST((rn - 1) // 3 AS BIGINT) AS qid, token, df FROM qt
+      |), s1 AS (
+      |  SELECT q.qid, tf.doc_id,
+      |         ln((stats.n - q.df + 0.5) / (q.df + 0.5) + 1) *
+      |         (tf.tf * ($Bm25K1 + 1)) /
+      |         (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / stats.avgdl)) AS s
+      |  FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+      |), agg1 AS (
+      |  SELECT qid, doc_id, round(SUM(s), 6) AS score FROM s1 GROUP BY qid, doc_id
+      |), r1 AS (
+      |  SELECT qid, doc_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM agg1
+      |), fb AS (
+      |  SELECT qid, doc_id FROM r1 WHERE rnk <= $Rm3FbDocs
+      |), rel AS (
+      |  SELECT fb.qid, tf.token,
+      |         round(SUM(CAST(tf.tf AS DOUBLE) / dl.dl) / $Rm3FbDocs, 6) AS w
+      |  FROM tf JOIN fb USING (doc_id) JOIN dl USING (doc_id)
+      |  GROUP BY fb.qid, tf.token
+      |), cand AS (
+      |  SELECT rel.qid, rel.token, rel.w
+      |  FROM rel LEFT JOIN q ON q.qid = rel.qid AND q.token = rel.token
+      |  WHERE q.token IS NULL AND regexp_full_match(rel.token, '[A-Za-z]{3,}')
+      |), ex AS (
+      |  SELECT qid, token, w FROM (
+      |    SELECT qid, token, w,
+      |           row_number() OVER (PARTITION BY qid ORDER BY w DESC, token) AS rn
+      |    FROM cand) WHERE rn <= $Rm3ExpTerms
+      |), ews AS (
+      |  SELECT qid, SUM(w) AS wsum FROM ex GROUP BY qid
+      |), wq AS (
+      |  SELECT qid, token, $Rm3OrigTermWeight AS weight FROM q
+      |  UNION ALL
+      |  SELECT ex.qid, ex.token, $Rm3ExpWeight * ex.w / ews.wsum AS weight
+      |  FROM ex JOIN ews USING (qid)
+      |), s2 AS (
+      |  SELECT wq.qid, tf.doc_id,
+      |         wq.weight *
+      |         ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+      |         (tf.tf * ($Bm25K1 + 1)) /
+      |         (tf.tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl.dl / stats.avgdl)) AS s
+      |  FROM tf JOIN wq USING (token) JOIN df USING (token)
+      |       JOIN dl USING (doc_id) CROSS JOIN stats
+      |), agg2 AS (
+      |  SELECT qid, doc_id, round(SUM(s), 6) AS score FROM s2 GROUP BY qid, doc_id
+      |), r2 AS (
+      |  SELECT qid, doc_id, score,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM agg2
+      |)
+      |SELECT qid, CAST(rnk AS BIGINT) AS rank, doc_id, score
+      |FROM r2 WHERE rnk <= $Bm25TopK ORDER BY qid, rank""".stripMargin
+
   /** q72_unigram_logprob — the CCNet/KenLM-shaped LM-quality stage of a
     * curation pipeline (round 7): a unigram language model is "trained" on
     * the corpus itself (token frequencies — the degenerate but fully

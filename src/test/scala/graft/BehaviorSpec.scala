@@ -18,6 +18,11 @@ class BehaviorSpec extends AnyFunSuite {
     Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
   private def tsH(hour: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+  private def tsS(second: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:00:$second%02d".take(19) match {
+      case t if second < 60 => t
+      case _ => f"2024-01-01 00:${second / 60}%02d:${second % 60}%02d"
+    })
 
   test("q113: order matters — a purchase BEFORE the view chain does not convert") {
     // user 1: view(1) click(2) purchase(3)  → full conversion
@@ -170,5 +175,45 @@ class BehaviorSpec extends AnyFunSuite {
     assert((r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)) ==
       (("a", 20L, 3.8, z)))
     assert(r.getLong(1) == tsH(5).getTime / 1000, "the flagged bucket is hour 5")
+  }
+
+  test("q122: transition counts and row-normalized probabilities on a hand stream") {
+    // user 1: view -> click -> view; user 2: view -> view.
+    // from view: {click:1, view:1} -> p .5/.5; from click: {view:1} -> 1.0
+    val events = Seq(
+      (1L, ts(0), 10L, "view"), (1L, ts(1), 11L, "click"), (1L, ts(2), 12L, "view"),
+      (2L, ts(0), 20L, "view"), (2L, ts(5), 21L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Behavior.eventTransitionsOf(events).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(out.toMap == Map(
+      ("view", "click") -> ((1L, 0.5)), ("view", "view") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))))
+    val keys = out.map(_._1)
+    assert(keys.sameElements(keys.sorted), "ordered by (from_type, to_type)")
+  }
+
+  test("q122: same-timestamp ties walk in event_id order") {
+    // two events at the identical instant: event_id decides the sequence
+    val events = Seq(
+      (1L, ts(0), 2L, "click"), (1L, ts(0), 1L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Behavior.eventTransitionsOf(events).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("view", "click")))
+  }
+
+  test("q123: gap percentiles hit the interpolated closed forms") {
+    // user 1 purchases at +10s and +30s after prior events: gaps 10, 20
+    // -> mean 15, median 15, p90 = 10 + 0.9*(20-10) = 19
+    val events = Seq(
+      (1L, tsS(0), 1L, "view"), (1L, tsS(10), 2L, "purchase"),
+      (1L, tsS(30), 3L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Behavior.interarrivalStatsOf(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) ==
+      (("purchase", 2L, 15.0, 15.0, 19.0)))
   }
 }

@@ -573,6 +573,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no corpus-side shuffle join anywhere;\n$p")
   }
 
+  test("q122/q123: the lag window hash-partitions by user — never a global ordering") {
+    for (df <- Seq(graft.operators.Behavior.eventTransitions(spark, TestSpark.Sf0001),
+      graft.operators.Behavior.interarrivalStats(spark, TestSpark.Sf0001))) {
+      val p = plan(df)
+      assert(p.contains("hashpartitioning(user_id"),
+        s"the consecutive-pair window must partition per user (the q28 discipline);\n$p")
+      assert(!p.contains(", SinglePartition"),
+        s"no stage may collapse the stream to one partition;\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    }
+  }
+
+  test("q121 rm3: both rounds keep the q95 shape — broadcast cuts, heap top-k, no window") {
+    val p = plan(graft.operators.TextAnalysis.rm3Rank(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"round-1 rank, expansion selection, and round-2 rank must all avoid windows;\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"query-scale tables broadcast — never a product;\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"both ranking rounds must use the bounded-heap TopK aggregate;\n$p")
+  }
+
   test("q120 bursts: bucket-table derivation, broadcast rates, no window") {
     val p = plan(graft.operators.Analytics.rateBursts(spark, TestSpark.Sf0001))
     assert(!p.contains("WindowExec") && !p.contains("Window "),

@@ -544,4 +544,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"selection + dedup happen inside the native expression — no shuffle;\n$p")
   }
+
+  test("q121: the expanded query carries the originals at alpha/3 and a normalized expansion tail") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val tf = TextAnalysis.tokenTfOf(docs)
+    val qtab = TextAnalysis.bm25QueryTableFromTf(tf)
+    val originals = qtab.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val wq = TextAnalysis.rm3ExpandedQueryOf(tf, qtab).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byQid = wq.groupBy(_._1)
+    assert(byQid.keySet == (0L to 3L).toSet)
+    byQid.foreach { case (qid, rows) =>
+      val (orig, exp) = rows.partition { case (_, _, w) => w == TextAnalysis.Rm3OrigTermWeight }
+      assert(orig.length == 3, s"qid $qid must keep its 3 original terms at alpha/3")
+      assert(orig.forall { case (q, t, _) => originals((q, t)) })
+      assert(exp.length <= TextAnalysis.Rm3ExpTerms && exp.nonEmpty)
+      exp.foreach { case (q, t, w) =>
+        assert(!originals((q, t)), s"expansion term $t duplicates qid $q's query")
+        assert(t.matches("[A-Za-z]{3,}"), s"non-alphabetic expansion term $t")
+        assert(w > 0)
+      }
+      if (exp.length == TextAnalysis.Rm3ExpTerms)
+        assert(math.abs(exp.map(_._3).sum - TextAnalysis.Rm3ExpWeight) < 1e-9,
+          s"qid $qid expansion weights must renormalize to 1 - alpha")
+    }
+  }
+
+  test("q121: feedback expansion moves the ranking relative to plain BM25") {
+    val base = TextAnalysis.bm25Rank(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rm3 = TextAnalysis.rm3Rank(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rm3.nonEmpty && rm3.map(_._1) == base.map(_._1))
+    assert(rm3 != base,
+      "the expanded query must change at least one (qid, rank, doc) cell")
+  }
 }
