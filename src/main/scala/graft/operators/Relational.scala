@@ -320,4 +320,84 @@ object Relational {
       |       COUNT(*) AS n_sessions,
       |       max(sess_events) AS max_session_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** The q124 column pairs. The fixture generator draws the raw
+    * measures INDEPENDENTLY (measured: every raw-raw correlation is
+    * |r| < 0.007), so the matrix pairs the derived revenue column
+    * l_revenue = l_extendedprice·(1−l_discount) against its drivers —
+    * the collinearity a feature-selection pass exists to catch — plus
+    * two raw-raw pairs as true-negative controls.
+    */
+  val CorrPairs: Seq[(String, String)] = Seq(
+    ("l_extendedprice", "l_revenue"),
+    ("l_discount", "l_revenue"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_tax"))
+
+  /** q124_numeric_corr — the PEARSON CORRELATION MATRIX over lineitem's
+    * measures, computed from EXPLICIT moment sums: r = (n·Σxy − Σx·Σy) /
+    * (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)) — the feature-selection report a
+    * training pipeline runs before fitting anything. Spelled as raw
+    * moments (never the engines' built-in corr(), whose streaming
+    * co-moment updates differ between implementations) so both engines
+    * evaluate the IDENTICAL arithmetic tree over the same aggregates;
+    * the result rounds at 6 dp where the reduction-order ulp noise
+    * (~1e-13 relative on these magnitudes) is invisible.
+    *
+    * 100 TB: ONE corpus scan computes every pair's five moments in a
+    * single aggregate row (2·|pairs| products per row, map-side
+    * combined into one partial buffer) — this is the q119 moment-form
+    * lesson on the relational axis: the pairwise statistic never needs
+    * a second pass, let alone a join.
+    */
+  def numericCorr(spark: SparkSession, sfDir: String): DataFrame =
+    numericCorrOf(Tables.lineitem(spark, sfDir))
+
+  /** Composable core for ANY frame containing the [[CorrPairs]] columns. */
+  def numericCorrOf(base: DataFrame): DataFrame = {
+    val rows = base.withColumn("l_revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val cols = CorrPairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val momentCols =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+      CorrPairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val m = rows.agg(momentCols.head, momentCols.tail: _*)
+    val pairRows = CorrPairs.map { case (a, b) =>
+      val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val den = sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+        sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+      // a zero-variance column has no defined correlation: NULL, the
+      // SQL corr() convention (and the ANSI-safe branch)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n").cast("long").as("n"),
+        round(when(den === 0, lit(null).cast("double")).otherwise(num / den), 6).as("corr"))
+    }
+    m.select(explode(array(pairRows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.n"), col("r.corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val q124OracleSql: String = {
+    val arms = CorrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         |       round((n * sp_${a}_$b - s_$a * s_$b) /
+         |             nullif(sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b), 0), 6) AS corr
+         |FROM m""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val cols = CorrPairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val moments =
+      Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+      cols.map(c => s"SUM($c) AS s_$c") ++
+      cols.map(c => s"SUM($c * $c) AS ss_$c") ++
+      CorrPairs.map { case (a, b) => s"SUM($a * $b) AS sp_${a}_$b" }
+    s"""WITH li AS (
+       |  SELECT *, l_extendedprice * (1.0 - l_discount) AS l_revenue FROM lineitem
+       |), m AS (
+       |  SELECT ${moments.mkString(", ")} FROM li
+       |)
+       |SELECT * FROM (
+       |  $arms
+       |) ORDER BY col_a, col_b""".stripMargin
+  }
 }

@@ -816,6 +816,113 @@ object TextAnalysis {
       |SELECT qid, CAST(rnk AS BIGINT) AS rank, doc_id, score
       |FROM r2 WHERE rnk <= $Bm25TopK ORDER BY qid, rank""".stripMargin
 
+  /** Dirichlet smoothing prior (Zhai & Lafferty's μ; 1000 is the classic
+    * short-query setting). A literal both engines parse identically.
+    */
+  val QlMu = 1000.0
+
+  /** q125_ql_rank — DIRICHLET QUERY-LIKELIHOOD ranking (Zhai & Lafferty
+    * SIGIR'01), the language-modeling alternative to q95's BM25 and the
+    * third classic lexical ranker (Anserini ships exactly this pair):
+    * score(q,d) = Σ_{t∈q∩d} ln(1 + tf/(μ·P(t|C))) + |q|·ln(μ/(dl+μ)),
+    * the rank-equivalent decomposition of log p(q|d) under Dirichlet
+    * smoothing — the first sum needs only MATCHING postings, the second
+    * is a per-document length prior. Same workload, rounding, and
+    * tie-break discipline as q95, so the two rankers are directly
+    * comparable row-for-row.
+    *
+    * 100 TB: the same ONE-tokenization derivation as q95/q121 (tf →
+    * dl/cf/totals, ReusedExchange-shared); the match sum joins the
+    * broadcast 12-term query model into the tf stream scan-side; the
+    * length prior is arithmetic over the DOC-SCALE dl table (×|queries|
+    * rows through the bounded heap — never corpus text); ranking is the
+    * TopK aggregate. A serving tier adds the standard candidate cut
+    * (score only matching docs) once it audits ≥k matches per query —
+    * rank-identical in that regime, and the declared row stays exact by
+    * scoring every document.
+    */
+  def qlRank(spark: SparkSession, sfDir: String): DataFrame =
+    qlRankOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q125 for ANY (doc_id, text, …) corpus. */
+  def qlRankOf(docs: DataFrame): DataFrame = {
+    val tf = tokenTfOf(docs)
+    qlFromTf(tf, bm25QueryTableFromTf(tf))
+  }
+
+  /** q125 against a PRE-BUILT tf table (the artifact serving path). */
+  private[graft] def qlFromTf(tf: DataFrame, queryTable: DataFrame): DataFrame = {
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(sum(col("dl")).cast("double").as("total"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val qModel = queryTable.select(col("qid"), col("token"))
+      .join(cf, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("token"), (col("cf") / col("total")).as("p"))
+    val matchSum = tf
+      .join(broadcast(qModel), Seq("token"))
+      .select(col("qid"), col("doc_id"),
+        log(lit(1.0) + col("tf") / (lit(QlMu) * col("p"))).as("s"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s")).as("ms"))
+    val qids = queryTable.select(col("qid")).distinct()
+    val base = dl.crossJoin(broadcast(qids))
+      .select(col("qid"), col("doc_id"),
+        (lit(3.0) * log(lit(QlMu) / (col("dl") + lit(QlMu)))).as("bs"))
+    val scored = base.join(matchSum, Seq("qid", "doc_id"), "left")
+      .select(col("qid"), col("doc_id"),
+        round(col("bs") + coalesce(col("ms"), lit(0.0)), 6).as("score"))
+    val tk = TopK.topKUdaf(Bm25TopK)
+    scored.groupBy(col("qid"))
+      .agg(tk(col("doc_id"), col("score")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .toDF("qid", "pos", "s")
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q125OracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+      |), dl AS (
+      |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+      |), tot AS (
+      |  SELECT CAST(SUM(dl) AS DOUBLE) AS total FROM dl
+      |), cf AS (
+      |  SELECT token, SUM(tf) AS cf FROM tf GROUP BY token
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), qt AS (
+      |  SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rn
+      |  FROM df WHERE regexp_full_match(token, '[A-Za-z]{3,}')
+      |  ORDER BY df DESC, token LIMIT 12
+      |), q AS (
+      |  SELECT CAST((rn - 1) // 3 AS BIGINT) AS qid, token FROM qt
+      |), qm AS (
+      |  SELECT q.qid, q.token, cf.cf / tot.total AS p
+      |  FROM q JOIN cf USING (token) CROSS JOIN tot
+      |), ms AS (
+      |  SELECT qm.qid, tf.doc_id, SUM(ln(1.0 + tf.tf / ($QlMu * qm.p))) AS ms
+      |  FROM tf JOIN qm USING (token)
+      |  GROUP BY qm.qid, tf.doc_id
+      |), base AS (
+      |  SELECT qq.qid, dl.doc_id, 3.0 * ln($QlMu / (dl.dl + $QlMu)) AS bs
+      |  FROM dl CROSS JOIN (SELECT DISTINCT qid FROM q) qq
+      |), sc AS (
+      |  SELECT base.qid, base.doc_id,
+      |         round(base.bs + COALESCE(ms.ms, 0.0), 6) AS score
+      |  FROM base LEFT JOIN ms ON ms.qid = base.qid AND ms.doc_id = base.doc_id
+      |), r AS (
+      |  SELECT qid, doc_id, score,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM sc
+      |)
+      |SELECT qid, CAST(rnk AS BIGINT) AS rank, doc_id, score
+      |FROM r WHERE rnk <= $Bm25TopK ORDER BY qid, rank""".stripMargin
+
   /** q72_unigram_logprob — the CCNet/KenLM-shaped LM-quality stage of a
     * curation pipeline (round 7): a unigram language model is "trained" on
     * the corpus itself (token frequencies — the degenerate but fully

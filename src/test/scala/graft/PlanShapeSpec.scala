@@ -573,6 +573,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no corpus-side shuffle join anywhere;\n$p")
   }
 
+  test("q125 ql: postings-side match sum, doc-scale prior, heap top-k, no window") {
+    val p = plan(graft.operators.TextAnalysis.qlRank(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the query model broadcasts — never a product;\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"ranking must be the bounded-heap TopK aggregate;\n$p")
+  }
+
   test("q122/q123: the lag window hash-partitions by user — never a global ordering") {
     for (df <- Seq(graft.operators.Behavior.eventTransitions(spark, TestSpark.Sf0001),
       graft.operators.Behavior.interarrivalStats(spark, TestSpark.Sf0001))) {

@@ -579,4 +579,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rm3 != base,
       "the expanded query must change at least one (qid, rank, doc) cell")
   }
+
+  test("q125: Dirichlet QL scores match the closed-form decomposition on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "durian durian durian"))
+      .toDF("doc_id", "text")
+    val tf = TextAnalysis.tokenTfOf(docs)
+    val qtab = Seq((0L, 1, "apple", 1L), (0L, 2, "banana", 2L), (0L, 3, "cherry", 1L))
+      .toDF("qid", "rn", "token", "df")
+    val out = TextAnalysis.qlFromTf(tf, qtab).collect()
+      .map(r => r.getLong(2) -> (r.getLong(1), r.getDouble(3))).toMap
+    // total tokens 8; P(apple)=2/8, P(banana)=2/8, P(cherry)=1/8; mu=1000
+    val mu = TextAnalysis.QlMu
+    def score(tfs: Map[String, Int], dl: Int): Double = {
+      val p = Map("apple" -> 2.0 / 8, "banana" -> 2.0 / 8, "cherry" -> 1.0 / 8)
+      val ms = tfs.map { case (t, f) => math.log(1.0 + f / (mu * p(t))) }.sum
+      val bs = 3.0 * math.log(mu / (dl + mu))
+      BigDecimal(bs + ms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L)._2 == score(Map("apple" -> 2, "banana" -> 1), 3))
+    assert(out(2L)._2 == score(Map("banana" -> 1, "cherry" -> 1), 2))
+    assert(out(3L)._2 == score(Map.empty, 3), "a no-match doc scores the pure length prior")
+    // doc 2 matches two terms with the shortest length: it must rank first
+    assert(out(2L)._1 == 1L)
+  }
+
+  test("q125: the QL and BM25 rankers agree on the workload but not the ranking") {
+    val bm = TextAnalysis.bm25Rank(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ql = TextAnalysis.qlRank(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ql.map(_._1).distinct.sorted.sameElements(bm.map(_._1).distinct.sorted))
+    assert(ql.length == bm.length)
+    assert(ql.toSet != bm.toSet, "two different scoring models must disagree somewhere")
+  }
 }
