@@ -613,4 +613,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ql.length == bm.length)
     assert(ql.toSet != bm.toSet, "two different scoring models must disagree somewhere")
   }
+
+  test("q121/q125: the artifact-backed tf path is row-identical to inline (encode once, serve many)") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_artifact").toString
+    TextAnalysis.tokenTfOf(docs).write.mode("overwrite").parquet(dir)
+    val tfArtifact = spark.read.parquet(dir)
+    val qtab = TextAnalysis.bm25QueryTableFromTf(tfArtifact)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rowsOf(TextAnalysis.rm3Rank(spark, TestSpark.Sf0001)) ==
+      rowsOf(TextAnalysis.rm3FromTf(tfArtifact, qtab)),
+      "RM3 must serve identically from the persisted tf artifact")
+    assert(rowsOf(TextAnalysis.qlRank(spark, TestSpark.Sf0001)) ==
+      rowsOf(TextAnalysis.qlFromTf(tfArtifact, qtab)),
+      "QL must serve identically from the persisted tf artifact")
+    // and the artifact path never touches corpus text
+    val p = TextAnalysis.qlFromTf(tfArtifact, qtab).queryExecution.executedPlan.toString
+    assert(!p.contains("text#") || !p.contains("regexp_extract_all"),
+      s"the artifact path must not re-tokenize;\n$p")
+  }
 }
