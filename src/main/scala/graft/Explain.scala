@@ -40,7 +40,7 @@ object Explain {
                          "q112_ngram_diversity", "q113_funnel_steps",
                          "q114_rfm_segments", "q115_pmi_cooccur",
                          "q116_entity_tag", "q117_mad_outliers",
-                         "q118_overlap_triangles", "q119_isotropy_report", "q120_rate_bursts", "q121_rm3_expand", "q122_event_transitions", "q123_interarrival_stats", "q124_numeric_corr", "q125_ql_rank", "q126_data_quality")
+                         "q118_overlap_triangles", "q119_isotropy_report", "q120_rate_bursts", "q121_rm3_expand", "q122_event_transitions", "q123_interarrival_stats", "q124_numeric_corr", "q125_ql_rank", "q126_data_quality", "q127_dedup_bias_audit")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

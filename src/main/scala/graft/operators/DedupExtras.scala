@@ -250,7 +250,12 @@ object DedupExtras {
     } finally shB.unpersist()
   }
 
-  val q16OracleSql: String = {
+  /** The shared CTE prefix of the MinHash/LSH oracle — shingles through
+    * the VERIFIED pair set — used by q16 (top-50 presentation) and q127
+    * (retention audit) through one generator so the two oracles cannot
+    * drift (the q63 discipline).
+    */
+  private[graft] val minhashVerifiedCtes: String = {
     val sigSelect = (0 until NumHashes).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sigs").mkString("\n  UNION ALL\n  ")
@@ -269,18 +274,23 @@ object DedupExtras {
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |)
-       |SELECT c.a_id, c.b_id,
-       |       round(len(list_intersect(sa.sh, sb.sh))
-       |             / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
-       |FROM cand c
-       |JOIN sh sa ON sa.doc_id = c.a_id
-       |JOIN sh sb ON sb.doc_id = c.b_id
-       |WHERE round(len(list_intersect(sa.sh, sb.sh))
-       |            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) >= $JaccardThreshold
+       |), verified AS (
+       |  SELECT c.a_id, c.b_id,
+       |         round(len(list_intersect(sa.sh, sb.sh))
+       |               / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id
+       |  WHERE round(len(list_intersect(sa.sh, sb.sh))
+       |              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6) >= $JaccardThreshold
+       |)""".stripMargin
+  }
+
+  val q16OracleSql: String =
+    s"""$minhashVerifiedCtes
+       |SELECT a_id, b_id, jaccard FROM verified
        |ORDER BY jaccard DESC, a_id, b_id
        |LIMIT 50""".stripMargin
-  }
 
   /** q17_simhash_fingerprint — 16-bit SimHash over token instances: each
     * token votes ±1 on 16 bit positions taken from the first 4 hex nibbles
@@ -625,4 +635,53 @@ object DedupExtras {
        |WHERE greatest(cont_a, cont_b) >= $ContainThreshold
        |ORDER BY cmax DESC, a_id, b_id
        |LIMIT 50""".stripMargin
+
+  /** q127_dedup_bias_audit — RETENTION-BY-SLICE audit of near-dup
+    * removal: apply the q16 verified-pair decision with the standard
+    * cheap rule (drop the LARGER id of every verified pair; the
+    * CC-precise sibling is q74/q83's component keeper) and report, per
+    * (lang, source), documents in, documents removed, and the retention
+    * rate. This is the BIAS report a curation team reads before
+    * shipping a dedup pass: near-dup removal is never uniform across
+    * slices (templated or mirrored content concentrates in particular
+    * sources/languages), and a slice whose retention craters signals
+    * either real duplication or a dedup parameter eating a dialect —
+    * the Dolma/RefinedWeb-class audit, run HERE as a declared,
+    * oracle-checked row.
+    *
+    * 100 TB: the pair derivation is q16's audited sub-quadratic shape;
+    * the removal set is decision-scale and the LEFT join back onto the
+    * corpus carries (doc_id, lang, source) — never text; the report is
+    * slice-scale. One corpus-scale join beyond what the dedup pass
+    * itself already pays.
+    */
+  def dedupBiasAudit(spark: SparkSession, sfDir: String): DataFrame =
+    dedupBiasAuditOf(graft.Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, lang, source, text) corpus. */
+  def dedupBiasAuditOf(docs: DataFrame): DataFrame = {
+    val removed = minhashVerifiedPairsOf(docs)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_removed"),
+        round(lit(1.0) - sum(coalesce(col("hit"), lit(0L))) / count(lit(1)).cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q127OracleSql: String =
+    s"""$minhashVerifiedCtes, removed AS (
+       |  SELECT DISTINCT b_id AS doc_id FROM verified
+       |)
+       |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       round(1.0 - SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+       |FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
+       |GROUP BY d.lang, d.source
+       |ORDER BY d.lang, d.source""".stripMargin
 }

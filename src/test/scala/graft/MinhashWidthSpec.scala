@@ -202,4 +202,23 @@ class MinhashWidthSpec extends AnyFunSuite {
     assert(declared == explicit0,
       "the declared q16 row must equal minhashVerifiedPairsOf(docs, 0.5, NumHashes, Bands, fastHash=false) top-50")
   }
+
+  test("q127: removal concentrates in the duplicated slice; clean slices keep retention 1.0") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup, "a", "s1"), (2L, dup, "a", "s1"), (3L, dup, "a", "s1"),
+      (4L, "a completely different first clean document body here", "a", "s2"),
+      (5L, "another unrelated clean text with its own words entirely", "b", "s1"),
+      (6L, "yet one more unique document nothing shared with others", "b", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.DedupExtras.dedupBiasAuditOf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // pairs (1,2) (1,3) (2,3): larger ids 2 and 3 drop, keeper 1 stays
+    assert(out(("a", "s1")) == ((3L, 2L, BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(("a", "s2")) == ((1L, 0L, 1.0)))
+    assert(out(("b", "s1")) == ((2L, 0L, 1.0)))
+  }
 }

@@ -594,6 +594,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 bias audit: decision-scale removal join, no text shuffle, no window") {
+    val p = plan(graft.operators.DedupExtras.dedupBiasAudit(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the q16 pair machinery stays banded — never all-pairs;\n$p")
+  }
+
   test("q121 rm3: both rounds keep the q95 shape — broadcast cuts, heap top-k, no window") {
     val p = plan(graft.operators.TextAnalysis.rm3Rank(spark, TestSpark.Sf0001))
     assert(!p.contains("WindowExec") && !p.contains("Window "),
