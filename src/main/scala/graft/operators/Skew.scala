@@ -34,7 +34,16 @@ object Skew {
     * the oracle runs the PLAIN join + aggregate. A hash match IS the
     * operator's promise — salting changes the shuffle layout (hot keys
     * spread over `buckets` sub-keys), never the answer. `weighted_value`
-    * rounds at 2 dp (large-sum house rule).
+    * aggregates in FIXED POINT: value is a 2-dp decimal and the weight
+    * is len/10, so (value×100)·len is an exact integer per row, the sum
+    * is an exact long, and both engines divide the identical integer by
+    * 1000.0 — one IEEE division, NO round() call — bit-deterministic at
+    * every scale. (The earlier round-2dp double sum hit a structural
+    * half-way boundary at sf0.001: products of 2-dp values and .5-grain
+    * weights land EXACTLY on x.xx5, where first summation-order ulp and
+    * then the ENGINES' OWN round() implementations — BigDecimal HALF_UP
+    * vs scaled-floor on doubles — disagree. Found by this round's
+    * small-scale sweep; closed by never rounding a half-way point.)
     */
   def saltedJoinDeclared(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val ev = graft.Tables.events(spark, sfDir)
@@ -44,7 +53,9 @@ object Skew {
     saltedJoin(ev, dim, "event_type", buckets = 8)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value") * col("weight")), 2).as("weighted_value"))
+        (sum(round(col("value") * 100, 0).cast("long") *
+            (col("weight") * 10).cast("long")).cast("double") / 1000.0)
+          .as("weighted_value"))
       .orderBy(col("event_type"))
   }
 
@@ -55,7 +66,8 @@ object Skew {
       |)
       |SELECT e.event_type,
       |       COUNT(*) AS n,
-      |       round(SUM(e.value * d.weight), 2) AS weighted_value
+      |       CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)
+      |                * CAST(d.weight * 10 AS BIGINT)) AS DOUBLE) / 1000.0 AS weighted_value
       |FROM events e JOIN dim d ON d.event_type = e.event_type
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
