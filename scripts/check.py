@@ -52,7 +52,10 @@ def main():
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # GenScale fixtures are Spark-written DIRECTORIES of part files;
+            # the driver's testdata are single files — support both
+            pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = 0
     for name, sql in sorted(oracle.items()):
