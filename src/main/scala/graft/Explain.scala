@@ -40,7 +40,12 @@ object Explain {
                          "q112_ngram_diversity", "q113_funnel_steps",
                          "q114_rfm_segments", "q115_pmi_cooccur",
                          "q116_entity_tag", "q117_mad_outliers",
-                         "q118_overlap_triangles", "q119_isotropy_report", "q120_rate_bursts", "q121_rm3_expand", "q122_event_transitions", "q123_interarrival_stats", "q124_numeric_corr", "q125_ql_rank", "q126_data_quality", "q127_dedup_bias_audit")
+                         "q118_overlap_triangles", "q119_isotropy_report", "q120_rate_bursts", "q121_rm3_expand", "q122_event_transitions", "q123_interarrival_stats", "q124_numeric_corr", "q125_ql_rank", "q126_data_quality", "q127_dedup_bias_audit",
+                         "q128_domain_kl", "q129_pps_sample",
+                         "q130_filter_funnel", "q131_fuzzy_link",
+                         "q132_power_iteration", "q133_cluster_keywords",
+                         "q134_score_rank_corr", "q135_key_skew_audit",
+                         "q136_late_event_audit")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

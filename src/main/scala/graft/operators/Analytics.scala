@@ -288,4 +288,91 @@ object Analytics {
       |FROM h JOIN lam USING (event_type)
       |WHERE (h.n - lam.lam) / sqrt(lam.lam) > $BurstZ
       |ORDER BY h.event_type, h.bucket_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Dominant principal direction (q132)
+  // ---------------------------------------------------------------------
+
+  /** q132_power_iteration — the DOMINANT PRINCIPAL DIRECTION of the
+    * embedding Gram matrix by two pinned power-iteration steps: v₀ =
+    * 1⃗ (a literal, the q101 pinned-init discipline), v₁ =
+    * round₆(X^T X v₀ / ‖·‖), v₂ = X^T X v₁ / ‖·‖ — emitted per
+    * dimension with the Rayleigh-quotient eigenvalue estimate ‖X^T X
+    * v₁‖. The top principal component is THE standard embedding-space
+    * diagnostic (Mu & Viswanath ICLR'18: removing it sharpens cosine
+    * contrast) and the quantitative sibling of q119's mean-resultant
+    * anisotropy — q119 says HOW anisotropic, this says WHICH direction
+    * carries it (and the q58 PCA vision path trains against exactly
+    * these loadings). The intermediate v₁ rounds at 6 dp on BOTH
+    * engines before re-use — the q101 round-before-argmin discipline —
+    * so cross-engine ulp noise cannot compound through the second
+    * multiply.
+    *
+    * 100 TB (the MLlib layout): each X^T X v pass is ONE corpus scan —
+    * the dot x·v is a scan-local fold against the DRIVER-HELD dim-scale
+    * vector (inlined literals, like q101's centroids), and the per-dim
+    * products aggregate with map-side combine into dim-scale partials.
+    * The between-pass collect is dim-scale (64 doubles), never corpus
+    * data. No join, no window; production iterates the same two-job
+    * template to convergence.
+    */
+  def powerIteration(spark: SparkSession, sfDir: String): DataFrame =
+    powerIterationOf(Tables.embeddings(spark, sfDir))
+
+  /** Composable core for ANY (embedding, …) frame. */
+  def powerIterationOf(emb: DataFrame): DataFrame = {
+    def xtxv(s: org.apache.spark.sql.Column): DataFrame =
+      emb.select(posexplode(col("embedding")), s.as("s"))
+        .toDF("pos", "x", "s")
+        .groupBy(col("pos"))
+        .agg(sum(col("x").cast("double") * col("s")).as("w"))
+    // pass 1: s = x · 1⃗ is the component sum
+    val w1 = xtxv(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")))
+      .orderBy(col("pos")).collect().map(r => r.getDouble(1))
+    val n1 = math.sqrt(w1.map(x => x * x).sum)
+    val u1 = w1.map(x => BigDecimal(x / n1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // pass 2: s = x · v₁ as an inlined-literal fold (scan-local); the
+    // dim-scale result localizes (the q105/[[Hybrid.localized]]
+    // discipline) so the norm does not re-run the corpus aggregate —
+    // exactly two bounded jobs, one corpus pass each
+    val dot1 = u1.zipWithIndex.map { case (u, i) =>
+      element_at(col("embedding"), i + 1).cast("double") * lit(u)
+    }.reduce(_ + _)
+    val w2 = xtxv(dot1).orderBy(col("pos")).collect().map(r => r.getDouble(1))
+    val n2 = math.sqrt(w2.map(x => x * x).sum)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sess = emb.sparkSession
+    import sess.implicits._
+    w2.zipWithIndex.toSeq
+      .map { case (w, i) => ((i + 1).toLong, r6(w / n2), r6(n2)) }
+      .toDF("dim", "loading", "eigval")
+      .orderBy(col("dim"))
+  }
+
+  val q132OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |), d AS (
+      |  SELECT e.vec_id, g.i AS pos, CAST(e.embedding[g.i] AS DOUBLE) AS x
+      |  FROM e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) g(i)
+      |), s1 AS (
+      |  SELECT vec_id, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS s
+      |  FROM e
+      |), w1 AS (
+      |  SELECT d.pos, SUM(d.x * s1.s) AS w FROM d JOIN s1 USING (vec_id) GROUP BY d.pos
+      |), n1 AS (
+      |  SELECT sqrt(SUM(w * w)) AS n FROM w1
+      |), u1 AS (
+      |  SELECT pos, round(w / n, 6) AS u FROM w1 CROSS JOIN n1
+      |), s2 AS (
+      |  SELECT d.vec_id, SUM(d.x * u1.u) AS s FROM d JOIN u1 USING (pos) GROUP BY d.vec_id
+      |), w2 AS (
+      |  SELECT d.pos, SUM(d.x * s2.s) AS w FROM d JOIN s2 USING (vec_id) GROUP BY d.pos
+      |), n2 AS (
+      |  SELECT sqrt(SUM(w * w)) AS n FROM w2
+      |)
+      |SELECT CAST(pos AS BIGINT) AS dim, round(w / n, 6) AS loading, round(n, 6) AS eigval
+      |FROM w2 CROSS JOIN n2 ORDER BY dim""".stripMargin
 }

@@ -278,6 +278,82 @@ object Behavior {
         round(expr("percentile(gap_s, 0.9)"), 6).as("p90_gap_s"))
       .orderBy(col("event_type"))
 
+  /** q136's out-of-order tolerance — arrivals more than this far behind
+    * their stream's high-water mark count as late.
+    */
+  val LateTolerance = "30 MINUTES"
+
+  /** q136_late_event_audit — the OUT-OF-ORDER ARRIVAL audit, batch-run:
+    * replay each user's stream in ARRIVAL order (event_id — the ingest
+    * sequence) and flag events whose event TIME sits more than
+    * [[LateTolerance]] behind the stream's running high-water mark
+    * max(ts) — exactly the rows a Structured Streaming watermark of the
+    * same delay would drop from q13's windowed aggregates. The report
+    * (per type: volume, late volume, late fraction, worst and mean
+    * lateness) is how a pipeline owner CHOOSES the watermark delay:
+    * run this offline, read the lateness tail, set the delay. The
+    * engine's streaming suite (EventStream) enforces a watermark; this
+    * is its sizing tool.
+    *
+    * Timestamps compare as exact microsecond integers against the
+    * interval-shifted high-water mark — no float boundary; only the
+    * reported fraction and mean round.
+    *
+    * 100 TB: ONE window, partitioned by user_id — per-user bounded
+    * state in arrival order (the q28/q122 discipline; a GLOBAL
+    * high-water mark would serialize the corpus, and per-partition
+    * watermarks are what a real stream engine tracks anyway) — then one
+    * map-side-combined per-type aggregate. Nothing else is
+    * corpus-scale.
+    */
+  def lateEventAudit(spark: SparkSession, sfDir: String): DataFrame =
+    lateEventAuditOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (user_id, ts, event_id, event_type) stream. */
+  def lateEventAuditOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = events
+      .withColumn("wm", max(col("ts")).over(w))
+      .withColumn("late", col("wm").isNotNull &&
+        col("ts") < col("wm") - expr(s"INTERVAL $LateTolerance"))
+      .withColumn("late_s",
+        when(col("late"), col("wm").cast("double") - col("ts").cast("double")))
+    flagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(col("late_s")).as("max_late_s"),
+        avg(col("late_s")).as("avg_late_s"))
+      .select(col("event_type"), col("n"), col("n_late"),
+        round(col("n_late") / col("n").cast("double"), 6).as("late_frac"),
+        round(col("max_late_s"), 6).as("max_late_s"),
+        round(col("avg_late_s"), 6).as("avg_late_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val q136OracleSql: String = {
+    val tol = LateTolerance.replace("MINUTES", "MINUTE")
+    s"""WITH o AS (
+       |  SELECT event_type, ts,
+       |         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+       |  FROM events
+       |), f AS (
+       |  SELECT event_type,
+       |         (wm IS NOT NULL AND ts < wm - INTERVAL $tol) AS late,
+       |         CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL $tol
+       |              THEN epoch(wm) - epoch(ts) END AS late_s
+       |  FROM o
+       |)
+       |SELECT event_type, COUNT(*) AS n,
+       |       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |       round(SUM(CASE WHEN late THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS late_frac,
+       |       round(MAX(late_s), 6) AS max_late_s,
+       |       round(AVG(late_s), 6) AS avg_late_s
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val q123OracleSql: String =
     """WITH o AS (
       |  SELECT user_id, event_type, ts, event_id,

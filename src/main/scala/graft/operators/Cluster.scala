@@ -299,4 +299,99 @@ object Cluster {
       |       label AS maj_label, CAST(n AS BIGINT) AS maj_n,
       |       round(CAST(n AS DOUBLE) / size, 6) AS purity
       |FROM mj WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cluster keyword summarization (q133)
+  // ---------------------------------------------------------------------
+
+  /** Keywords kept per cluster in q133. */
+  val KeywordsK = 5
+
+  /** q133_cluster_keywords — c-TF-IDF CLUSTER SUMMARIZATION (the
+    * BERTopic reduction, Grootendorst '22): after clustering, each
+    * cluster is described by the terms most over-represented in it —
+    * score = (c_tc / total_c) · ln(1 + Ā / f_t), with c_tc the term's
+    * count in the cluster, total_c the cluster's token total, f_t the
+    * term's corpus count, and Ā the mean cluster token total. The
+    * "what is actually IN each cluster" report a curation run reads
+    * after q101/q102/q103 — labels tell you clusters exist, keywords
+    * tell you what they are. Candidate terms are alphabetic, ≥ 3
+    * chars, non-stopword; scores round 6 dp BEFORE ranking, ties to
+    * token asc (the q76 discipline).
+    *
+    * The declared row uses the fixture's `label` as the cluster id
+    * (the q103 ground-truth convention — labels ARE the generator's
+    * clusters); a production pipeline feeds q101's assignment frame
+    * into the same core.
+    *
+    * 100 TB: one corpus token pass ends at the (cluster, token) count
+    * aggregate (map-side combined, Heaps-sublinear rows); corpus term
+    * totals and cluster totals both derive from THAT table (no second
+    * scan); the rank runs over the cluster-term TYPE table — vocab-scale,
+    * never corpus-scale — partitioned by cluster. Text never shuffles.
+    */
+  def clusterKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val classes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("cluster"))
+    clusterKeywordsOf(Tables.documents(spark, sfDir), classes)
+  }
+
+  /** Composable core: `docs` = ANY (doc_id, text, …) corpus, `classes` =
+    * ANY (doc_id, cluster) assignment (q101's output fits directly).
+    */
+  def clusterKeywordsOf(docs: DataFrame, classes: DataFrame): DataFrame = {
+    val stop = TextAnalysis.EnStopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    val ct = docs
+      .select(col("doc_id"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
+      .filter(col("token").rlike("^[a-z]{3,}$") && !expr(s"token IN $stop"))
+      .join(classes, Seq("doc_id"))
+      .groupBy(col("cluster"), col("token")).agg(count(lit(1)).as("c_tc"))
+    val termTotals = ct.groupBy(col("token")).agg(sum(col("c_tc")).as("f_t"))
+    val clusterTotals = ct.groupBy(col("cluster")).agg(sum(col("c_tc")).as("total_c"))
+    val meanTotal = clusterTotals.agg(avg(col("total_c")).as("a_bar"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("token").asc)
+    ct.join(termTotals, Seq("token"))
+      .join(broadcast(clusterTotals), Seq("cluster"))
+      .crossJoin(broadcast(meanTotal))
+      .withColumn("score", round((col("c_tc") / col("total_c").cast("double")) *
+        log(lit(1.0) + col("a_bar") / col("f_t")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KeywordsK)
+      .select(col("cluster"), col("rank"), col("token"), col("score"))
+      .orderBy(col("cluster"), col("rank"))
+  }
+
+  val q133OracleSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token
+       |  FROM documents
+       |), ft AS (
+       |  SELECT t.doc_id, t.token FROM t
+       |  WHERE regexp_matches(t.token, '^[a-z]{3,}$$') AND t.token NOT IN $stop
+       |), cls AS (
+       |  SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS cluster FROM embeddings
+       |), ct AS (
+       |  SELECT cls.cluster, ft.token, COUNT(*) AS c_tc
+       |  FROM ft JOIN cls USING (doc_id) GROUP BY cls.cluster, ft.token
+       |), tt AS (
+       |  SELECT token, SUM(c_tc) AS f_t FROM ct GROUP BY token
+       |), cc AS (
+       |  SELECT cluster, SUM(c_tc) AS total_c FROM ct GROUP BY cluster
+       |), ab AS (
+       |  SELECT AVG(total_c) AS a_bar FROM cc
+       |), s AS (
+       |  SELECT ct.cluster, ct.token,
+       |         round((ct.c_tc / CAST(cc.total_c AS DOUBLE)) * ln(1.0 + ab.a_bar / tt.f_t), 6) AS score
+       |  FROM ct JOIN tt USING (token) JOIN cc USING (cluster) CROSS JOIN ab
+       |), r AS (
+       |  SELECT cluster, token, score,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY score DESC, token ASC) AS rank
+       |  FROM s
+       |)
+       |SELECT cluster, CAST(rank AS BIGINT) AS rank, token, score
+       |FROM r WHERE rank <= $KeywordsK
+       |ORDER BY cluster, rank""".stripMargin
+  }
 }

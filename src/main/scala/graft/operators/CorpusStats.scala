@@ -367,4 +367,78 @@ object CorpusStats {
       |CROSS JOIN np CROSS JOIN nt
       |WHERE c_ab >= $CoocMinCount
       |ORDER BY pmi DESC, a, b LIMIT $CoocTopK""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Domain shift (q128)
+  // ---------------------------------------------------------------------
+
+  /** q128_domain_kl — per-SOURCE DOMAIN-SHIFT report: the KL divergence
+    * KL(p_source ‖ p_corpus) of each source's unigram distribution from
+    * the corpus-wide distribution, plus its token volume, vocabulary
+    * size, and corpus-vocab coverage. This is the quantitative form of
+    * "how different is this domain from the mixture" that importance
+    * selection (q94 DSIR scores docs by exactly this log-ratio) and
+    * mixture re-weighting (q61/q88) act on — the report a curation run
+    * emits per ingested source BEFORE deciding its mixing weight. Every
+    * source token appears in the corpus by construction, so q(t) > 0
+    * and the sum is total (no smoothing needed — the clean property of
+    * measuring components against their own mixture).
+    *
+    * 100 TB: ONE corpus scan ends at the (source, token) count
+    * aggregate (map-side combined, Heaps-law sublinear rows); the
+    * corpus-wide token counts derive from THAT table by summing out
+    * source — never a second scan — and join back on token, a
+    * vocab-scale equi-join. Per-source totals and the final KL sum are
+    * aggregates over the same vocab-scale stream; nothing downstream of
+    * the first aggregate is corpus-scale. No window, no collect.
+    */
+  def domainKl(spark: SparkSession, sfDir: String): DataFrame =
+    domainKlOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (source, text, …) corpus. */
+  def domainKlOf(docs: DataFrame): DataFrame = {
+    val fs = docs
+      .select(col("source"), explode(TextPipeline.tokenArr(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+    // corpus counts from the (source, token) table — no second corpus pass
+    val f = fs.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val corpusTotals = f.agg(sum(col("c_t")).cast("double").as("n_corpus"),
+      count(lit(1)).cast("double").as("v_corpus"))
+    val srcTotals = fs.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_src"), count(lit(1)).as("v_src"))
+    fs.join(f, Seq("token"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(corpusTotals))
+      .groupBy(col("source"))
+      .agg(
+        min(col("n_src")).as("n_tokens"),
+        min(col("v_src")).as("vocab"),
+        round(sum((col("c_st") / col("n_src").cast("double")) *
+          log((col("c_st") / col("n_src").cast("double")) /
+            (col("c_t") / col("n_corpus")))), 6).as("kl"),
+        round(min(col("v_src")) / min(col("v_corpus")), 6).as("coverage"))
+      .orderBy(col("source"))
+  }
+
+  val q128OracleSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token
+      |  FROM documents
+      |), fs AS (
+      |  SELECT source, token, COUNT(*) AS c_st FROM t GROUP BY source, token
+      |), f AS (
+      |  SELECT token, SUM(c_st) AS c_t FROM fs GROUP BY token
+      |), ct AS (
+      |  SELECT CAST(SUM(c_t) AS DOUBLE) AS n_corpus, CAST(COUNT(*) AS DOUBLE) AS v_corpus FROM f
+      |), st AS (
+      |  SELECT source, SUM(c_st) AS n_src, COUNT(*) AS v_src FROM fs GROUP BY source
+      |)
+      |SELECT fs.source,
+      |       CAST(MIN(st.n_src) AS BIGINT) AS n_tokens,
+      |       CAST(MIN(st.v_src) AS BIGINT) AS vocab,
+      |       round(SUM((fs.c_st / CAST(st.n_src AS DOUBLE)) *
+      |             ln((fs.c_st / CAST(st.n_src AS DOUBLE)) / (f.c_t / ct.n_corpus))), 6) AS kl,
+      |       round(MIN(st.v_src) / MIN(ct.v_corpus), 6) AS coverage
+      |FROM fs JOIN f USING (token) JOIN st USING (source) CROSS JOIN ct
+      |GROUP BY fs.source ORDER BY fs.source""".stripMargin
 }

@@ -63,6 +63,78 @@ object Gazetteer {
       .orderBy(col("entity"), col("lang"))
   }
 
+  /** q131's key width and candidate threshold. */
+  val LinkKeyLen  = 24
+  val LinkMaxDist = 6
+
+  /** q131_fuzzy_link — RECORD LINKAGE by edit distance: a fixed probe
+    * list of "dirty" keys (each probe's key is a deterministically
+    * corrupted 24-char document prefix — a/e-to-digit substitutions,
+    * the classic OCR/typo model) is resolved against the corpus by
+    * levenshtein distance; each probe reports its best match (smallest
+    * distance, ties to the smaller doc_id) and how many candidates sat
+    * within [[LinkMaxDist]]. This is the fuzzy-lookup half of entity
+    * resolution (the gazetteer q116 is its exact-match half): dedup
+    * against a reference list, "find the canonical record for this
+    * scraped title".
+    *
+    * The best-match argmin is an INTEGER min over dist·10^12 + doc_id —
+    * one exact min aggregate with the tie-break built into the number,
+    * no window, no argmin/arg_min cross-engine tie ambiguity.
+    *
+    * 100 TB: the probe list is query-scale and FIXED (ids < 500 — it
+    * does not grow with the corpus), so it broadcasts and the distance
+    * evaluates scan-side against every corpus row (BroadcastNestedLoop
+    * over a ≤ 14-row build side — linear in the corpus, the q95
+    * broadcast-query discipline); the aggregate is probe-scale with
+    * map-side combine. A production deployment with probe lists past
+    * broadcast size blocks both sides on a key prefix or length band
+    * first (the q18 blocked-join discipline) — same plan downstream.
+    */
+  def fuzzyLink(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyLinkOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, text, …) corpus. */
+  def fuzzyLinkOf(docs: DataFrame): DataFrame = {
+    val key = lower(substring(col("text"), 1, LinkKeyLen))
+    val probes = docs
+      .filter(col("doc_id") % 37 === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("probe_id"),
+        translate(key, "ae", "43").as("probe_key"))
+    val corpus = docs.select(col("doc_id"), key.as("doc_key"))
+    corpus.join(broadcast(probes),
+        levenshtein(col("probe_key"), col("doc_key")) <= LinkMaxDist)
+      .select(col("probe_id"), col("doc_id"),
+        levenshtein(col("probe_key"), col("doc_key")).cast("long").as("dist"))
+      .groupBy(col("probe_id"))
+      .agg(min(col("dist") * lit(1000000000000L) + col("doc_id")).as("best"),
+        count(lit(1)).as("n_cand"))
+      .select(col("probe_id"),
+        pmod(col("best"), lit(1000000000000L)).as("match_id"),
+        expr("best div 1000000000000").as("dist"),
+        col("n_cand"))
+      .orderBy(col("probe_id"))
+  }
+
+  val q131OracleSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id AS probe_id,
+       |         translate(lower(substring(text, 1, $LinkKeyLen)), 'ae', '43') AS probe_key
+       |  FROM documents WHERE doc_id % 37 = 0 AND doc_id < 500
+       |), c AS (
+       |  SELECT doc_id, lower(substring(text, 1, $LinkKeyLen)) AS doc_key FROM documents
+       |), m AS (
+       |  SELECT p.probe_id, c.doc_id,
+       |         CAST(levenshtein(p.probe_key, c.doc_key) AS BIGINT) AS dist
+       |  FROM c CROSS JOIN p
+       |  WHERE levenshtein(p.probe_key, c.doc_key) <= $LinkMaxDist
+       |)
+       |SELECT probe_id,
+       |       MIN(dist * 1000000000000 + doc_id) % 1000000000000 AS match_id,
+       |       MIN(dist * 1000000000000 + doc_id) // 1000000000000 AS dist,
+       |       COUNT(*) AS n_cand
+       |FROM m GROUP BY probe_id ORDER BY probe_id""".stripMargin
+
   val q116OracleSql: String = {
     val dictSql = Entities.map(e => s"'$e'").mkString("[", ", ", "]")
     s"""WITH d AS (

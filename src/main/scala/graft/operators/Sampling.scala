@@ -127,6 +127,68 @@ object Sampling {
       .select(docs.columns.map(col).toSeq: _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Weighted PPS sampling (q129)
+  // ---------------------------------------------------------------------
+
+  /** Expected sample size per language for q129. */
+  val PpsTargetK = 40
+
+  /** q129_pps_sample — WEIGHTED Poisson-PPS sampling per language:
+    * every document is kept independently with inclusion probability
+    * p_i = min(1, K·w_i / W_lang), w_i its n_chars weight and W_lang the
+    * language's weight total — probability-proportional-to-SIZE sampling
+    * (Poisson sampling, Hájek '64; the survey-sampling design curation
+    * stacks reuse when "sample 40 docs per lang" must favor the docs
+    * that carry the tokens). q82 is this operator's uniform-weight
+    * special case; q88 reweights whole LANGUAGES, this reweights DOCS.
+    *
+    * The keep decision is q88's deterministic multiplicative hash gate
+    * against an INTEGER threshold floor(K·w_i·2^20 / W_lang), computed
+    * entirely in int64 arithmetic — exact in both engines, no pow(), no
+    * float boundary to straddle (the q88 ulp argument, strengthened:
+    * here not even sqrt is needed). The emitted p_micro column IS that
+    * threshold (in 2^-20 units), so the inclusion probability is
+    * auditable without a lossy rounded double.
+    *
+    * 100 TB: one per-lang weight-total aggregate (map-side combined,
+    * lang-scale result) broadcasts back; the gate is a scan-local
+    * integer predicate — the corpus never shuffles. Horvitz-Thompson
+    * estimators downstream divide by p_micro/2^20.
+    */
+  def ppsSample(spark: SparkSession, sfDir: String): DataFrame =
+    ppsSampleOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars")))
+      .orderBy(col("doc_id"))
+
+  /** Composable core for ANY (doc_id, lang, n_chars, …) corpus: keeps
+    * each row with probability ∝ its n_chars weight, expected
+    * [[PpsTargetK]] rows per lang; all caller columns preserved, plus
+    * the integer inclusion threshold `p_micro` (2^-20 units).
+    */
+  def ppsSampleOf(docs: DataFrame): DataFrame = {
+    val totals = docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("w_lang"))
+    docs.join(broadcast(totals), Seq("lang"))
+      .withColumn("p_micro",
+        least(lit(1048576L),
+          expr(s"($PpsTargetK * n_chars * 1048576) div w_lang")))
+      .filter(pmod(col("doc_id") * lit(2246822519L), lit(1048576L)) < col("p_micro"))
+      .select(docs.columns.map(col).toSeq :+ col("p_micro"): _*)
+  }
+
+  val q129OracleSql: String =
+    s"""WITH w AS (
+       |  SELECT lang, SUM(n_chars) AS w_lang FROM documents GROUP BY lang
+       |), g AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars,
+       |         least(1048576, ($PpsTargetK * d.n_chars * 1048576) // w.w_lang) AS p_micro
+       |  FROM documents d JOIN w USING (lang)
+       |)
+       |SELECT doc_id, lang, n_chars, CAST(p_micro AS BIGINT) AS p_micro
+       |FROM g
+       |WHERE (doc_id * 2246822519) % 1048576 < p_micro
+       |ORDER BY doc_id""".stripMargin
+
   val q88OracleSql: String =
     """WITH n AS (
       |  SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang

@@ -59,6 +59,70 @@ object Skew {
       .orderBy(col("event_type"))
   }
 
+  /** q135_key_skew_audit — the PRE-JOIN SKEW REPORT per event type over
+    * the user_id key: row and key cardinalities, the heaviest key's
+    * share, the coefficient of variation of per-key counts, and the
+    * p50/p99 count quantiles with their ratio — the numbers that decide
+    * BEFORE a 100 TB shuffle whether a key needs [[saltedJoin]], an AQE
+    * skew split, or nothing (a p99/p50 near 1 and top1_share ≈ 1/keys
+    * means the hash partitioning is already balanced). This is the
+    * operational audit the q66 mitigation assumes someone ran.
+    *
+    * CV comes from integer moment sums (n·Σc² − S² under a sqrt — the
+    * q124 discipline; per-key counts are exact integers so the moments
+    * are exact), quantiles are the exact interpolated aggregates (q36
+    * discipline). Only displayed ratios round.
+    *
+    * 100 TB: one (type, key) count aggregate with map-side combine,
+    * then one per-type reduce over the KEY-scale stream — the moment
+    * sums and max are plain aggregates; the two quantiles hold per-type
+    * value-count buffers (distinct COUNT values — log-bounded in
+    * practice; approx_percentile is the drop-in past that). No window,
+    * no join, nothing corpus-scale after the first aggregate.
+    */
+  def keySkewAudit(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    keySkewAuditOf(graft.Tables.events(spark, sfDir), "event_type", "user_id")
+
+  /** Composable core: per-`group` skew stats of the `key` column. */
+  def keySkewAuditOf(df: DataFrame, group: String, key: String): DataFrame =
+    df.groupBy(col(group), col(key)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(group))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("cnt") * col("cnt")).as("ss"),
+        expr("percentile(cnt, 0.5)").as("p50"),
+        expr("percentile(cnt, 0.99)").as("p99"))
+      .select(col(group), col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("max_cnt") / col("n_rows").cast("double"), 6).as("top1_share"),
+        round(sqrt(col("n_keys").cast("double") * col("ss") - col("n_rows") * col("n_rows")) /
+          col("n_rows"), 6).as("cv"),
+        round(col("p50"), 6).as("p50_cnt"),
+        round(col("p99"), 6).as("p99_cnt"),
+        round(col("p99") / col("p50"), 6).as("p99_over_p50"))
+      .orderBy(col(group))
+
+  val q135OracleSql: String =
+    """WITH kc AS (
+      |  SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY event_type, user_id
+      |), s AS (
+      |  SELECT event_type,
+      |         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         COUNT(*) AS n_keys,
+      |         MAX(cnt) AS max_cnt,
+      |         CAST(SUM(cnt * cnt) AS BIGINT) AS ss,
+      |         quantile_cont(cnt, 0.5) AS p50,
+      |         quantile_cont(cnt, 0.99) AS p99
+      |  FROM kc GROUP BY event_type
+      |)
+      |SELECT event_type, n_rows, n_keys, max_cnt,
+      |       round(max_cnt / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+      |       round(sqrt(CAST(n_keys AS DOUBLE) * ss - CAST(n_rows AS DOUBLE) * n_rows) / n_rows, 6) AS cv,
+      |       round(p50, 6) AS p50_cnt,
+      |       round(p99, 6) AS p99_cnt,
+      |       round(p99 / p50, 6) AS p99_over_p50
+      |FROM s ORDER BY event_type""".stripMargin
+
   val q66OracleSql: String =
     """WITH dim AS (
       |  SELECT event_type, len(event_type)::DOUBLE / 10.0 AS weight

@@ -629,6 +629,82 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gen == 1, s"one (label, dim) unit-component stream;\n$p")
   }
 
+  test("q128 domain-kl: vocab-scale joins, broadcast totals, no window") {
+    val p = plan(graft.operators.CorpusStats.domainKl(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"the source-totals table must broadcast back onto the vocab stream;\n$p")
+  }
+
+  test("q129 pps sample: broadcast weight totals, scan-side integer gate — no window, no sort of the corpus") {
+    val p = plan(graft.operators.Sampling.ppsSample(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the lang-scale weight table must broadcast;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+  }
+
+  test("q130 funnel: one token aggregate, literal-unrolled stages — no join, no window") {
+    val p = plan(graft.operators.Quality.filterFunnel(spark, TestSpark.Sf0001))
+    assert(!p.contains("Join"), s"the funnel needs no join anywhere;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the cumulative stage counts unroll as literals, never a window;\n$p")
+  }
+
+  test("q131 fuzzy link: the fixed probe list broadcasts into a nested-loop scan") {
+    val p = plan(graft.operators.Gazetteer.fuzzyLink(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi distance predicate must evaluate scan-side against broadcast probes;\n$p")
+    assert(!p.contains("CartesianProduct"), s"never an unbroadcast product;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the argmin is an integer min aggregate, not a rank window;\n$p")
+  }
+
+  test("q132 power iteration: two bounded jobs, dim-scale localized result — no corpus join") {
+    // construction runs the two Lloyd-style passes (each one corpus scan
+    // ending in a dim-scale collect); the returned frame is the localized
+    // report, so no consumer can ever re-trigger the corpus work
+    val p = plan(graft.operators.Analytics.powerIteration(spark, TestSpark.Sf0001))
+    assert(p.contains("LocalTableScan"), s"the dim-scale report must be localized;\n$p")
+    assert(!p.contains("Join") && !p.contains("WindowExec"),
+      s"nothing distributed may remain in the report plan;\n$p")
+  }
+
+  test("q133 cluster keywords: the rank window partitions by cluster; totals broadcast") {
+    val p = plan(graft.operators.Cluster.clusterKeywords(spark, TestSpark.Sf0001))
+    assert(p.contains("hashpartitioning(cluster"),
+      s"the keyword rank must partition per cluster — never a global window;\n$p")
+    assert(!p.contains(", SinglePartition"),
+      s"no stage may collapse the type stream to one partition;\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"cluster totals and the term table join broadcast at this scale;\n$p")
+  }
+
+  test("q134 rank correlation: the prefix sum is two-level — bucket-partitioned window, no global ordering") {
+    val p = plan(graft.operators.Quality.scoreRankCorr(spark, TestSpark.Sf0001))
+    assert(p.contains("hashpartitioning(bk"),
+      s"the value-grid cumulative must partition by bucket (the MPP prefix-sum shape);\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both value-scale rank maps must broadcast back onto the scored stream;\n$p")
+  }
+
+  test("q135 key skew audit: two hash aggregates, nothing else") {
+    val p = plan(graft.operators.Skew.keySkewAudit(spark, TestSpark.Sf0001))
+    assert(!p.contains("Join"), s"the audit needs no join;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+  }
+
+  test("q136 late events: the high-water-mark window hash-partitions by user") {
+    val p = plan(graft.operators.Behavior.lateEventAudit(spark, TestSpark.Sf0001))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the running max must partition per user (the q28/q122 discipline);\n$p")
+    assert(!p.contains(", SinglePartition"),
+      s"no stage may collapse the stream to one partition;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+  }
+
   test("q116 gazetteer: hit-scale explode, no join, no window") {
     val p = plan(graft.operators.Gazetteer.entityTag(spark, TestSpark.Sf0001))
     assert(!p.contains("Join"),
