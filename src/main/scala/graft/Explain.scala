@@ -45,7 +45,11 @@ object Explain {
                          "q130_filter_funnel", "q131_fuzzy_link",
                          "q132_power_iteration", "q133_cluster_keywords",
                          "q134_score_rank_corr", "q135_key_skew_audit",
-                         "q136_late_event_audit")
+                         "q136_late_event_audit",
+                         "q137_range_search", "q138_recommend_multi",
+                         "q139_ngram_novelty", "q140_value_histogram",
+                         "q141_shard_balance", "q142_knn_calibration",
+                         "q143_privacy_kanon")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -290,6 +290,69 @@ object Analytics {
       |ORDER BY h.event_type, h.bucket_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Value histogram (q140)
+  // ---------------------------------------------------------------------
+
+  /** q140's bucket count. */
+  val HistBuckets = 20
+
+  /** q140_value_histogram — INTEGER-EXACT equi-width value profiling per
+    * event type: the [[HistBuckets]]-bucket histogram of `value`, the
+    * distribution view q126's range rules and q117's outlier cuts both
+    * presuppose someone looked at (every data-profiling stack emits
+    * this next to min/max). Values are 2-dp decimals, so bucketing runs
+    * ENTIRELY in int64 cents: bucket = (cents − min_cents)·B div
+    * (max_cents − min_cents + 1) — no float division can ever place a
+    * boundary value differently across engines (the q66/q129/q130
+    * fixed-point discipline). Emitted bounds are exact cent ratios.
+    *
+    * 100 TB: one per-type min/max aggregate broadcasts back; bucket
+    * assignment is a scan-side integer expression; the final aggregate
+    * is (types × B)-scale with map-side combine. Two scans (production
+    * folds min/max into a prior profiling pass or reads parquet
+    * column stats); no window, no join past the broadcast.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    valueHistogramOf(Tables.events(spark, sfDir))
+
+  /** Composable core for ANY (event_type, value) stream of 2-dp values. */
+  def valueHistogramOf(events: DataFrame): DataFrame = {
+    val b = HistBuckets
+    val cents = events.select(col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("c"))
+    val bounds = cents.groupBy(col("event_type"))
+      .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    cents.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bucket", expr(s"(c - minc) * $b div (maxc - minc + 1)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("minc")).as("minc"), min(col("maxc")).as("maxc"))
+      .select(col("event_type"), col("bucket"),
+        round((col("minc") + col("bucket") * (col("maxc") - col("minc") + 1) / lit(b.toDouble))
+          / 100.0, 6).as("lo"),
+        col("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q140OracleSql: String = {
+    val b = HistBuckets
+    s"""WITH c AS (
+       |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+       |), bd AS (
+       |  SELECT event_type, MIN(c) AS minc, MAX(c) AS maxc FROM c GROUP BY event_type
+       |), k AS (
+       |  SELECT c.event_type, (c.c - bd.minc) * $b // (bd.maxc - bd.minc + 1) AS bucket,
+       |         bd.minc, bd.maxc
+       |  FROM c JOIN bd USING (event_type)
+       |)
+       |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       |       round((MIN(minc) + bucket * (MIN(maxc) - MIN(minc) + 1) / CAST($b AS DOUBLE)) / 100.0, 6) AS lo,
+       |       COUNT(*) AS n
+       |FROM k GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Dominant principal direction (q132)
   // ---------------------------------------------------------------------
 

@@ -180,6 +180,85 @@ object Classify {
       .orderBy(col("qid"))
   }
 
+  /** q142's held-out slice: a bigger batch than q97's so the calibration
+    * curve has population per confidence bin.
+    */
+  val CalibQueryIds = 200
+
+  /** q142_knn_calibration — CONFIDENCE CALIBRATION of the q97
+    * classifier: bucket the held-out predictions by their vote count
+    * (the vote fraction votes/K IS the classifier's confidence — an
+    * exact integer bin, no float binning anywhere) and report per bin
+    * the population, hits, and accuracy — the reliability diagram
+    * (Guo et al. ICML'17) every labeling pipeline reads before
+    * trusting model-assigned labels at scale: a well-calibrated bin
+    * has accuracy ≈ confidence, and the table is the input to an ECE
+    * or a confidence threshold for auto-accept vs human review.
+    *
+    * 100 TB: q97's audited scan shape with a 200-query broadcast side,
+    * then a ≤ K-row aggregate over the query-scale prediction table.
+    * The corpus never shuffles; the calibration reduce is free.
+    */
+  def knnCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < CalibQueryIds)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").cast("long").as("true_label"))
+    val corpus = emb.filter(col("vec_id") >= CalibQueryIds)
+    knnCalibrationOf(knnClassifyOf(queries, corpus, K), K)
+  }
+
+  /** Composable core over ANY (qid, pred_label, votes, true_label)
+    * prediction frame (q97's output shape).
+    */
+  def knnCalibrationOf(preds: DataFrame, k: Int): DataFrame =
+    preds
+      .groupBy(col("votes"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("votes"),
+        round(col("votes") / lit(k.toDouble), 6).as("confidence"),
+        col("n"), col("n_correct"),
+        round(col("n_correct") / col("n").cast("double"), 6).as("accuracy"))
+      .orderBy(col("votes"))
+
+  val q142OracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,
+      |         CAST(label AS BIGINT) AS true_label
+      |  FROM embeddings WHERE vec_id < $CalibQueryIds
+      |), c AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         embedding::DOUBLE[] AS vec
+      |  FROM embeddings WHERE vec_id >= $CalibQueryIds
+      |), s AS (
+      |  SELECT q.qid, c.vec_id, c.label,
+      |         round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec)) = 0
+      |               THEN 0.0
+      |               ELSE list_dot_product(q.qvec, c.vec)
+      |                    / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec))) END, 6) AS score
+      |  FROM q CROSS JOIN c
+      |), r AS (
+      |  SELECT qid, vec_id, label,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      |  FROM s
+      |), v AS (
+      |  SELECT qid, label, count(*) AS votes FROM r WHERE rank <= $K
+      |  GROUP BY qid, label
+      |), p AS (
+      |  SELECT v.qid, v.label AS pred_label, v.votes, q.true_label
+      |  FROM (SELECT qid, label, votes,
+      |               row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+      |        FROM v) v
+      |  JOIN q ON q.qid = v.qid
+      |  WHERE v.rn = 1
+      |)
+      |SELECT votes, round(votes / CAST($K AS DOUBLE), 6) AS confidence,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |       round(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+      |FROM p GROUP BY votes ORDER BY votes""".stripMargin
+
   val q98OracleSql: String =
     s"""WITH q AS (
       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec,

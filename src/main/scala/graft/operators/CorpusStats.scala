@@ -369,6 +369,82 @@ object CorpusStats {
       |ORDER BY pmi DESC, a, b LIMIT $CoocTopK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // N-gram novelty (q139)
+  // ---------------------------------------------------------------------
+
+  /** q139's gram order. */
+  val NoveltyN = 4
+
+  /** q139_ngram_novelty — VAL-VS-TRAIN MEMORIZATION AUDIT: the fraction
+    * of each language's validation-split 4-gram TYPES never seen in the
+    * training split — the n-gram novelty measure memorization studies
+    * report (McCoy et al. TACL'23 "RAVEN" novelty; the Pile's dedup
+    * ablations) and the cheap leakage canary next to the exact checks
+    * (q60 decontamination, q83 leakage-safe splits): a val set whose
+    * novelty collapses toward 0 is answerable from training memory
+    * alone. Splits are q06's deterministic `doc_id % 10` convention.
+    *
+    * 100 TB: gram assembly is the scan-local slice+zip idiom (q112 —
+    * never a positional self-join); both sides reduce to per-lang gram
+    * TYPE tables (Heaps-sublinear) before the LEFT ANTI equi-join on
+    * (lang, gram); the report is lang-scale. Corpus text never
+    * shuffles — only distinct gram fingerprint rows.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, lang, text, …) corpus. */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val n = NoveltyN
+    def gramTypes(part: DataFrame): DataFrame = part
+      .select(col("lang"), TextPipeline.tokenArr(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("lang"), explode(array_distinct(transform(
+        arrays_zip(
+          (0 until n).map(i =>
+            slice(col("toks"), lit(i + 1), size(col("toks")) - (n - 1)).as(s"w$i")): _*),
+        s => concat_ws(" ", (0 until n).map(i => s.getField(s"w$i")): _*)))).as("gram"))
+      .distinct()
+    val train = gramTypes(docs.filter(pmod(col("doc_id"), lit(10)) < 9))
+    val vals  = gramTypes(docs.filter(pmod(col("doc_id"), lit(10)) === 9))
+    val novel = vals.join(train, Seq("lang", "gram"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("novel_grams"))
+    vals.groupBy(col("lang")).agg(count(lit(1)).as("val_grams"))
+      .join(novel, Seq("lang"), "left")
+      .select(col("lang"), col("val_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        round(coalesce(col("novel_grams"), lit(0L)) / col("val_grams").cast("double"), 6)
+          .as("novelty"))
+      .orderBy(col("lang"))
+  }
+
+  val q139OracleSql: String = {
+    val n = NoveltyN
+    def gramCte(pred: String) =
+      s"""SELECT DISTINCT lang,
+         |         array_to_string(toks[g.i : g.i + ${n - 1}], ' ') AS gram
+         |  FROM (SELECT lang, doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks
+         |        FROM documents WHERE $pred) d
+         |  CROSS JOIN UNNEST(generate_series(1, len(toks) - ${n - 1})) g(i)
+         |  WHERE len(toks) >= $n""".stripMargin
+    s"""WITH tr AS (
+       |  ${gramCte("doc_id % 10 < 9")}
+       |), va AS (
+       |  ${gramCte("doc_id % 10 = 9")}
+       |), nv AS (
+       |  SELECT lang, COUNT(*) AS novel_grams FROM va
+       |  WHERE NOT EXISTS (SELECT 1 FROM tr WHERE tr.lang = va.lang AND tr.gram = va.gram)
+       |  GROUP BY lang
+       |), vt AS (
+       |  SELECT lang, COUNT(*) AS val_grams FROM va GROUP BY lang
+       |)
+       |SELECT vt.lang, vt.val_grams,
+       |       COALESCE(nv.novel_grams, 0) AS novel_grams,
+       |       round(COALESCE(nv.novel_grams, 0) / CAST(vt.val_grams AS DOUBLE), 6) AS novelty
+       |FROM vt LEFT JOIN nv USING (lang) ORDER BY vt.lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Domain shift (q128)
   // ---------------------------------------------------------------------
 

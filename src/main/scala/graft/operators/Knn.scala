@@ -115,6 +115,155 @@ object Knn {
       .orderBy(col("qid"))
   }
 
+  /** q137's score threshold (on the 6-dp-rounded cosine). */
+  val RangeTau = 0.3
+
+  /** q137_range_search — RANGE (score-threshold) vector search: every
+    * corpus point with rounded cosine ≥ [[RangeTau]] for each of the
+    * q01 queries — the `score_threshold` search mode of a vector store
+    * (the reference's `client.search` caps by `limit`,
+    * vector_db_query.py:78-81; the threshold variant is the other basic
+    * retrieval contract: "give me everything at least this similar",
+    * the shape dedup candidate generation and radius-bounded recall
+    * audits consume). Unlike top-k, the result SIZE is data-dependent
+    * and grows with the corpus — the honest semantics of a radius
+    * query. Threshold compares the 6-dp-ROUNDED score (the q10
+    * convention), ties in presentation order by (qid, score desc,
+    * vec_id).
+    *
+    * 100 TB: identical to q01's scan shape MINUS the heap — broadcast
+    * queries, scan-local codegen'd cosine, a scan-side filter, and NO
+    * aggregate at all: the only exchange is the presentation sort of
+    * the hit-scale result. Production with huge hit sets drops the
+    * sort and writes partition-local.
+    */
+  def rangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    rangeSearchOf(queries, emb.select(col("vec_id"), col("embedding")), RangeTau)
+  }
+
+  /** Composable core: all (qid, vec_id, score) with rounded cosine ≥ tau. */
+  def rangeSearchOf(queries: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    corpus
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
+      .filter(col("score") >= tau)
+      .orderBy(col("qid"), col("score").desc, col("vec_id"))
+  }
+
+  val q137OracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+      |  FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), s AS (
+      |  SELECT q.qid, c.vec_id,
+      |         round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec)) = 0
+      |               THEN 0.0
+      |               ELSE list_dot_product(q.qvec, c.vec)
+      |                    / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec))) END, 6) AS score
+      |  FROM q CROSS JOIN c
+      |)
+      |SELECT qid, vec_id, score FROM s
+      |WHERE score >= $RangeTau
+      |ORDER BY qid, score DESC, vec_id""".stripMargin
+
+  /** q138's example groups: group g's positives are {g, g+10, g+20}. */
+  val RecGroups = 5
+  val RecK = 5
+
+  /** q138_recommend_multi — MULTI-POSITIVE RECOMMENDATION: each "user"
+    * supplies several liked points; the query vector is their
+    * elementwise mean (rounded 6 dp on BOTH engines before scoring —
+    * the q101/q132 pinned-intermediate discipline) and the answer is
+    * the top-[[RecK]] nearest corpus points EXCLUDING the examples
+    * themselves — the average-positives `recommend` semantics of a
+    * vector store (the reference points at exactly this use,
+    * vector_db.py:111's recommendation-system note) and the
+    * "more like these" button every retrieval product ships.
+    *
+    * 100 TB: the example table is query-scale and literal; the mean
+    * derivation aggregates groups×dim tiny rows; scoring is q01's
+    * broadcast scan shape with a scan-side exclusion predicate
+    * (array_contains against the group's inlined example list), and
+    * ranking is the bounded-heap TopK aggregate. The corpus never
+    * shuffles.
+    */
+  def recommendMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val examples = (0 until RecGroups)
+      .flatMap(g => Seq(g, g + 10, g + 20).map(id => (g.toLong, id.toLong)))
+      .toDF("gid", "ex_id")
+    recommendMultiOf(Tables.embeddings(spark, sfDir), examples, RecK)
+  }
+
+  /** Composable core: `emb` = (vec_id, embedding, …), `examples` =
+    * (gid, ex_id) positive-example lists.
+    */
+  def recommendMultiOf(emb: DataFrame, examples: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    // group mean, pinned: per-(gid, dim) avg over the examples, rounded
+    // 6 dp, reassembled in dim order
+    val qvecs = emb.join(broadcast(examples), col("vec_id") === col("ex_id"))
+      .select(col("gid"), posexplode(col("embedding")))
+      .toDF("gid", "pos", "x")
+      .groupBy(col("gid"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("v"))
+      .groupBy(col("gid"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("qvec"))
+    val exList = examples.groupBy(col("gid"))
+      .agg(collect_set(col("ex_id")).as("ex_ids"))
+    val tk = TopK.topKUdaf(k)
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qvecs.join(exList, Seq("gid"))))
+      .filter(!array_contains(col("ex_ids"), col("vec_id")))
+      .select(col("gid"), col("vec_id"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
+      .groupBy(col("gid"))
+      .agg(tk(col("vec_id"), col("score")).as("top"))
+      .select(col("gid"), posexplode(col("top")))
+      .toDF("gid", "pos", "s")
+      .select(col("gid"), col("s.id").as("vec_id"), col("s.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("gid"), col("rank"))
+  }
+
+  val q138OracleSql: String = {
+    val exRows = (0 until RecGroups)
+      .flatMap(g => Seq(g, g + 10, g + 20).map(id => s"($g, $id)")).mkString(", ")
+    s"""WITH ex(gid, ex_id) AS (VALUES $exRows
+      |), m AS (
+      |  SELECT ex.gid, g.i AS pos, round(AVG(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS v
+      |  FROM embeddings e JOIN ex ON e.vec_id = ex.ex_id
+      |  CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) g(i)
+      |  GROUP BY ex.gid, g.i
+      |), q AS (
+      |  SELECT gid, list(v ORDER BY pos) AS qvec FROM m GROUP BY gid
+      |), c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), s AS (
+      |  SELECT q.gid, c.vec_id,
+      |         round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec)) = 0
+      |               THEN 0.0
+      |               ELSE list_dot_product(q.qvec, c.vec)
+      |                    / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.vec, c.vec))) END, 6) AS score
+      |  FROM q CROSS JOIN c
+      |  WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.gid = q.gid AND ex.ex_id = c.vec_id)
+      |)
+      |SELECT gid, vec_id, score, rank
+      |FROM (SELECT gid, vec_id, score,
+      |             row_number() OVER (PARTITION BY gid ORDER BY score DESC, vec_id) AS rank
+      |      FROM s)
+      |WHERE rank <= $RecK
+      |ORDER BY gid, rank""".stripMargin
+  }
+
   val q02OracleSql: String =
     """WITH q AS (
       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel

@@ -279,6 +279,55 @@ object Quality {
           col("sa"), col("sb"), col("ssa"), col("ssb"), col("sab")).as("pearson"))
   }
 
+  /** q143's anonymity floor and the n_chars bucket width. */
+  val KAnonK = 5
+  val KAnonBucket = 100
+
+  /** q143_privacy_kanon — K-ANONYMITY AUDIT over quasi-identifiers: how
+    * many (lang, source, length-bucket) equivalence classes have fewer
+    * than [[KAnonK]] members, and what fraction of documents sit in
+    * them — the re-identification exposure report (Sweeney '02) a
+    * dataset release runs next to the PII scrub (q52 removes direct
+    * identifiers; k-anonymity measures whether the INDIRECT ones —
+    * metadata combinations — still single documents out). The length
+    * bucket is integer division (n_chars div 100), so class membership
+    * is exact on any engine.
+    *
+    * 100 TB: one (lang, source, bucket) count aggregate with map-side
+    * combine (class-scale result), one 1-row reduce over the class
+    * table. The corpus never shuffles text — only class-key partials.
+    */
+  def privacyKanon(spark: SparkSession, sfDir: String): DataFrame =
+    privacyKanonOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (lang, source, n_chars, …) frame. */
+  def privacyKanonOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $KAnonBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("cnt")).as("n_docs"),
+        min(col("cnt")).as("min_class"),
+        sum(when(col("cnt") < KAnonK, 1L).otherwise(0L)).as("small_classes"),
+        sum(when(col("cnt") < KAnonK, col("cnt")).otherwise(lit(0L))).as("docs_small"))
+      .select(col("n_classes"), col("n_docs"), col("min_class"),
+        col("small_classes"), col("docs_small"),
+        round(col("docs_small") / col("n_docs").cast("double"), 6).as("frac_exposed"))
+
+  val q143OracleSql: String =
+    s"""WITH cls AS (
+       |  SELECT lang, source, n_chars // $KAnonBucket AS len_bucket, COUNT(*) AS cnt
+       |  FROM documents GROUP BY 1, 2, 3
+       |)
+       |SELECT COUNT(*) AS n_classes,
+       |       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       |       MIN(cnt) AS min_class,
+       |       CAST(SUM(CASE WHEN cnt < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS small_classes,
+       |       CAST(SUM(CASE WHEN cnt < $KAnonK THEN cnt ELSE 0 END) AS BIGINT) AS docs_small,
+       |       round(SUM(CASE WHEN cnt < $KAnonK THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 6) AS frac_exposed
+       |FROM cls""".stripMargin
+
   val q134OracleSql: String = {
     // the two scored streams are q20/q72's oracle derivations verbatim
     val stop = TextAnalysis.EnStopwords.map(s => s"'$s'").mkString("(", ",", ")")

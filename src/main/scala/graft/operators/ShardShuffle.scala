@@ -80,6 +80,58 @@ object ShardShuffle {
       .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** q141_shard_balance — the SHARD BALANCE audit of q81's assignment:
+    * one report row with shard count, total rows, min/max shard sizes,
+    * the max/min imbalance ratio, and the χ² uniformity statistic
+    * Σ (nᵢ − E)²/E against E = total/[[NumShards]] — the check a
+    * training-infra owner runs before trusting "16 equal shard files"
+    * (a skewed shard = a straggler data-loader every epoch; χ² far
+    * above ~N−1 means the hash is broken, not unlucky). Every term is
+    * exact: counts are integers and E = total/16 is a dyadic rational
+    * (16 = 2⁴), so (nᵢ−E)²/E sums identically in any order on any
+    * engine — no rounding call needed on the statistic's inputs.
+    *
+    * 100 TB: the scan-local nibble assignment (no shuffle), one
+    * 16-group count aggregate with map-side combine, one 1-row reduce.
+    * The audit costs one pass regardless of corpus size.
+    */
+  def shardBalance(spark: SparkSession, sfDir: String): DataFrame =
+    shardBalanceOf(Tables.documents(spark, sfDir), NumShards)
+
+  /** Composable core for ANY (doc_id, …) frame. */
+  def shardBalanceOf(docs: DataFrame, n: Int): DataFrame =
+    keyed(docs, n, 0L)
+      .groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("cnt")).as("total"),
+        min(col("cnt")).as("min_n"),
+        max(col("cnt")).as("max_n"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+      .select(col("n_shards"), col("total"), col("min_n"), col("max_n"),
+        round(col("max_n") / col("min_n").cast("double"), 6).as("imbalance"),
+        // Σ(nᵢ−E)²/E = (Σnᵢ² − total²/N) / E with E = total/N — one pass
+        round((col("ss") - col("total") * col("total") / lit(n.toDouble))
+          / (col("total") / lit(n.toDouble)), 6).as("chi2"))
+
+  val q141OracleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT (strpos('0123456789abcdef', substring(md5('shuffle:' || doc_id), 1, 1)) - 1)
+       |         % $NumShards AS shard
+       |  FROM documents
+       |), sc AS (
+       |  SELECT shard, COUNT(*) AS cnt FROM keyed GROUP BY shard
+       |), a AS (
+       |  SELECT COUNT(*) AS n_shards, CAST(SUM(cnt) AS BIGINT) AS total,
+       |         MIN(cnt) AS min_n, MAX(cnt) AS max_n,
+       |         CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+       |  FROM sc
+       |)
+       |SELECT n_shards, total, min_n, max_n,
+       |       round(max_n / CAST(min_n AS DOUBLE), 6) AS imbalance,
+       |       round((ss - total * total / CAST($NumShards AS DOUBLE))
+       |             / (total / CAST($NumShards AS DOUBLE)), 6) AS chi2
+       |FROM a""".stripMargin
+
   val q81OracleSql: String =
     s"""WITH keyed AS (
        |  SELECT doc_id,

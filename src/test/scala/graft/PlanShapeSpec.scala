@@ -705,6 +705,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
   }
 
+  test("q137 range search: broadcast queries, scan-side cut — no heap, no window") {
+    val p = plan(graft.operators.Knn.rangeSearch(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries broadcast against the streaming corpus;\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("WindowExec"),
+      s"a radius query has no ranking reduce at all — filter and emit;\n$p")
+  }
+
+  test("q138 recommend: scan-side example exclusion, bounded-heap ranking") {
+    val p = plan(graft.operators.Knn.recommendMulti(spark, TestSpark.Sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      s"ranking must use the bounded-heap TopK aggregate;\n$p")
+    assert(p.contains("array_contains"),
+      s"example exclusion evaluates scan-side against the inlined id list;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+  }
+
+  test("q139 novelty: gram-type anti-join, never a positional self-join") {
+    val p = plan(graft.operators.CorpusStats.ngramNovelty(spark, TestSpark.Sf0001))
+    assert(p.contains("LeftAnti"),
+      s"novel grams come from a type-scale anti-join;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+  }
+
+  test("q140 histogram: broadcast bounds, integer scan-side bucketing") {
+    val p = plan(graft.operators.Analytics.valueHistogram(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the type-scale min/max table must broadcast back;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+  }
+
+  test("q141 shard balance: scan-local assignment, two aggregates, nothing else") {
+    val p = plan(graft.operators.ShardShuffle.shardBalance(spark, TestSpark.Sf0001))
+    assert(!p.contains("Join"), s"the audit needs no join;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+  }
+
+  test("q142 calibration: q97's scan shape, query-scale vote window only") {
+    val p = plan(graft.operators.Classify.knnCalibration(spark, TestSpark.Sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      s"the k-NN rank must use the bounded heap;\n$p")
+    assert(p.contains("hashpartitioning(qid"),
+      s"the vote window partitions per query;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product;\n$p")
+  }
+
+  test("q143 k-anonymity: two aggregates over class keys, nothing corpus-scale past the first") {
+    val p = plan(graft.operators.Quality.privacyKanon(spark, TestSpark.Sf0001))
+    assert(!p.contains("Join"), s"no join;\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    // length bucket must reach the scan as a projection, not a shuffle key surprise
+    assert(p.contains("ReadSchema: struct<lang:string,source:string,n_chars:bigint")
+      || p.contains("n_chars"), s"only the three quasi-identifier columns scan;\n$p")
+  }
+
   test("q116 gazetteer: hit-scale explode, no join, no window") {
     val p = plan(graft.operators.Gazetteer.entityTag(spark, TestSpark.Sf0001))
     assert(!p.contains("Join"),
