@@ -49,7 +49,9 @@ object Explain {
                          "q137_range_search", "q138_recommend_multi",
                          "q139_ngram_novelty", "q140_value_histogram",
                          "q141_shard_balance", "q142_knn_calibration",
-                         "q143_privacy_kanon")
+                         "q143_privacy_kanon",
+                         "q144_quant_calibrate", "q145_langid_confusion",
+                         "q146_shipping_priority", "q147_token_dedup_inflation")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

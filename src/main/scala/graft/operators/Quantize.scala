@@ -56,6 +56,89 @@ object Quantize {
       .orderBy(col("vec_id"))
   }
 
+  /** q144's clip width in standard deviations. */
+  val CalibSigmas = 3.0
+
+  /** q144_quant_calibrate — PER-DIMENSION QUANTIZATION CALIBRATION: the
+    * corpus-wide μ ± 3σ clip bounds per embedding dimension and the
+    * fraction of values they would clip — the calibration pass every
+    * int8/product-quantization deployment runs BEFORE coding (q49
+    * quantizes per-vector; real deployments calibrate per-DIM over the
+    * corpus so one outlier dimension cannot blow the shared scale, and
+    * the clip fraction is the knob's audit). Moment-based bounds (the
+    * TensorRT/ONNX "entropy/minmax" family's cheap sibling) stay
+    * oracle-expressible where exact per-dim percentiles would buffer
+    * the corpus.
+    *
+    * Both passes are the q132 WIDE-AGGREGATE shape: pass 1 computes
+    * 2·dim scan-local moment sums (no posexplode — the measured ×28
+    * lesson), bounds round 6 dp on the driver (the q101/q132 pinned
+    * intermediate discipline), and pass 2 counts clips against INLINED
+    * literal bounds. Two bounded jobs, dim-scale driver state, the
+    * corpus never shuffles; the returned report localizes (q105).
+    */
+  def quantCalibrate(spark: SparkSession, sfDir: String): DataFrame =
+    quantCalibrateOf(Tables.embeddings(spark, sfDir))
+
+  /** Composable core for ANY (embedding, …) frame. */
+  def quantCalibrateOf(emb: DataFrame): DataFrame = {
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val momentCols =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      (1 to dim).map(d => sum(element_at(col("embedding"), d).cast("double")).as(s"s$d")) ++
+      (1 to dim).map(d => sum(element_at(col("embedding"), d).cast("double") *
+        element_at(col("embedding"), d).cast("double")).as(s"ss$d"))
+    val m = emb.agg(momentCols.head, momentCols.tail: _*).head()
+    val n = m.getDouble(0)
+    val stats = (1 to dim).map { d =>
+      val mu = m.getDouble(d) / n
+      val sg = math.sqrt(math.max(0.0, m.getDouble(dim + d) / n - mu * mu))
+      (r6(mu), r6(sg))
+    }
+    val bounds = stats.map { case (mu, sg) =>
+      (r6(mu - CalibSigmas * sg), r6(mu + CalibSigmas * sg)) }
+    val clipCols = (1 to dim).map { d =>
+      val x = element_at(col("embedding"), d).cast("double")
+      val (lo, hi) = bounds(d - 1)
+      sum(when(x < lo || x > hi, 1L).otherwise(0L)).as(s"c$d")
+    }
+    val c = emb.agg(clipCols.head, clipCols.tail: _*).head()
+    val sess = emb.sparkSession
+    import sess.implicits._
+    (1 to dim).map { d =>
+      val (mu, sg) = stats(d - 1); val (lo, hi) = bounds(d - 1)
+      (d.toLong, mu, sg, lo, hi, c.getLong(d - 1), r6(c.getLong(d - 1) / n))
+    }.toDF("dim", "mu", "sigma", "lo", "hi", "n_clipped", "clip_frac")
+      .orderBy(col("dim"))
+  }
+
+  val q144OracleSql: String =
+    s"""WITH e AS (
+      |  SELECT embedding FROM embeddings
+      |), d AS (
+      |  SELECT g.i AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS x
+      |  FROM e CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) g(i)
+      |), m AS (
+      |  SELECT dim, CAST(COUNT(*) AS DOUBLE) AS n,
+      |         round(SUM(x) / COUNT(*), 6) AS mu,
+      |         round(sqrt(greatest(0.0, SUM(x * x) / COUNT(*)
+      |               - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)))), 6) AS sigma
+      |  FROM d GROUP BY dim
+      |), b AS (
+      |  SELECT dim, n, mu, sigma,
+      |         round(mu - $CalibSigmas * sigma, 6) AS lo,
+      |         round(mu + $CalibSigmas * sigma, 6) AS hi
+      |  FROM m
+      |)
+      |SELECT b.dim, b.mu, b.sigma, b.lo, b.hi,
+      |       CAST(SUM(CASE WHEN d.x < b.lo OR d.x > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |       round(SUM(CASE WHEN d.x < b.lo OR d.x > b.hi THEN 1 ELSE 0 END) / b.n, 6) AS clip_frac
+      |FROM d JOIN b USING (dim)
+      |GROUP BY b.dim, b.mu, b.sigma, b.lo, b.hi, b.n
+      |ORDER BY b.dim""".stripMargin
+
   val q49OracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

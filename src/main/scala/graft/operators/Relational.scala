@@ -321,6 +321,67 @@ object Relational {
       |       max(sess_events) AS max_session_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q146's cutoff date and segment (mid-range of the fixture's
+    * 1995–2001 order dates).
+    */
+  val ShipCutoff = "1998-06-15"
+  val ShipSegment = "BUILDING"
+
+  /** q146_shipping_priority — the TPC-H Q3 shape: revenue of unshipped
+    * orders for one market segment (orders placed before the cutoff
+    * whose lineitems ship after it), top-10 by revenue — the classic
+    * 3-table selective join + aggregate + top-k every warehouse runs,
+    * completing the relational family's Q1 (q26) / Q10 (q27) coverage.
+    * Revenue aggregates in FIXED POINT (the q66 lesson at design time):
+    * price cents × (100 − discount cents) sums as an exact int64 and
+    * ONE IEEE division by 10^4 emits the dollars — no float sum, no
+    * round() call, bit-deterministic at every scale.
+    *
+    * 100 TB: the segment-filtered customer dim broadcasts into orders,
+    * the date filters push into both scans (plan-pinned:
+    * PushedFilters), the orders side broadcasts into lineitem when it
+    * fits (AQE shuffles on orderkey past that), and the top-10 is
+    * TakeOrderedAndProject — never a global sort.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf(s"$ShipCutoff 00:00:00")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === ShipSegment).select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_e4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_e4")).as("rev_e4"))
+      .select(col("l_orderkey"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q146OracleSql: String =
+    s"""SELECT l.l_orderkey,
+       |       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+       |                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+       |         / 10000.0 AS revenue,
+       |       o.o_orderdate, o.o_orderpriority
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = '$ShipSegment'
+       |  AND o.o_orderdate < TIMESTAMP '$ShipCutoff 00:00:00'
+       |  AND l.l_shipdate > TIMESTAMP '$ShipCutoff 00:00:00'
+       |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+       |LIMIT 10""".stripMargin
+
   /** The q124 column pairs. The fixture generator draws the raw
     * measures INDEPENDENTLY (measured: every raw-raw correlation is
     * |r| < 0.007), so the matrix pairs the derived revenue column

@@ -187,6 +187,113 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q147_token_dedup_inflation — the TOKEN-WEIGHTED view of exact
+    * dedup per source: documents and tokens before vs after the q15
+    * keep-smallest-id dedup, and the duplication factor n_tokens /
+    * tokens_kept — "how much of my token budget is copies", the number
+    * that decides whether a source's dedup pass pays for itself (doc
+    * counts under-state duplication when the duplicated docs are the
+    * long ones; every corpus paper reports the token-weighted factor).
+    * Complements q127's slice retention (docs) with the budget view
+    * (tokens); one definition of the keeper set (md5 group min, the
+    * q15 convention).
+    *
+    * 100 TB: one scan derives (md5, source, token count) — text never
+    * leaves the scan; the keeper derivation is a hash-scale aggregate
+    * joined back on the 16-byte fingerprint; the report is
+    * source-scale with map-side combine.
+    */
+  def tokenDedupInflation(spark: SparkSession, sfDir: String): DataFrame =
+    tokenDedupInflationOf(Tables.documents(spark, sfDir))
+
+  /** Composable core for ANY (doc_id, source, text, …) corpus. */
+  def tokenDedupInflationOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+      size(TextPipeline.tokenArr(col("text"))).cast("long").as("n_tok"))
+    val keepers = base.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    base.join(keepers, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("doc_id") === col("keep_id"), col("n_tok")).otherwise(lit(0L)))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("docs_kept"), col("tokens_kept"),
+        when(col("tokens_kept") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_tokens") / col("tokens_kept").cast("double"), 6))
+          .as("token_dup_factor"))
+      .orderBy(col("source"))
+  }
+
+  val q147OracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |         CAST(len(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), k AS (
+      |  SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h
+      |)
+      |SELECT b.source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(b.n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+      |       CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN b.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |       CASE WHEN SUM(CASE WHEN b.doc_id = k.keep_id THEN b.n_tok ELSE 0 END) = 0 THEN NULL
+      |            ELSE round(SUM(b.n_tok) / CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN b.n_tok ELSE 0 END) AS DOUBLE), 6)
+      |       END AS token_dup_factor
+      |FROM base b JOIN k USING (h)
+      |GROUP BY b.source ORDER BY b.source""".stripMargin
+
+  /** q145_langid_confusion — the CONFUSION MATRIX of the q19 heuristic
+    * against the fixture's ground-truth language: per (true lang,
+    * predicted lang) document counts and row shares — the evaluation a
+    * pipeline owner reads BEFORE trusting the lang-ID gate in q92-style
+    * compositions (the fixture's zh has no stopword profile, so the
+    * matrix exposes exactly where the heuristic is blind — every zh doc
+    * lands on some profile language; a production rollout reads that
+    * row and adds the profile before shipping). One definition of the
+    * prediction: the matrix calls [[langIdOf]] itself, so it can never
+    * drift from the operator it audits (the q103/q127 discipline).
+    *
+    * 100 TB: q19's audited shape (broadcast profile join, per-doc
+    * regroup, per-doc argmax window), one doc-scale equi-join back to
+    * the truth column, and a (langs × langs)-scale aggregate with a
+    * broadcast row-total join. Nothing new is corpus-scale.
+    */
+  def langidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    langidConfusionOf(docs)
+  }
+
+  /** Composable core for ANY (doc_id, text, lang, …) corpus. */
+  def langidConfusionOf(docs: DataFrame): DataFrame = {
+    val cm = langIdOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cm.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+    cm.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n") / col("row_n").cast("double"), 6).as("share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val q145OracleSql: String =
+    s"""WITH pred AS (
+       |$q19OracleSql
+       |), cm AS (
+       |  SELECT d.lang, p.pred_lang, COUNT(*) AS n
+       |  FROM pred p JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang, p.pred_lang
+       |), tot AS (
+       |  SELECT lang, SUM(n) AS row_n FROM cm GROUP BY lang
+       |)
+       |SELECT cm.lang, cm.pred_lang, cm.n,
+       |       round(cm.n / CAST(tot.row_n AS DOUBLE), 6) AS share
+       |FROM cm JOIN tot USING (lang)
+       |ORDER BY cm.lang, cm.pred_lang""".stripMargin
+
   /** q20_quality_score — per-document quality heuristics: token count,
     * punctuation-token ratio, stopword ratio, mean token length, and a
     * weighted composite — the standard pre-training corpus quality filter

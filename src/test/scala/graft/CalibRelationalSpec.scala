@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quantize, Relational, TextAnalysis}
+
+/** q144–q147 — quantization calibration, lang-ID confusion, the TPC-H
+  * Q3 shape, and token-weighted dedup inflation.
+  */
+class CalibRelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ------------------------------------------------------------------ q144
+
+  test("q144: per-dim moments match the closed form and a 3-sigma outlier clips") {
+    // dim 1: 99 zeros + one 1000 -> mu 10, sigma sqrt(9900) ~ 99.5, the
+    // 1000 sits at z ~ 9.95 and must clip; dim 2: constant -> sigma 0
+    val emb = ((1 to 99).map(_ => Array(0f, 5f)) :+ Array(1000f, 5f))
+      .map(Tuple1(_)).toDF("embedding")
+    val out = Quantize.quantCalibrateOf(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val mu = 10.0
+    val sg = math.sqrt(1000.0 * 1000 / 100 - mu * mu)
+    val d1 = out(1L)
+    assert(d1.getDouble(1) == mu && d1.getDouble(2) == r6(sg))
+    assert(d1.getDouble(3) == r6(mu - 3 * r6(sg)) && d1.getDouble(4) == r6(mu + 3 * r6(sg)))
+    assert(d1.getLong(5) == 1L && d1.getDouble(6) == 0.01)
+    val d2 = out(2L)
+    assert(d2.getDouble(1) == 5.0 && d2.getDouble(2) == 0.0 && d2.getLong(5) == 0L,
+      "a constant dimension has sigma 0 and clips nothing")
+  }
+
+  // ------------------------------------------------------------------ q145
+
+  test("q145: the matrix attributes every truth row and exposes the blind language") {
+    val docs = Seq(
+      (1L, "the cat and the dog of it", "en"),
+      (2L, "the end of the story and more", "en"),
+      (3L, "der hund und die katze ist da", "zh")) // no zh profile exists
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langidConfusionOf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("en", "en")) == ((2L, 1.0)))
+    assert(out(("zh", "de")) == ((1L, 1.0)),
+      "the profile-less language must land on SOME profile — the matrix shows where")
+  }
+
+  // ------------------------------------------------------------------ q146
+
+  test("q146: fixed-point revenue equals the float sum and the cut is top-10 ordered") {
+    val out = Relational.shippingPriority(spark, TestSpark.Sf0001).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val revs = out.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sortBy(-_)), "revenue descending")
+    // the fixed-point aggregate must agree with a plain double sum to
+    // float tolerance for every returned order
+    val cutoff = java.sql.Timestamp.valueOf(s"${Relational.ShipCutoff} 00:00:00")
+    val expect = Tables.lineitem(spark, TestSpark.Sf0001)
+      .filter($"l_shipdate" > cutoff)
+      .groupBy($"l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        $"l_extendedprice" * (org.apache.spark.sql.functions.lit(1.0) - $"l_discount")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(1) - expect(r.getLong(0))) < 1e-6,
+        s"order ${r.getLong(0)}: ${r.getDouble(1)} vs ${expect(r.getLong(0))}")
+    }
+  }
+
+  // ------------------------------------------------------------------ q147
+
+  test("q147: duplicated tokens inflate the factor; a clean source reads 1.0") {
+    val docs = Seq(
+      (1L, "one two three four five", "A"),
+      (2L, "one two three four five", "A"), // exact dup of doc 1
+      (3L, "six seven eight", "A"),
+      (4L, "alone here", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenDedupInflationOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("A") == ((3L, 13L, 2L, 8L, 1.625)))
+    assert(out("B") == ((1L, 2L, 1L, 2L, 1.0)))
+  }
+}

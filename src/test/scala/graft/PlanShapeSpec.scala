@@ -761,6 +761,42 @@ class PlanShapeSpec extends AnyFunSuite {
       || p.contains("n_chars"), s"only the three quasi-identifier columns scan;\n$p")
   }
 
+  test("q144 calibration: two bounded wide aggregates, localized dim-scale report") {
+    val p = plan(graft.operators.Quantize.quantCalibrate(spark, TestSpark.Sf0001))
+    assert(p.contains("LocalTableScan"), s"the dim-scale report must be localized;\n$p")
+    assert(!p.contains("Join") && !p.contains("WindowExec"),
+      s"nothing distributed may remain in the report plan;\n$p")
+  }
+
+  test("q145 confusion: q19's broadcast-profile shape plus decision-scale joins only") {
+    val p = plan(graft.operators.TextAnalysis.langidConfusion(spark, TestSpark.Sf0001))
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the argmax window partitions per doc (the q19 shape);\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"profile dim and row totals broadcast;\n$p")
+  }
+
+  test("q146 shipping priority: pushed date filters, broadcast dims, heap top-10") {
+    val p = plan(graft.operators.Relational.shippingPriority(spark, TestSpark.Sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [LessThan")
+      || p.contains("PushedFilters: [GreaterThan"),
+      s"the date cuts must reach the scans;\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the segment dim must broadcast;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must compile to TakeOrderedAndProject, never a global sort;\n$p")
+  }
+
+  test("q147 dedup inflation: fingerprint-keyed join, text never shuffles, no window") {
+    val p = plan(graft.operators.TextAnalysis.tokenDedupInflation(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    // text reduces to (md5, token count) inside the scan-side projection:
+    // no exchange may partition on or carry raw text
+    assert(!p.contains("hashpartitioning(text"),
+      s"shuffles carry the 16-byte fingerprint, never text;\n$p")
+  }
+
   test("q116 gazetteer: hit-scale explode, no join, no window") {
     val p = plan(graft.operators.Gazetteer.entityTag(spark, TestSpark.Sf0001))
     assert(!p.contains("Join"),
