@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full bench/test run JIT-compiles thousands of whole-stage-codegen
+  // classes; the JDK 17 default 240m code cache fills mid-run, after
+  // which the JVM degrades uniformly (the in-suite "aging" of the
+  // round-11 boundary study / VERDICT r12 item 1). Size it so the JIT
+  // never turns itself off.
+  "-XX:ReservedCodeCacheSize=1g",
 )

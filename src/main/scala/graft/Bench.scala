@@ -22,7 +22,14 @@ object Bench {
     // not only sbt-forked JVMs that inherit build.sbt's -D flag
     val spark = MainSupport.localSession(
       "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.session.timeZone" -> "UTC")
+      "spark.sql.session.timeZone" -> "UTC",
+      // in-suite JVM-aging relief (VERDICT r12 item 1): a 147-query ×
+      // 3-sample run retains ~450 executions of plan/metric state in the
+      // SQL status store at the default 1000 — dead heap that grows GC
+      // pressure exactly as the run proceeds. The bench reads none of it.
+      "spark.sql.ui.retainedExecutions" -> "8",
+      "spark.ui.retainedJobs" -> "100",
+      "spark.ui.retainedStages" -> "100")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -59,7 +66,7 @@ object Bench {
     // error prints, the process exits nonzero at the end, the record is
     // marked partial) — fail-empty does not.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy { case (n, _) => orderKey(n) }.map { case (name, fn) =>
       val times = (1 to Samples).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(fn(spark, sfDir)); true } catch {
@@ -73,6 +80,12 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
       }
+      // explicit GC between rows (cost charged to no query): the
+      // ContextCleaner frees accumulated broadcasts/shuffles only when
+      // their weak refs are collected, and evicted codegen classes only
+      // unload on a full GC — without the nudge both pile up across the
+      // ~450-execution run and the late rows pay (VERDICT r12 item 1)
+      System.gc()
       if (times.size < Samples) failed += name
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
@@ -177,6 +190,101 @@ object Bench {
     println(record)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** In-suite execution order: UNLISTED keys first (new queries get the
+    * freshest JVM — they have no fork history yet to reconcile against),
+    * then this pinned descending-cost order (r13 sf0.1 baseline run).
+    * Rationale (VERDICT r12 item 1): the in-suite JVM ages with
+    * executed-query count — the round-11 boundary study measured ×2–3 on
+    * late rows, and BENCH_r12 recorded q92 at 38.5 s vs its 10.98 s fork
+    * certification purely because the former lexicographic order ran the
+    * heaviest compositions LAST, behind 400+ executions. Heaviest-first
+    * runs them in the fresh JVM and lands the residual aging tax on the
+    * sub-second tail, where it is absolute noise. The TOTAL is
+    * order-invariant, so the cross-round headline stays comparable.
+    */
+  private val heavyFirst: Seq[String] = Seq(
+    "q92_curation_pipeline", "q121_rm3_expand",
+    "q70_fuzzy_sentence_dedup", "q104_ndcg_eval",
+    "q04_vocab_build_minfreq", "q57_ivfpq_probe",
+    "q105_mmr_diversify",
+    "q96_hybrid_rrf", "q127_dedup_bias_audit",
+    "q110_overlap_pagerank", "q93_dup_span_remove",
+    "q64_recall_audit", "q74_dup_clusters",
+    "q38_ivf_index_probe",
+    "q67_decontaminate_bloom", "q125_ql_rank",
+    "q55_graph_ann_probe",
+    "q134_score_rank_corr", "q60_decontaminate",
+    "q102_semdedup", "q83_leakage_safe_split",
+    "q48_filtered_index_probe",
+    "q53_multiprobe_index", "q73_simhash_neardup",
+    "q126_data_quality", "q111_containment_dedup",
+    "q132_power_iteration", "q95_bm25_rank",
+    "q63_cross_modal_index", "q108_lsh_audit",
+    "q80_incremental_dedup", "q106_perplexity_bucket",
+    "q75_dup_span_coverage", "q56_index_blocked_neardup",
+    "q16_minhash_lsh_dedup", "q133_cluster_keywords",
+    "q139_ngram_novelty", "q112_ngram_diversity",
+    "q65_describe_collection", "q62_scaled_neardup",
+    "q118_overlap_triangles", "q101_kmeans_assign",
+    "q100_hamming_rerank", "q130_filter_funnel",
+    "q115_pmi_cooccur", "q128_domain_kl",
+    "q68_sentence_dedup", "q142_knn_calibration",
+    "q107_matryoshka_recall", "q103_cluster_purity",
+    "q05_tokenize_pad", "q12_payload_enrich_join",
+    "q50_tfidf_top_terms", "q18_ngram_jaccard",
+    "q51_repetition_stats", "q03_upsert_latest",
+    "q24_ann_ivf_topk", "q02_knn_top1_filtered",
+    "q79_percentile_select", "q78_bigram_logprob",
+    "q145_langid_confusion", "q144_quant_calibrate",
+    "q122_event_transitions", "q123_interarrival_stats",
+    "q91_winnow_matches", "q01_knn_topk_cosine",
+    "q138_recommend_multi", "q94_importance_select",
+    "q27_top_customers", "q76_quality_quota",
+    "q17_simhash_fingerprint", "q120_rate_bursts",
+    "q131_fuzzy_link", "q58_pixel_resize",
+    "q113_funnel_steps", "q97_knn_classify",
+    "q98_triplet_mining", "q41_embed_text",
+    "q117_mad_outliers", "q54_encode_persisted_vocab",
+    "q47_detokenize", "q72_unigram_logprob",
+    "q109_zipf_slope", "q119_isotropy_report",
+    "q99_hamming_topk", "q33_padding_mask",
+    "q28_sessionize", "q29_json_payload_stats",
+    "q77_token_budget_select", "q45_dedup_purge",
+    "q114_rfm_segments", "q19_lang_id",
+    "q32_chunk_documents", "q116_entity_tag",
+    "q146_shipping_priority", "q59_cross_modal_search",
+    "q136_late_event_audit", "q31_asof_join",
+    "q07_maxlen_by_lang", "q61_domain_mix",
+    "q140_value_histogram", "q36_value_quantiles",
+    "q147_token_dedup_inflation", "q66_salted_join",
+    "q10_near_dup_pairs",
+    "q135_key_skew_audit", "q23_normalize_embeddings",
+    "q37_set_ops_split", "q49_quantize_int8",
+    "q30_event_rollup", "q87_tokenizer_fertility",
+    "q129_pps_sample", "q14_text_stats",
+    "q11_label_centroids", "q137_range_search",
+    "q44_event_cube", "q26_pricing_summary",
+    "q69_pack_sequences", "q22_doc_fingerprint",
+    "q20_quality_score", "q35_event_type_pivot",
+    "q124_numeric_corr", "q15_exact_dedup",
+    "q84_bpe_pair_counts", "q82_lang_sample",
+    "q21_token_count", "q13_event_window_stats",
+    "q52_pii_redact", "q86_bpe_encode",
+    "q89_length_buckets", "q85_text_clean",
+    "q08_instruction_parse", "q34_softmax_relu",
+    "q06_split_train_val", "q43_layernorm",
+    "q88_temperature_resample", "q46_range_tier_join",
+    "q09_base64_payload", "q71_greedy_decode",
+    "q141_shard_balance", "q39_frame_sample",
+    "q42_decode_step", "q81_shard_shuffle",
+    "q143_privacy_kanon", "q25_multimodal_decode",
+    "q90_winnow_fingerprint", "q40_resize")
+
+  private def orderKey(name: String): (Int, Int, String) = {
+    val i = heavyFirst.indexOf(name)
+    if (i < 0) (0, 0, name) else (1, i, name)
   }
 
   /** True median: average the two middles on an even sample count

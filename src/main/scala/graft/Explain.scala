@@ -51,7 +51,8 @@ object Explain {
                          "q141_shard_balance", "q142_knn_calibration",
                          "q143_privacy_kanon",
                          "q144_quant_calibrate", "q145_langid_confusion",
-                         "q146_shipping_priority", "q147_token_dedup_inflation")
+                         "q146_shipping_priority", "q147_token_dedup_inflation",
+                         "q148_semdedup_scaled")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -26,22 +26,43 @@ import org.apache.spark.sql.functions._
   *  - Fact-table keys shift by replica × (max key + 1); the `region`/
   *    `nation` dimensions stay fixed, as TPC-H scales them.
   *
-  * Usage: GenScale <inDir> <outDir> [copies=10]
+  * Text modes (VERDICT r12 item 7). The affine substitution keeps
+  * replica texts disjoint but grows the token VOCABULARY linearly with
+  * copies — so gram/shingle/pair TYPE tables (q111/q112/q115/q118/q139)
+  * measure a worst-case regime no real corpus exhibits (Heaps' law:
+  * V ∝ n^β, β ≈ 0.5). Mode `heaps` measures the production regime
+  * instead: replica r > 0 rewrites each document as a DETERMINISTIC
+  * within-document token shuffle (sort by xxhash64(rep, doc_id, pos,
+  * token)) — the corpus vocabulary is SHARED across replicas (unigram
+  * types saturate, the Heaps asymptote), token and document-length
+  * distributions are exactly preserved, and higher-order gram types
+  * grow only through recombination of known tokens, as fresh text drawn
+  * from a fixed vocabulary does. Texts stay distinct across replicas
+  * (hash-seeded permutations; only ≤1-token documents repeat — which
+  * real corpora also do), so exact-dedup rows stay meaningful. Mode
+  * `affine` (default) remains the dedup-family fixture: disjoint
+  * shingle sets are exactly what near-dup queries need to avoid a
+  * quadratic blowup of artificial cross-replica duplicates.
+  *
+  * Usage: GenScale <inDir> <outDir> [copies=10] [mode=affine|heaps]
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val in     = args(0)
     val out    = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode   = if (args.length > 3) args(3) else "affine"
     val spark = MainSupport.localSession("spark.sql.legacy.parquet.nanosAsLong" -> "true")
-    run(spark, in, out, copies)
+    run(spark, in, out, copies, mode)
     spark.stop()
   }
 
   /** The generator body, separated from `main`'s session lifecycle so the
     * replica-disjointness guarantees are spec-testable on a live session.
     */
-  def run(spark: SparkSession, in: String, out: String, copies: Int): Unit = {
+  def run(spark: SparkSession, in: String, out: String, copies: Int,
+          mode: String = "affine"): Unit = {
+    require(mode == "affine" || mode == "heaps", s"GenScale: unknown mode '$mode'")
     def tbl(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -55,7 +76,7 @@ object GenScale {
     // documents write would leave the out dir holding fresh documents next
     // to stale-or-missing embeddings — a silently mixed-scale dataset.
     val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(copies <= coprimes.size * 26,
+    require(mode == "heaps" || copies <= coprimes.size * 26,
       s"GenScale: copies=$copies exceeds the affine substitution period ${coprimes.size * 26} — " +
         "replicas would alias and create exact cross-replica duplicate texts")
     val emb = tbl("embeddings")
@@ -91,9 +112,24 @@ object GenScale {
     val substituted = affine.foldLeft(lit(null).cast("string")) { case (acc, (r, from, to)) =>
       when(col("rep") === r, translate(col("text"), from, to)).otherwise(acc)
     }
+    // heaps mode: scan-local deterministic within-doc token shuffle —
+    // sort (hash, token) structs, rejoin. Vocabulary shared across
+    // replicas; token/length distributions preserved; n_chars recomputed
+    // (single-space joining changes the character count).
+    val shuffled = when(col("rep") === 0, col("text")).otherwise(
+      array_join(
+        transform(
+          array_sort(
+            transform(graft.operators.TextPipeline.tokenArr(col("text")), (t, i) =>
+              struct(xxhash64(col("rep"), col("doc_id"), i, t).as("k"), t.as("t")))),
+          s => s.getField("t")),
+        " "))
+    val (newText, newChars) =
+      if (mode == "heaps") (shuffled, length(shuffled).cast("long"))
+      else (substituted, col("n_chars"))
     write(replicate(docs)
       .select((col("doc_id") + col("rep") * dOff).as("doc_id"),
-        substituted.as("text"), col("lang"), col("source"), col("n_chars")), "documents")
+        newText.as("text"), col("lang"), col("source"), newChars.as("n_chars")), "documents")
 
     // embeddings: shifted ids, permuted vectors per replica. The permutation
     // group is rotations (rep < dim) then REVERSED rotations (rep >= dim) —

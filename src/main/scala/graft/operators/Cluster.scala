@@ -27,9 +27,10 @@ import graft.functions.VectorFunctions._
   * DRIVER (k × dim doubles — decision-scale) and enter the plan as
   * LITERALS, so each Lloyd pass is one corpus scan with a SCAN-LOCAL
   * argmin (`array_sort` over k rounded distances — codegen'd, no join,
-  * no shuffle of corpus rows); the recompute is a posexplode →
-  * two-level hash aggregate whose shuffle carries one partial sum per
-  * (cluster, dim) per partition — independent of corpus size (the q11
+  * no shuffle of corpus rows); the recompute is ONE wide hash aggregate
+  * (k rows × dim avg columns, partial-aggregated scan-side — the q132
+  * wide-aggregate shape) whose shuffle carries one partial per
+  * (cluster × dim) per partition — independent of corpus size (the q11
   * centroid shape). Building the frame therefore RUNS [[KmIters]]−1
   * bounded jobs (k×dim collects, the [[Hybrid.localized]] precedent) —
   * this is a training operator; the pass count is the pinned constant.
@@ -91,20 +92,23 @@ object Cluster {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }.toSeq
     require(cents.length == k, s"kmeans init: expected $k seed vectors, got ${cents.length}")
 
+    val dim = cents.head._2.length
     for (_ <- 1 until iters) {
-      // one Lloyd recompute: scan-local assign, then the q11 two-level
-      // (cluster, dim) hash aggregate — rounded 6 dp like the oracle's
+      // one Lloyd recompute: scan-local assign, then ONE wide hash
+      // aggregate — k rows × dim `avg(element_at(vec, d))` columns, each
+      // partial-aggregated scan-side. The q132 wide-aggregate lesson
+      // (measured ×28 at sf10) applied to the training loop: the previous
+      // posexplode shape streamed corpus×dim ROWS into the (cid, pos)
+      // combiner; this shape streams corpus rows through dim column
+      // accumulators. Rounding unchanged (6 dp) — the hash cannot move:
+      // the recompute feeds rounded centroids only.
       val assigned = corpus
         .select(col("vec"), nearest(col("vec"), cents).getField("cid").as("cid"))
-      val rows = assigned
-        .select(col("cid"), posexplode(col("vec")))
-        .toDF("cid", "pos", "v")
-        .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("v")), 6).as("a"))
-        .collect()
-      val next = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
-        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-      }.toSeq.sortBy(_._1)
+      val aggs = (0 until dim).map(d =>
+        round(avg(element_at(col("vec"), d + 1)), 6).as(s"a$d"))
+      val rows = assigned.groupBy(col("cid")).agg(aggs.head, aggs.tail: _*).collect()
+      val next = rows.map(r =>
+        (r.getInt(0), Array.tabulate(dim)(d => r.getDouble(d + 1)))).toSeq.sortBy(_._1)
       // an empty cluster would silently diverge from the oracle's inner
       // joins — fail loud instead (cannot occur while each seed vector
       // is its own nearest centroid)
@@ -227,12 +231,32 @@ object Cluster {
     * blocking key differs. At b = 0 (n ≤ target) this IS the exact
     * all-pairs SemDeDup — the spec's equivalence anchor.
     */
-  def semdedupScaledOf(emb: DataFrame, targetBlockRows: Int = 500): DataFrame = {
+  def semdedupScaledOf(emb: DataFrame, targetBlockRows: Int = SemDedupTargetBlockRows): DataFrame = {
     val (_, clusterExpr) = IvfIndex.signBitCode(emb, targetBlockRows)
     semdedupOf(emb.select(
       col("vec_id"), toDouble(col("embedding")).as("vec"),
       clusterExpr.as("cluster")))
   }
+
+  /** q148's block-size target: ~500 rows per sign-bit orthant at every
+    * corpus size (nlist = 2^b grows with n), so the within-block pair
+    * budget stays ~target²/2 per block — linear in n overall.
+    */
+  val SemDedupTargetBlockRows = 500
+
+  /** q148_semdedup_scaled — [[semdedupScaledOf]] as a declared,
+    * oracle-checked query (VERDICT r12 item 2 — the q56→q62 promotion
+    * pattern, third repetition): [[semdedupOf]]'s redundancy semantics
+    * unchanged, blocked by the sign-bit orthant code instead of q102's
+    * pinned-k k-means. The quantizer is pure integer/sign arithmetic
+    * ([[IvfIndex.signBitCode]]), so DuckDB recomputes every block
+    * boundary exactly — which puts the TRUE 100 TB SemDeDup shape under
+    * the hard hash signal, clearing q102's `weak` (q102 stays as the
+    * closed-form k-means oracle floor; SemdedupScaleBench carries the
+    * measured 1.35/8.17/99.4 s three-decade ladder).
+    */
+  def semdedupScaled(spark: SparkSession, sfDir: String): DataFrame =
+    semdedupScaledOf(Tables.embeddings(spark, sfDir))
 
   val q102OracleSql: String =
     s"""$kmeansCtes, av AS (
@@ -258,6 +282,46 @@ object Cluster {
       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, red
       |FROM rk WHERE rn <= sz // $SemDedupDropDiv
       |ORDER BY cluster, red DESC, vec_id""".stripMargin
+
+  /** q148's oracle: the q62 sign-bit assignment CTEs (same integer-only
+    * `bin()` width formula, target [[SemDedupTargetBlockRows]] rows/list)
+    * feeding q102's redundancy/rank tail — so the scale path's oracle and
+    * the floor's oracle can only differ in the blocking key.
+    */
+  val q148OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), nb AS (
+       |  SELECT LEAST(CASE WHEN (COUNT(*) - 1) // $SemDedupTargetBlockRows = 0 THEN 0
+       |               ELSE length(bin((COUNT(*) - 1) // $SemDedupTargetBlockRows)) END,
+       |               MIN(len(v))) AS b
+       |  FROM e
+       |), asg AS (
+       |  SELECT vec_id, v,
+       |         CAST(COALESCE(list_aggregate(list_transform(range(0, nb.b),
+       |                i -> CASE WHEN v[CAST(i + 1 AS INT)] > 0
+       |                          THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |                          ELSE CAST(0 AS BIGINT) END),
+       |              'sum'), 0) AS BIGINT) AS cluster
+       |  FROM e CROSS JOIN nb
+       |), p AS (
+       |  SELECT x.cluster, y.vec_id,
+       |         ${IvfIndex.cosSql("x.v", "y.v")} AS cs
+       |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |), red AS (
+       |  SELECT cluster, vec_id, MAX(cs) AS red FROM p GROUP BY cluster, vec_id
+       |), scored AS (
+       |  SELECT asg.vec_id, asg.cluster, COALESCE(red.red, -2.0) AS red
+       |  FROM asg LEFT JOIN red ON red.cluster = asg.cluster AND red.vec_id = asg.vec_id
+       |), rk AS (
+       |  SELECT vec_id, cluster, red,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY red DESC, vec_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY cluster) AS sz
+       |  FROM scored
+       |)
+       |SELECT vec_id, cluster, red
+       |FROM rk WHERE rn <= sz // $SemDedupDropDiv
+       |ORDER BY cluster, red DESC, vec_id""".stripMargin
 
   /** q103_cluster_purity — the audit row for q101's clustering: per
     * cluster, its size, majority payload label (ties to the smaller

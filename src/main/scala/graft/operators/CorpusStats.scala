@@ -385,10 +385,13 @@ object CorpusStats {
     * alone. Splits are q06's deterministic `doc_id % 10` convention.
     *
     * 100 TB: gram assembly is the scan-local slice+zip idiom (q112 —
-    * never a positional self-join); both sides reduce to per-lang gram
-    * TYPE tables (Heaps-sublinear) before the LEFT ANTI equi-join on
-    * (lang, gram); the report is lang-scale. Corpus text never
-    * shuffles — only distinct gram fingerprint rows.
+    * never a positional self-join); each gram reduces SCAN-LOCALLY to a
+    * 16-byte md5 fingerprint (the q16 fingerprint discipline — DuckDB
+    * md5s the identical string, so a collision cannot diverge the
+    * engines), then both sides reduce to per-lang fingerprint TYPE
+    * tables (Heaps-sublinear) before the LEFT ANTI equi-join on
+    * (lang, gram); the report is lang-scale. Neither corpus text nor
+    * gram strings ever shuffle — only fixed-width fingerprint rows.
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
     ngramNoveltyOf(Tables.documents(spark, sfDir))
@@ -403,7 +406,7 @@ object CorpusStats {
         arrays_zip(
           (0 until n).map(i =>
             slice(col("toks"), lit(i + 1), size(col("toks")) - (n - 1)).as(s"w$i")): _*),
-        s => concat_ws(" ", (0 until n).map(i => s.getField(s"w$i")): _*)))).as("gram"))
+        s => unhex(md5(concat_ws(" ", (0 until n).map(i => s.getField(s"w$i")): _*)))))).as("gram"))
       .distinct()
     val train = gramTypes(docs.filter(pmod(col("doc_id"), lit(10)) < 9))
     val vals  = gramTypes(docs.filter(pmod(col("doc_id"), lit(10)) === 9))
@@ -422,7 +425,7 @@ object CorpusStats {
     val n = NoveltyN
     def gramCte(pred: String) =
       s"""SELECT DISTINCT lang,
-         |         array_to_string(toks[g.i : g.i + ${n - 1}], ' ') AS gram
+         |         unhex(md5(array_to_string(toks[g.i : g.i + ${n - 1}], ' '))) AS gram
          |  FROM (SELECT lang, doc_id, regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1) AS toks
          |        FROM documents WHERE $pred) d
          |  CROSS JOIN UNNEST(generate_series(1, len(toks) - ${n - 1})) g(i)
