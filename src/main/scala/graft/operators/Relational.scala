@@ -382,6 +382,81 @@ object Relational {
        |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
        |LIMIT 10""".stripMargin
 
+  /** q149's region and order-date window (two mid-range fixture years). */
+  val Q5Region = "ASIA"
+  val Q5Start  = "1996-01-01"
+  val Q5End    = "1998-01-01"
+
+  /** q149_local_supplier_volume — the TPC-H Q5 shape: per-nation revenue
+    * where the CUSTOMER and the SUPPLIER sit in the same nation of one
+    * region, over a two-year order window — the 6-table star join that
+    * exercises join ordering, dimension broadcasting, and the
+    * local-vs-foreign equality (c_nationkey = s_nationkey) that no
+    * single pairwise join expresses. Completes the relational family's
+    * TPC-H coverage ladder: Q1 (q26), Q10 (q27), Q3 (q146), Q5 (here).
+    * Revenue aggregates in FIXED POINT (the q66/q146 discipline):
+    * cents × (100 − discount cents) sums exactly in int64, ONE IEEE
+    * division emits dollars.
+    *
+    * 100 TB: region→nation→supplier reduces to a SUPPLIER-side
+    * broadcast (suppliers of one region, with their nation name
+    * attached); customers project to (custkey, nationkey) and broadcast
+    * where they fit (the segment-filter precedent of q146 — at true
+    * TPC-H scale AQE shuffles this join on custkey instead); the date
+    * window pushes into the orders scan; lineitem — the 100 TB side —
+    * is scanned once, joined by orderkey (its natural co-partition
+    * key), and the c=s nation equality prunes rows BEFORE the final
+    * nation-keyed aggregate, whose output is nation-scale. The heavy
+    * table never shuffles twice.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val start = java.sql.Timestamp.valueOf(s"$Q5Start 00:00:00")
+    val end   = java.sql.Timestamp.valueOf(s"$Q5End 00:00:00")
+    val nat = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === Q5Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(start) && col("o_orderdate") < lit(end))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_e4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_e4")).as("rev_e4"))
+      .select(col("n_name"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q149OracleSql: String =
+    s"""SELECT n.n_name,
+       |       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+       |                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+       |         / 10000.0 AS revenue
+       |FROM customer c
+       |JOIN orders o   ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+       |JOIN region r   ON n.n_regionkey = r.r_regionkey
+       |WHERE c.c_nationkey = s.s_nationkey
+       |  AND r.r_name = '$Q5Region'
+       |  AND o.o_orderdate >= TIMESTAMP '$Q5Start 00:00:00'
+       |  AND o.o_orderdate <  TIMESTAMP '$Q5End 00:00:00'
+       |GROUP BY n.n_name
+       |ORDER BY revenue DESC, n.n_name""".stripMargin
+
   /** The q124 column pairs. The fixture generator draws the raw
     * measures INDEPENDENTLY (measured: every raw-raw correlation is
     * |r| < 0.007), so the matrix pairs the derived revenue column

@@ -72,6 +72,41 @@ class CalibRelationalSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------ q149
+
+  test("q149: local-supplier revenue matches a brute-force recompute and stays in-region") {
+    val out = Relational.localSupplierVolume(spark, TestSpark.Sf0001).collect()
+    assert(out.nonEmpty)
+    val revs = out.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sortBy(-_)), "revenue descending")
+    // brute-force float recompute of the same join graph
+    import org.apache.spark.sql.functions.{sum => fsum, lit => flit}
+    val start = java.sql.Timestamp.valueOf(s"${Relational.Q5Start} 00:00:00")
+    val end   = java.sql.Timestamp.valueOf(s"${Relational.Q5End} 00:00:00")
+    val sf = TestSpark.Sf0001
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter($"r_name" === Relational.Q5Region),
+        $"n_regionkey" === $"r_regionkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val expect = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter($"o_orderdate" >= start && $"o_orderdate" < end),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .filter($"s_nationkey".isin(asiaNations.keys.toSeq: _*))
+      .groupBy($"s_nationkey")
+      .agg(fsum($"l_extendedprice" * (flit(1.0) - $"l_discount")).as("r"))
+      .collect().map(r => asiaNations(r.getAs[Number](0).longValue) -> r.getDouble(1)).toMap
+    assert(out.length == expect.size, "one row per revenue-bearing in-region nation")
+    out.foreach { r =>
+      assert(asiaNations.values.toSet.contains(r.getString(0)), "nation must be in-region")
+      assert(math.abs(r.getDouble(1) - expect(r.getString(0))) < 1e-6,
+        s"nation ${r.getString(0)}: ${r.getDouble(1)} vs ${expect(r.getString(0))}")
+    }
+  }
+
   // ------------------------------------------------------------------ q147
 
   test("q147: duplicated tokens inflate the factor; a clean source reads 1.0") {

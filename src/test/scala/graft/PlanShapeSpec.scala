@@ -787,6 +787,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-10 must compile to TakeOrderedAndProject, never a global sort;\n$p")
   }
 
+  test("q148 semdedup scaled: orthant-blocked equi-join pairs, never a cartesian") {
+    // target 100 so the fixture splits into 2^b > 1 orthants — the declared
+    // target (500) sits at the b=0 single-block floor at sf0.001, where the
+    // cluster key folds to a literal and the window pin would be vacuous
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val p = plan(graft.operators.Cluster.semdedupScaledOf(emb, targetBlockRows = 100))
+    assert(!p.contains("CartesianProduct"),
+      s"pairs form only inside sign-bit blocks — an equi-join on cluster;\n$p")
+    assert(p.contains("hashpartitioning(cluster"),
+      s"the redundancy rank windows partition per block;\n$p")
+  }
+
+  test("q149 local supplier volume: one fact scan, broadcast dims, pushed date window") {
+    val p = plan(graft.operators.Relational.localSupplierVolume(spark, TestSpark.Sf0001))
+    assert("Scan parquet".r.findAllIn(p).size >= 5, s"six-table star;\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"supplier/nation/customer dims broadcast — the fact never shuffles twice;\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the order-date window must reach the orders scan;\n$p")
+  }
+
   test("q147 dedup inflation: fingerprint-keyed join, text never shuffles, no window") {
     val p = plan(graft.operators.TextAnalysis.tokenDedupInflation(spark, TestSpark.Sf0001))
     assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
