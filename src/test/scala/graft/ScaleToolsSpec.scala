@@ -103,4 +103,42 @@ class ScaleToolsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("alias"))
   }
+
+  test("GenScale heaps mode: shared vocabulary, preserved per-doc token multisets, distinct texts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_genscale_heaps").toString
+    GenScale.run(spark, TestSpark.Sf0001, out, copies = 5, mode = "heaps")
+
+    val base = Tables.documents(spark, TestSpark.Sf0001)
+    val dOff = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val scaled = spark.read.parquet(s"$out/documents.parquet")
+    assert(scaled.count() == 5 * base.count())
+
+    import graft.operators.TextPipeline.tokenArr
+    def vocab(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .select(explode(tokenArr(col("text"))).as("t")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // the Heaps property: replication must not grow the token vocabulary
+    assert(vocab(scaled) == vocab(base),
+      "heaps mode must share the base vocabulary across every replica")
+
+    // per-doc token MULTISET preserved (the shuffle only reorders), and
+    // replica texts distinct from the base for multi-token docs
+    val rows = scaled.filter(col("doc_id") % dOff === 0)
+      .orderBy(col("doc_id"))
+      .select(col("text")).collect().map(_.getString(0))
+    assert(rows.length == 5)
+    def multiset(s: String): Map[String, Int] =
+      raw"(\w+|[^\w\s]+)".r.findAllIn(s).toSeq.groupBy(identity).map { case (k, v) => (k, v.size) }
+    val baseMs = multiset(rows.head)
+    assert(rows.tail.forall(multiset(_) == baseMs),
+      "every replica must carry the same token multiset as the base doc")
+    if (baseMs.values.sum > 1)
+      assert(rows.distinct.length > 1, "multi-token replicas must be reshuffled, not copied")
+
+    // mode guard fails fast on a typo rather than silently running affine
+    val e = intercept[IllegalArgumentException] {
+      GenScale.run(spark, TestSpark.Sf0001, out, copies = 2, mode = "heapz")
+    }
+    assert(e.getMessage.contains("unknown mode"))
+  }
 }
