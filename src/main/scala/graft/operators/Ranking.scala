@@ -230,6 +230,12 @@ object Ranking {
   /** q96's encoder/shortlist CTEs at k=[[MmrShortlist]] + the greedy
     * steps unrolled ([[mmrStepCtes]]).
     */
+  /** The trigram/vector/candidate CTEs are `AS MATERIALIZED` (round 13):
+    * each MMR step references `sims`/`cand`, and those reference `dvec`
+    * — left to inlining, DuckDB re-evaluates the corpus-wide trigram
+    * pipeline per reference, which is what pushed this oracle past 900 s
+    * at sf1. A pure evaluation hint; semantics unchanged.
+    */
   val q105OracleSql: String = {
     val steps = (2 to MmrSelect).map(mmrStepCtes).mkString
     val unionAll = (1 to MmrSelect).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
@@ -261,7 +267,7 @@ object Ranking {
       |), enc_dgrid AS (
       |  SELECT d.doc_id, r.range AS bucket
       |  FROM (SELECT doc_id FROM documents) d CROSS JOIN range(16) r
-      |), dvec AS (
+      |), dvec AS MATERIALIZED (
       |  SELECT g.doc_id, list(CAST(COALESCE(c.n, 0) AS DOUBLE) ORDER BY g.bucket) AS vec
       |  FROM enc_dgrid g LEFT JOIN enc_dc c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
       |  GROUP BY g.doc_id
@@ -279,7 +285,7 @@ object Ranking {
       |), enc_qgrid AS (
       |  SELECT q.qid, r.range AS bucket
       |  FROM (SELECT DISTINCT qid FROM qtext) q CROSS JOIN range(16) r
-      |), qvec AS (
+      |), qvec AS MATERIALIZED (
       |  SELECT g.qid, list(CAST(COALESCE(c.n, 0) AS DOUBLE) ORDER BY g.bucket) AS vec
       |  FROM enc_qgrid g LEFT JOIN enc_qc c ON c.qid = g.qid AND c.bucket = g.bucket
       |  GROUP BY g.qid
@@ -290,13 +296,13 @@ object Ranking {
       |               ELSE list_dot_product(q.vec, d.vec)
       |                    / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec))) END, 6) AS score
       |  FROM qvec q CROSS JOIN dvec d
-      |), cand AS (
+      |), cand AS MATERIALIZED (
       |  SELECT qid, doc_id, score AS rel FROM (
       |    SELECT qid, doc_id, score,
       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
       |    FROM cos)
       |  WHERE rnk <= $MmrShortlist
-      |), sims AS (
+      |), sims AS MATERIALIZED (
       |  SELECT x.qid, x.doc_id AS a_id, y.doc_id AS b_id,
       |         round(CASE WHEN sqrt(list_dot_product(dx.vec, dx.vec)) * sqrt(list_dot_product(dy.vec, dy.vec)) = 0
       |               THEN 0.0
