@@ -52,7 +52,8 @@ object Explain {
                          "q143_privacy_kanon",
                          "q144_quant_calibrate", "q145_langid_confusion",
                          "q146_shipping_priority", "q147_token_dedup_inflation",
-                         "q148_semdedup_scaled", "q149_local_supplier_volume")
+                         "q148_semdedup_scaled", "q149_local_supplier_volume",
+                         "q150_keep_best_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

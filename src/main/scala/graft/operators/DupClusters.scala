@@ -193,6 +193,89 @@ object DupClusters {
        |JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id) c USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q150_keep_best_dedup — QUALITY-AWARE dedup selection: within each
+    * multi-document near-dup cluster (q74's MinHash+CC clusters — exact
+    * copies are degenerate here: identical text means identical quality,
+    * so the interesting unit is the NEAR-dup family), keep the
+    * highest-quality member (q20's composite, rounded 6 dp BEFORE the
+    * argmax; ties to the smaller doc_id) instead of q45's
+    * keep-smallest-id convention — what production curation actually
+    * ships (Gopher/FineWeb-style pipelines dedup THEN keep the best
+    * exemplar). Emits one row per contested cluster: keeper vs the
+    * keep-first baseline and the quality gain — the evidence that
+    * decides whether quality-aware selection pays for a corpus.
+    *
+    * 100 TB: clusters are q74's decision-scale CC labels (corpus-scale
+    * work = q16's banded candidates, already sub-quadratic); quality is
+    * q20's ONE corpus token pass; the join is a doc-keyed equi-join; the
+    * two argmax aggregates run per cluster over dup-family-sized groups
+    * (max/min of 6-dp-rounded (quality, −doc_id) structs — scan-local
+    * partials, no window, no second corpus pass).
+    */
+  def keepBestDedup(spark: SparkSession, sfDir: String): DataFrame =
+    keepBestDedupOf(Tables.documents(spark, sfDir))
+
+  /** Composable core of q150 for ANY (doc_id, text, …) corpus. */
+  def keepBestDedupOf(docs: DataFrame): DataFrame = {
+    val clusters = dupClustersOf(docs).filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val quality = TextAnalysis.qualityScoreOf(docs)
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"),
+        min(struct(col("doc_id").as("id"), col("quality").as("q"))).as("first"))
+      .select(
+        col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (-col("best.nid")).cast("long").as("keeper_id"),
+        col("best.q").as("keeper_quality"),
+        col("first.id").as("first_id"),
+        col("first.q").as("first_quality"),
+        round(col("best.q") - col("first.q"), 6).as("quality_gain"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Oracle: the shared cluster CTEs + q20's quality CTEs + two
+    * row_number argmaxes per cluster (best-quality and smallest-id).
+    */
+  val q150OracleSql: String = {
+    val stop = TextAnalysis.EnStopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""$clusterCtePrefix, csz AS (
+       |  SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id
+       |), multi AS (
+       |  SELECT l.doc_id, l.cluster_id, c.n
+       |  FROM lab l JOIN csz c USING (cluster_id) WHERE c.n > 1
+       |), qtok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS tok FROM documents
+       |), qagg AS (
+       |  SELECT doc_id,
+       |         COUNT(*) AS n_tokens,
+       |         sum(CASE WHEN tok IN $stop THEN 1 ELSE 0 END) AS n_stop,
+       |         sum(CASE WHEN regexp_matches(tok, '^[^a-z0-9]+$$') THEN 1 ELSE 0 END) AS n_punct
+       |  FROM qtok GROUP BY doc_id
+       |), qt AS (
+       |  SELECT doc_id,
+       |         round(LEAST(n_tokens / 100.0, 1.0) * 0.4
+       |               + (1.0 - n_punct / CAST(n_tokens AS DOUBLE)) * 0.3
+       |               + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3, 6) AS quality
+       |  FROM qagg
+       |), x AS (
+       |  SELECT m.cluster_id, m.n, m.doc_id, q.quality,
+       |         row_number() OVER (PARTITION BY m.cluster_id ORDER BY q.quality DESC, m.doc_id) AS rb,
+       |         row_number() OVER (PARTITION BY m.cluster_id ORDER BY m.doc_id) AS rf
+       |  FROM multi m JOIN qt q USING (doc_id)
+       |)
+       |SELECT b.cluster_id, CAST(b.n AS BIGINT) AS cluster_size,
+       |       b.doc_id AS keeper_id, b.quality AS keeper_quality,
+       |       f.doc_id AS first_id, f.quality AS first_quality,
+       |       round(b.quality - f.quality, 6) AS quality_gain
+       |FROM x b JOIN x f ON f.cluster_id = b.cluster_id AND f.rf = 1
+       |WHERE b.rb = 1
+       |ORDER BY b.cluster_id""".stripMargin
+  }
+
   /** q83_leakage_safe_split — contamination-safe train/val assignment: the
     * split hashes the CLUSTER, not the doc, so a near-dup family can never
     * straddle train and validation (doc-hash splits leak: a val doc's

@@ -74,4 +74,50 @@ class DupClustersSpec extends AnyFunSuite {
     val lab = got.map(r => r._1 -> r._2).toMap
     assert(pairs.forall { case (a, b) => lab(a) == lab(b) })
   }
+
+  test("q150 keeps the highest-quality member per cluster, ties to the smaller id") {
+    import spark.implicits._
+    // doc 2 = doc 1's tokens + appended stopwords: same near-dup cluster
+    // (shared-shingle Jaccard 8/12 ≈ 0.67 ≥ 0.5) but HIGHER q20 quality
+    // (more tokens, higher stopword ratio) — keep-best must pick 2 where
+    // keep-first picks 1. docs 4/5 are exact copies: identical quality,
+    // the tie must fall to the smaller id (keeper == first, gain 0).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa the of and in"),
+      (3L, "solo document completely different words here friend"),
+      (4L, "same same same words repeated here again now"),
+      (5L, "same same same words repeated here again now"))
+      .toDF("doc_id", "text")
+    val out = DupClusters.keepBestDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet == Set(1L, 4L), s"two contested clusters; got ${out.keySet}")
+    val (sz1, keeper1, kq1, first1, fq1, gain1) = out(1L)
+    assert(sz1 == 2 && keeper1 == 2L && first1 == 1L, "best-quality doc 2 beats first-id doc 1")
+    assert(kq1 > fq1 && gain1 > 0 && math.abs(gain1 - (kq1 - fq1)) < 1e-9)
+    val (sz4, keeper4, _, first4, _, gain4) = out(4L)
+    assert(sz4 == 2 && keeper4 == 4L && first4 == 4L && gain4 == 0.0,
+      "identical quality must tie to the smaller id — keep-best degrades to keep-first")
+  }
+
+  test("q150 agrees with a brute-force argmax over the fixture clusters") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text")
+    val clusters = DupClusters.dupClustersOf(docs)
+      .filter(col("cluster_size") > 1)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val quality = graft.operators.TextAnalysis.qualityScoreOf(docs)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val expected = clusters.groupBy(_._2).map { case (c, ms) =>
+      val members = ms.map(_._1)
+      val keeper = members.minBy(d => (-quality(d), d))
+      val first = members.min
+      (c, members.size.toLong, keeper, quality(keeper), first, quality(first))
+    }.toSet
+    val got = DupClusters.keepBestDedupOf(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected)
+  }
 }
