@@ -188,6 +188,14 @@ object Bench {
     println(record)
     (results ++ split).foreach { case (k, v) => println(s"""{"bench_query":"$k","sec":${fmt(v)}}""") }
     println(record)
+    // LAST line: the ten heaviest per-row timings, compact — the driver
+    // retains only the final ~2000 chars of output, and heaviest-first
+    // execution pushes exactly the gated rows (q92/q57-class) off that
+    // tail. This line guarantees the externally-retained evidence always
+    // carries them regardless of execution order (VERDICT r13 item 3).
+    val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"$k:${fmt(v)}" }.mkString(" ")
+    println(s"TOP10 $top10")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -37,12 +37,16 @@ import org.apache.spark.sql.functions._
   * types saturate, the Heaps asymptote), token and document-length
   * distributions are exactly preserved, and higher-order gram types
   * grow only through recombination of known tokens, as fresh text drawn
-  * from a fixed vocabulary does. Texts stay distinct across replicas
-  * (hash-seeded permutations; only ≤1-token documents repeat — which
-  * real corpora also do), so exact-dedup rows stay meaningful. Mode
-  * `affine` (default) remains the dedup-family fixture: disjoint
-  * shingle sets are exactly what near-dup queries need to avoid a
-  * quadratic blowup of artificial cross-replica duplicates.
+  * from a fixed vocabulary does. SHORT documents DO repeat across
+  * replicas (a t-token doc has at most t! orderings, fewer with repeated
+  * tokens — by pigeonhole any doc of ≤3 distinct-orderable tokens
+  * collides somewhere within 10 copies), so heaps-mode exact-dedup
+  * counts are inflated relative to affine mode: exact-dedup queries
+  * (q15/q45) should be laddered on AFFINE fixtures (FIXTURES.md;
+  * ADVICE r13). Mode `affine` (default) remains the dedup-family
+  * fixture: disjoint shingle sets are exactly what near-dup queries
+  * need to avoid a quadratic blowup of artificial cross-replica
+  * duplicates.
   *
   * Usage: GenScale <inDir> <outDir> [copies=10] [mode=affine|heaps]
   */
@@ -79,6 +83,7 @@ object GenScale {
     require(mode == "heaps" || copies <= coprimes.size * 26,
       s"GenScale: copies=$copies exceeds the affine substitution period ${coprimes.size * 26} — " +
         "replicas would alias and create exact cross-replica duplicate texts")
+    require(copies >= 1, s"GenScale: copies=$copies must be >= 1")
     val emb = tbl("embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // the rotation/reversed-rotation group has 2·dim DISTINCT non-identity-
@@ -103,14 +108,19 @@ object GenScale {
     val docs = tbl("documents")
     val dOff = keyOffset(docs, "doc_id")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val affine = (0 until copies).map { r =>
-      val a = coprimes(r / 26)
-      val b = r % 26
-      val lower = (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
-      (r, alpha + alpha.toUpperCase, lower + lower.toUpperCase)
-    }
-    val substituted = affine.foldLeft(lit(null).cast("string")) { case (acc, (r, from, to)) =>
-      when(col("rep") === r, translate(col("text"), from, to)).otherwise(acc)
+    // built ONLY in affine mode: coprimes(r / 26) is defined for r < 312,
+    // which the affine-mode require above guarantees — heaps mode supports
+    // copies > 312 and must not construct this Seq at all (ADVICE r13)
+    def substituted: org.apache.spark.sql.Column = {
+      val affine = (0 until copies).map { r =>
+        val a = coprimes(r / 26)
+        val b = r % 26
+        val lower = (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+        (r, alpha + alpha.toUpperCase, lower + lower.toUpperCase)
+      }
+      affine.foldLeft(lit(null).cast("string")) { case (acc, (r, from, to)) =>
+        when(col("rep") === r, translate(col("text"), from, to)).otherwise(acc)
+      }
     }
     // heaps mode: scan-local deterministic within-doc token shuffle —
     // sort (hash, token) structs, rejoin. Vocabulary shared across

@@ -24,10 +24,18 @@ object Tables {
     * the same file.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark, load(spark, sfDir, "events"))
+  }
+
+  /** The ts-normalization branch of [[events]], factored out so the
+    * STREAMING file source over the same fixture (q151) applies the
+    * identical dtype policy — one stable logical schema in both
+    * execution modes.
+    */
+  def normalizeEventTs(spark: SparkSession, raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>

@@ -217,22 +217,98 @@ object Cluster {
       .orderBy(col("cluster"), col("red").desc, col("vec_id"))
   }
 
+  /** Max SimHash hyperplanes for [[simhashCode]]: 2^32 blocks ×
+    * [[SemDedupTargetBlockRows]] ≈ 2×10^12 rows before the cap binds —
+    * genuinely past the 100 TB corpus scale.
+    */
+  private[graft] val SimhashMaxPlanes = 32
+
+  /** Widest embedding [[SimhashPlanes]] covers. The fixtures are 64-dim;
+    * a wider corpus regenerates the matrix (one constant), it does not
+    * change the operator.
+    */
+  private[graft] val SimhashMaxDim = 64
+
+  /** Pinned seeded Rademacher (±1) hyperplanes — the blocking rotation
+    * for [[semdedupScaledOf]]. One `java.util.Random` draw (its LCG is
+    * specified, so the matrix is identical on every JVM) shared verbatim
+    * by the Spark expression and the oracle SQL ([[simhashPlanesSql]]):
+    * the two engines cannot disagree on a single coefficient.
+    */
+  private[graft] val SimhashPlanes: IndexedSeq[IndexedSeq[Long]] = {
+    val rnd = new java.util.Random(0x9148L)
+    IndexedSeq.fill(SimhashMaxPlanes, SimhashMaxDim)(if (rnd.nextBoolean()) 1L else -1L)
+  }
+
+  /** [[SimhashPlanes]] as a DuckDB VALUES body: `(i, [±1,…]::DOUBLE[])`
+    * rows. DOUBLE[] so `list_dot_product` applies; every product/sum
+    * stays integer-valued ≤ 2^26, exactly representable — order-free.
+    */
+  private[graft] def simhashPlanesSql: String =
+    SimhashPlanes.zipWithIndex.map { case (row, i) =>
+      s"($i, [${row.mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n         ")
+
+  /** The blocking key of [[semdedupScaledOf]]: bit i ⇔
+    * Σ_j plane_i[j] · round(v[j]·10^6) > 0 — SimHash with the pinned
+    * [[SimhashPlanes]] over the 6-dp-QUANTIZED embedding, b =
+    * min([[IvfIndex.signBitWidth]](n, target), [[SimhashMaxPlanes]])
+    * planes. Three properties, each load-bearing:
+    *
+    *  - INTEGER-EXACT cross-engine: the quantization (round-half-away,
+    *    the q66/q146/q149 fixed-point discipline) and the ±1 dot product
+    *    are integer arithmetic — no float knife-edge at the sign
+    *    boundary, so Spark and DuckDB compute the identical block for
+    *    every vector (a true FWHT rotation would put an unpinnable fp
+    *    sum at exactly the threshold that decides block membership —
+    *    VERDICT r13 item 2's anticipated failure mode, designed out).
+    *  - DE-SKEWED (VERDICT r13 item 2): the raw-axis orthant code read
+    *    b coordinates, and GenScale's replica family (coordinate
+    *    rotations/reversals) PRESERVES sign patterns — replicas piled
+    *    into correlated orthants (measured sf10 affine exponent 1.10).
+    *    Each plane here spans ALL dim coordinates, so a permuted
+    *    replica's bit is the sign under a permuted — effectively fresh —
+    *    hyperplane: occupancy decorrelates.
+    *  - STILL cosine-LSH: sign-random-projection with Rademacher
+    *    hyperplanes is the standard SimHash family (Charikar '02), so
+    *    near-duplicates still co-block with probability 1 − θ/π per bit.
+    */
+  private[graft] def simhashCode(emb: DataFrame, targetListRows: Int): (Int, Column) = {
+    val stats = emb.agg(count(lit(1)), min(size(col("embedding")))).head()
+    val dim = stats.getInt(1)
+    require(dim <= SimhashMaxDim,
+      s"simhashCode: embedding dim $dim exceeds the pinned plane width $SimhashMaxDim — " +
+        "regenerate SimhashPlanes at the wider dim")
+    val b = math.min(IvfIndex.signBitWidth(stats.getLong(0), targetListRows), SimhashMaxPlanes)
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e6), 0).cast("long"))
+    val code =
+      if (b == 0) lit(0L)
+      else (0 until b).map { i =>
+        val dot = aggregate(
+          zip_with(qv, typedLit(SimhashPlanes(i).take(dim)), (a, p) => a * p),
+          lit(0L), (acc, x) => acc + x)
+        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    (b, code)
+  }
+
   /** The 100 TB shape of q102 — SemDeDup with the BLOCK COUNT growing
     * with the corpus (the paper's own tractability condition, and the
     * q62 nlist ∝ n discipline): clusters come from the scan-local
-    * sign-bit orthant code at width b = smallest with 2^b·target ≥ n
-    * ([[IvfIndex.signBitWidth]] — integer arithmetic, no training pass,
-    * no driver-held centroids to outgrow), so per-block pair work stays
-    * ~target²/2 at ANY corpus size while the declared q101-blocked row
-    * (k pinned at [[KmK]] for the closed-form oracle) grows
-    * quadratically-in-block past the fixture scale — measured exp 1.29
-    * at sf1, the q56→q62 pattern repeated (SemdedupScaleBench).
-    * Redundancy semantics are [[semdedupOf]]'s, unchanged; only the
-    * blocking key differs. At b = 0 (n ≤ target) this IS the exact
-    * all-pairs SemDeDup — the spec's equivalence anchor.
+    * [[simhashCode]] at width b = smallest with 2^b·target ≥ n
+    * (integer arithmetic, no training pass, no driver-held centroids to
+    * outgrow), so per-block pair work stays ~target²/2 at ANY corpus
+    * size while the declared q101-blocked row (k pinned at [[KmK]] for
+    * the closed-form oracle) grows quadratically-in-block past the
+    * fixture scale — measured exp 1.29 at sf1, the q56→q62 pattern
+    * repeated (SemdedupScaleBench). Redundancy semantics are
+    * [[semdedupOf]]'s, unchanged; only the blocking key differs. At
+    * b = 0 (n ≤ target) this IS the exact all-pairs SemDeDup — the
+    * spec's equivalence anchor.
     */
   def semdedupScaledOf(emb: DataFrame, targetBlockRows: Int = SemDedupTargetBlockRows): DataFrame = {
-    val (_, clusterExpr) = IvfIndex.signBitCode(emb, targetBlockRows)
+    val (_, clusterExpr) = simhashCode(emb, targetBlockRows)
     semdedupOf(emb.select(
       col("vec_id"), toDouble(col("embedding")).as("vec"),
       clusterExpr.as("cluster")))
@@ -247,13 +323,13 @@ object Cluster {
   /** q148_semdedup_scaled — [[semdedupScaledOf]] as a declared,
     * oracle-checked query (VERDICT r12 item 2 — the q56→q62 promotion
     * pattern, third repetition): [[semdedupOf]]'s redundancy semantics
-    * unchanged, blocked by the sign-bit orthant code instead of q102's
-    * pinned-k k-means. The quantizer is pure integer/sign arithmetic
-    * ([[IvfIndex.signBitCode]]), so DuckDB recomputes every block
-    * boundary exactly — which puts the TRUE 100 TB SemDeDup shape under
-    * the hard hash signal, clearing q102's `weak` (q102 stays as the
-    * closed-form k-means oracle floor; SemdedupScaleBench carries the
-    * measured 1.35/8.17/99.4 s three-decade ladder).
+    * unchanged, blocked by the pinned-plane [[simhashCode]] instead of
+    * q102's pinned-k k-means. The quantizer is pure integer arithmetic
+    * over literal ±1 planes, so DuckDB recomputes every block boundary
+    * exactly — which puts the TRUE 100 TB SemDeDup shape under the hard
+    * hash signal, clearing q102's `weak` (q102 stays as the closed-form
+    * k-means oracle floor; SemdedupScaleBench carries the measured
+    * three-decade ladder, re-forked after the r14 de-skew).
     */
   def semdedupScaled(spark: SparkSession, sfDir: String): DataFrame =
     semdedupScaledOf(Tables.embeddings(spark, sfDir))
@@ -283,27 +359,37 @@ object Cluster {
       |FROM rk WHERE rn <= sz // $SemDedupDropDiv
       |ORDER BY cluster, red DESC, vec_id""".stripMargin
 
-  /** q148's oracle: the q62 sign-bit assignment CTEs (same integer-only
-    * `bin()` width formula, target [[SemDedupTargetBlockRows]] rows/list)
-    * feeding q102's redundancy/rank tail — so the scale path's oracle and
-    * the floor's oracle can only differ in the blocking key.
+  /** q148's oracle: the same integer-only `bin()` width formula as q62
+    * (target [[SemDedupTargetBlockRows]] rows/list, capped at
+    * [[SimhashMaxPlanes]]), the [[SimhashPlanes]] matrix as a literal
+    * VALUES table, and the 6-dp quantized ±1 dot per bit — feeding
+    * q102's redundancy/rank tail, so the scale path's oracle and the
+    * floor's oracle can only differ in the blocking key. Every
+    * product/sum in the blocking is integer-valued ≤ 2^26, exactly
+    * representable in DOUBLE — `list_dot_product`'s summation order
+    * cannot matter.
     */
   val q148OracleSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), q AS (
+       |  SELECT vec_id, list_transform(v, x -> round(x * 1000000, 0)) AS qv FROM e
        |), nb AS (
        |  SELECT LEAST(CASE WHEN (COUNT(*) - 1) // $SemDedupTargetBlockRows = 0 THEN 0
        |               ELSE length(bin((COUNT(*) - 1) // $SemDedupTargetBlockRows)) END,
-       |               MIN(len(v))) AS b
+       |               $SimhashMaxPlanes) AS b
        |  FROM e
+       |), pl(i, p) AS (
+       |  VALUES $simhashPlanesSql
+       |), clus AS (
+       |  SELECT q.vec_id,
+       |         CAST(COALESCE(SUM(CASE WHEN list_dot_product(q.qv, pl.p[1:len(q.qv)]) > 0
+       |                           THEN (CAST(1 AS BIGINT) << pl.i)
+       |                           ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS cluster
+       |  FROM q CROSS JOIN nb LEFT JOIN pl ON pl.i < nb.b
+       |  GROUP BY q.vec_id
        |), asg AS (
-       |  SELECT vec_id, v,
-       |         CAST(COALESCE(list_aggregate(list_transform(range(0, nb.b),
-       |                i -> CASE WHEN v[CAST(i + 1 AS INT)] > 0
-       |                          THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-       |                          ELSE CAST(0 AS BIGINT) END),
-       |              'sum'), 0) AS BIGINT) AS cluster
-       |  FROM e CROSS JOIN nb
+       |  SELECT e.vec_id, e.v, clus.cluster FROM e JOIN clus USING (vec_id)
        |), p AS (
        |  SELECT x.cluster, y.vec_id,
        |         ${IvfIndex.cosSql("x.v", "y.v")} AS cs

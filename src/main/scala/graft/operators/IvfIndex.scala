@@ -218,8 +218,9 @@ object IvfIndex {
     64 - java.lang.Long.numberOfLeadingZeros(t) // bit_length; 0 when t == 0
   }
 
-  /** THE sign-bit orthant rule, shared by every nlist ∝ n consumer
-    * ([[buildSignBit]], `Cluster.semdedupScaledOf`): one count+dim pass
+  /** THE sign-bit orthant rule for nlist ∝ n index builds
+    * ([[buildSignBit]]; `Cluster.semdedupScaledOf` uses the de-skewed
+    * `Cluster.simhashCode` variant since r14): one count+dim pass
     * (b caps at dim — reading sign bit `i >= dim` would be an
     * out-of-bounds array access under ANSI mode), then the orthant code
     * as a scan-local expression over `embedding` (bit i ⇔ component

@@ -400,14 +400,17 @@ object Relational {
     *
     * 100 TB: region→nation→supplier reduces to a SUPPLIER-side
     * broadcast (suppliers of one region, with their nation name
-    * attached); customers project to (custkey, nationkey) and broadcast
-    * where they fit (the segment-filter precedent of q146 — at true
-    * TPC-H scale AQE shuffles this join on custkey instead); the date
-    * window pushes into the orders scan; lineitem — the 100 TB side —
-    * is scanned once, joined by orderkey (its natural co-partition
-    * key), and the c=s nation equality prunes rows BEFORE the final
-    * nation-keyed aggregate, whose output is nation-scale. The heavy
-    * table never shuffles twice.
+    * attached); customers project to (custkey, nationkey) and carry NO
+    * broadcast hint — AQE arbitrates that join by measured size
+    * (VERDICT r13 item 1: customer is fact-proportional, 150k × sf at
+    * true TPC-H scale, so a pinned hint would OOM the broadcast path at
+    * 100× instead of falling back to a custkey shuffle; at bench scale
+    * AQE still picks broadcast on size — plan-pinned in PlanShapeSpec);
+    * the date window pushes into the orders scan; lineitem — the 100 TB
+    * side — is scanned once, joined by orderkey (its natural
+    * co-partition key), and the c=s nation equality prunes rows BEFORE
+    * the final nation-keyed aggregate, whose output is nation-scale.
+    * The heavy table never shuffles twice.
     */
   def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val start = java.sql.Timestamp.valueOf(s"$Q5Start 00:00:00")
@@ -430,7 +433,9 @@ object Relational {
           (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_e4"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // no hint on cust: AQE picks broadcast-by-size here and falls back
+      // to a custkey shuffle when customer outgrows the threshold
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("rev_e4")).as("rev_e4"))

@@ -131,13 +131,12 @@ class ClusterSpec extends AnyFunSuite {
     val out = Cluster.semdedupScaledOf(emb, targetBlockRows = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val clusters = out.map(_._2).distinct
-    assert(clusters.length > 1, "500 vectors at target 100 must split into multiple orthants")
-    // drops per cluster = floor(size/4): recompute sizes from the same code
-    import org.apache.spark.sql.functions._
-    val b = 3 // signBitWidth(500, 100) = bit_length(4) = 3
-    val sizes = emb.select(((0 until b).map(i =>
-      when(col("embedding").getItem(i) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)).as("cluster"))
+    assert(clusters.length > 1, "500 vectors at target 100 must split into multiple blocks")
+    // drops per cluster = floor(size/4): recompute sizes from the same
+    // blocking key (the pinned SimHash planes; b = bit_length(4) = 3)
+    val (b, code) = Cluster.simhashCode(emb, 100)
+    assert(b == 3, s"signBitWidth(500, 100) must be 3, got $b")
+    val sizes = emb.select(code.as("cluster"))
       .groupBy("cluster").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dropsPer = out.groupBy(_._2).view.mapValues(_.length).toMap

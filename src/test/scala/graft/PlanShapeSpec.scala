@@ -803,8 +803,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(graft.operators.Relational.localSupplierVolume(spark, TestSpark.Sf0001))
     assert("Scan parquet".r.findAllIn(p).size >= 5, s"six-table star;\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    // the customer join carries NO broadcast hint (VERDICT r13 item 1) —
+    // this pin proves the planner still picks broadcast BY SIZE at fixture
+    // scale, while a 100×-scale customer can fall back to a custkey shuffle
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
-      s"supplier/nation/customer dims broadcast — the fact never shuffles twice;\n$p")
+      s"supplier/nation/customer dims broadcast by size — the fact never shuffles twice;\n$p")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)")
       || p.contains("GreaterThanOrEqual(o_orderdate"),
       s"the order-date window must reach the orders scan;\n$p")

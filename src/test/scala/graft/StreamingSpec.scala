@@ -46,6 +46,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q151: the file-source streaming run equals batch q13 row-for-row, and re-runs work") {
+    val streamed = EventStream.streamWindowStats(spark, TestSpark.Sf0001).collect().toSeq
+    val batch = graft.operators.Analytics.eventWindowStats(spark, TestSpark.Sf0001).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // second invocation must not collide on the memory-sink query name
+    // (the bench samples the declared row several times per session)
+    assert(EventStream.streamWindowStats(spark, TestSpark.Sf0001).count() == batch.size.toLong)
+  }
+
   test("stateful sessionization: keyed state carries sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
