@@ -128,12 +128,12 @@ object Hybrid {
       .select(col("qid"), col("qvec"))
   }
 
-  /** Fusion core shared by the inline and artifact paths: the vector
-    * half's query embedding + exact cosine top-10, then the RRF
-    * full-outer fusion — all query-scale (≤ queries × 2k rows) past the
-    * two half rankings.
+  /** Fusion core shared by the inline, artifact, and serving (q152)
+    * paths: the vector half's query embedding + exact cosine top-10,
+    * then the RRF full-outer fusion — all query-scale (≤ queries × 2k
+    * rows) past the two half rankings.
     */
-  private def fuseWith(qtab: DataFrame, lexRanked: DataFrame, dvecs: DataFrame): DataFrame = {
+  private[graft] def fuseWith(qtab: DataFrame, lexRanked: DataFrame, dvecs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = lexRanked
       .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
@@ -158,9 +158,14 @@ object Hybrid {
   }
 
   /** q95's lexical CTEs + q41's encoder CTEs (dim 16) over docs AND query
-    * strings + cosine top-10 + the RRF full-outer fusion.
+    * strings + cosine top-10 + the RRF full-outer fusion, up to and
+    * including the `fused` CTE — shared verbatim by q96's oracle and the
+    * q152 serving-composition oracle (the q63 one-generator discipline:
+    * a composed row's oracle can only differ from its parts by the tail
+    * it adds). `dvec` is `AS MATERIALIZED` for q152's benefit (its sims
+    * CTE re-references it; a pure evaluation hint, harmless to q96).
     */
-  val q96OracleSql: String =
+  private[graft] val q96FusionCtes: String =
     """WITH t AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '(\w+|[^\w\s]+)', 1)) AS token FROM documents
       |), tf AS (
@@ -207,7 +212,7 @@ object Hybrid {
       |), enc_dgrid AS (
       |  SELECT d.doc_id, r.range AS bucket
       |  FROM (SELECT doc_id FROM documents) d CROSS JOIN range(16) r
-      |), dvec AS (
+      |), dvec AS MATERIALIZED (
       |  SELECT g.doc_id, list(CAST(COALESCE(c.n, 0) AS DOUBLE) ORDER BY g.bucket) AS vec
       |  FROM enc_dgrid g LEFT JOIN enc_dc c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
       |  GROUP BY g.doc_id
@@ -249,7 +254,10 @@ object Hybrid {
       |         round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rnk), 0) +
       |               COALESCE(CAST(1 AS DOUBLE) / (60 + v.rnk), 0), 6) AS rrf
       |  FROM lexr l FULL OUTER JOIN vecr v ON l.qid = v.qid AND l.doc_id = v.doc_id
-      |)
+      |)""".stripMargin
+
+  val q96OracleSql: String =
+    s"""$q96FusionCtes
       |SELECT qid, rank, doc_id, rrf, lex_rank, vec_rank
       |FROM (
       |  SELECT qid, doc_id, rrf,

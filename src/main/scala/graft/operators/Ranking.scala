@@ -324,9 +324,11 @@ object Ranking {
   }
 
   /** One unrolled greedy step k: max-sim to the k−1 already-selected,
-    * anti-join them out, argmax of the rounded mmr.
+    * anti-join them out, argmax of the rounded mmr. Parameterized only
+    * by CTE names (`cand`, `sims`, `sel*`), so q105's oracle and the
+    * q152 serving-composition oracle share the identical step text.
     */
-  private def mmrStepCtes(k: Int): String =
+  private[graft] def mmrStepCtes(k: Int): String =
     s""", m$k AS (
       |  SELECT s.qid, s.a_id AS doc_id, MAX(s.sim) AS ms
       |  FROM sims s JOIN sel${k - 1} p ON p.qid = s.qid AND p.doc_id = s.b_id

@@ -813,6 +813,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the order-date window must reach the orders scan;\n$p")
   }
 
+  test("q152 serving: ranks from tf artifact + index points, corpus text never in the serving plan") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val dir = graft.operators.Serving.buildServingArtifacts(spark, docs)
+    val p = plan(graft.operators.Serving.servedFused(spark, dir))
+    assert(p.contains("tf.parquet"),
+      s"the lexical half must rank from the persisted tf artifact;\n$p")
+    assert(p.contains("/index/points"),
+      s"the vector half must read the persisted index layout;\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"corpus text must never appear in the serving plan;\n$p")
+  }
+
   test("q147 dedup inflation: fingerprint-keyed join, text never shuffles, no window") {
     val p = plan(graft.operators.TextAnalysis.tokenDedupInflation(spark, TestSpark.Sf0001))
     assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
