@@ -53,7 +53,7 @@ object Explain {
                          "q144_quant_calibrate", "q145_langid_confusion",
                          "q146_shipping_priority", "q147_token_dedup_inflation",
                          "q148_semdedup_scaled", "q149_local_supplier_volume",
-                         "q150_keep_best_dedup")
+                         "q150_keep_best_dedup", "q152_serving_pipeline")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
