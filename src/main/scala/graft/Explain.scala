@@ -4,12 +4,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print formatted physical plans for the queries whose shape
   * matters at scale, to audit pushdown/pruning/broadcast/codegen
-  * (`runMain graft.Explain [sfDir] [query ...]`).
+  * (`runMain graft.Explain [sfDir] [query ...]`). With `-x` as the first
+  * query arg, each query EXECUTES (noop sink) before printing, so the
+  * output is the FINAL adaptive plan — what AQE actually picked at this
+  * fixture size — instead of the static initial plan.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
+    val execute = args.length > 1 && args(1) == "-x"
+    val rest = if (execute) args.drop(2).toSeq else args.drop(1).toSeq
+    val names = if (rest.nonEmpty) rest
                 else Seq("q01_knn_topk_cosine", "q12_payload_enrich_join", "q26_pricing_summary",
                          "q27_top_customers", "q13_event_window_stats",
                          "q47_detokenize", "q49_quantize_int8",
@@ -74,6 +79,7 @@ object Explain {
                 org.apache.spark.sql.functions.col("lang"),
                 org.apache.spark.sql.functions.col("text")))
         else SparkEntry.queries(n)(spark, sfDir)
+      if (execute) df.write.mode("overwrite").format("noop").save()
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
