@@ -145,6 +145,7 @@ object GraftFunctions {
   val SignBitsName  = "graft_sign_bits_pack"
   val HammingName   = "graft_hamming_dist"
   val RotateHdName  = "graft_rotate_hd"
+  val SimhashName   = "graft_simhash_code"
 
   /** Builder shared by the registry and the session extension: the pack
     * width must arrive as an integer literal (it is a plan-time constant —
@@ -196,6 +197,22 @@ object GraftFunctions {
     registerIfAbsent(spark, SignBitsName, signBitsBuilder)
     registerIfAbsent(spark, HammingName, exprs => HammingDistPacked(exprs(0), exprs(1)))
     registerIfAbsent(spark, RotateHdName, rotateHdBuilder)
+    registerIfAbsent(spark, SimhashName, simhashBuilder)
+  }
+
+  /** Builder for the pinned-plane SimHash block code: (vector, width,
+    * seed, bits) with the last three as literals — the plane matrix is a
+    * plan-time constant.
+    */
+  private[functions] def simhashBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    (exprs(1), exprs(2), exprs(3)) match {
+      case (Literal(w: Int, IntegerType), Literal(s: Long, LongType), Literal(b: Int, IntegerType)) =>
+        SimhashCode(exprs(0), w, s, b)
+      case other => throw new IllegalArgumentException(
+        s"$SimhashName: (width, seed, bits) must be (int, long, int) literals, got $other")
+    }
   }
 
   private[functions] def registerIfAbsent(
@@ -233,6 +250,15 @@ object GraftFunctions {
                rounds: Int = RotateHd.DefaultRounds): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(RotateHdName, a, lit(dim), lit(seed), lit(rounds))
+  }
+
+  /** Pinned-plane SimHash block code over the 6-dp-quantized vector
+    * ([[SimhashCode]]): `bits` seeded ±1 planes of `width`, emits the
+    * 64-bit block key.
+    */
+  def simhashCode(a: Column, width: Int, seed: Long, bits: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(SimhashName, a, lit(width), lit(seed), lit(bits))
   }
 }
 

@@ -113,6 +113,27 @@ class ClusterSpec extends AnyFunSuite {
     assert(p.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
   }
 
+  test("q148 native simhash kernel equals the column-expression reference, every fixture row") {
+    // the reference form the round-14 kernel replaced: per plane i,
+    // round-half-up quantize at 6 dp, ±1 dot via zip_with/aggregate,
+    // bit i ⇔ dot > 0 — slow but independently derived
+    import org.apache.spark.sql.functions._
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    graft.functions.GraftFunctions.ensureRegistered(TestSpark.spark)
+    val b = 9
+    val native = graft.functions.GraftFunctions.simhashCode(
+      col("embedding"), Cluster.SimhashMaxDim, Cluster.SimhashSeed, b)
+    val qv = transform(col("embedding"), x => round(x.cast("double") * lit(1e6), 0).cast("long"))
+    val reference = (0 until b).map { i =>
+      val dot = aggregate(
+        zip_with(qv, typedLit(Cluster.SimhashPlanes(i).toSeq), (a, p) => a * p),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val diff = emb.select(native.as("k"), reference.as("r")).filter(col("k") =!= col("r")).count()
+    assert(diff == 0L, s"$diff rows disagree between the kernel and the reference form")
+  }
+
   test("q102 scale path: at the one-block floor the sign-bit variant IS exact all-pairs semdedup") {
     // target ≥ n ⇒ b = 0 ⇒ a single block: the scaled variant must equal
     // semdedupOf over the trivial all-in-one assignment, row for row
