@@ -86,7 +86,15 @@ object Serving {
   /** Composable core for ANY (doc_id, text, …) corpus. */
   def servingPipelineOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val dir = buildServingArtifacts(spark, docs)
+    serve(spark, buildServingArtifacts(spark, docs))
+  }
+
+  /** Stages 2+3 against EXISTING artifacts — the query-many half of the
+    * build-once contract (Bench's q152_build/q152_serve split keys time
+    * the halves separately; the declared row runs both).
+    */
+  def serve(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val fused = servedFused(spark, dir)
     val dvecs = servedVecs(spark, dir)
 
