@@ -208,4 +208,58 @@ object Incremental {
        |FROM tagged t LEFT JOIN near n ON n.batch_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  /** q153_snapshot_diff — the corpus VERSION DIFF: which documents were
+    * added, removed, or modified between two snapshots of the corpus —
+    * the report every incremental pipeline run opens with (and the
+    * decision input for q80's incremental dedup: only `added`/`modified`
+    * docs enter the batch). The two snapshots are derived
+    * deterministically from the fixture (old = drop doc_id % 11 == 3;
+    * new = drop doc_id % 13 == 5, and doc_id % 7 == 0 texts carry a
+    * "v2 " edit), so the oracle recomputes them exactly.
+    *
+    * 100 TB: each snapshot is scanned ONCE projecting (doc_id, md5) —
+    * the 16-byte fingerprint discipline, corpus text never shuffles —
+    * and the diff is a full-outer equi-join on doc_id (at production the
+    * snapshots are id-bucketed, making this a co-partitioned zip); the
+    * output is change-scale, not corpus-scale. A store of persisted
+    * per-snapshot fingerprint artifacts (the q80 pattern) makes
+    * successive diffs incremental too.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(lit("v2 "), col("text")))
+          .otherwise(col("text"))).as("new_fp"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("modified"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q153OracleSql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 11 <> 3
+      |), n AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END) AS new_fp
+      |  FROM documents WHERE doc_id % 13 <> 5
+      |), d AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.old_fp IS NULL THEN 'added'
+      |              WHEN n.new_fp IS NULL THEN 'removed'
+      |              WHEN o.old_fp <> n.new_fp THEN 'modified'
+      |              ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |)
+      |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
 }

@@ -11,6 +11,24 @@ import graft.operators.Incremental
 class IncrementalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("q153: every diff status matches its closed-form id derivation, unchanged docs absent") {
+    val out = Incremental.snapshotDiff(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    val n = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet").count()
+    (0L until n).foreach { id =>
+      val inOld = id % 11 != 3
+      val inNew = id % 13 != 5
+      val edited = id % 7 == 0
+      val expected =
+        if (inOld && !inNew) Some("removed")
+        else if (!inOld && inNew) Some("added")
+        else if (inOld && inNew && edited) Some("modified")
+        else None // unchanged or in neither snapshot: absent from the diff
+      assert(out.get(id) == expected, s"doc $id: got ${out.get(id)}, expected $expected")
+    }
+  }
+
   test("hand corpus: exact re-crawl, near variant, novel doc, short doc") {
     import spark.implicits._
     val store = Seq(
