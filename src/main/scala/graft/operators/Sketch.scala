@@ -112,6 +112,148 @@ object Sketch {
       .orderBy(col("exact_count").desc, col("token"))
   }
 
+  // ---------------------------------------------------------------------
+  // q155_hll_distinct — deterministic HyperLogLog registers + exact audit
+  // ---------------------------------------------------------------------
+
+  /** HLL registers (m = 2^p, p = 6). 64 keeps the fixture-scale standard
+    * error honest (~1.04/√64 ≈ 13%), so the audit column shows genuine
+    * sketch error at every decade, while the register table stays
+    * trivially broadcastable (64 rows per group).
+    */
+  val HllM = 64
+
+  /** Max rho: the rank slice is 32 bits, so the leading-zero count of a
+    * nonzero word is ≤ 31 → rho ≤ 32; the all-zero word (p = 2^-32) is
+    * pinned to 33 per the HLL convention.
+    */
+  val HllRhoMax = 33
+
+  /** Slice r (0-based) of the one md5 per value — the q154 slice scheme:
+    * 8 hex chars → an exact 32-bit word, string-identical md5 in both
+    * engines. Slice 0 % m is the register; slice 1 is the rank word.
+    */
+  private def hllSlice(r: Int, v: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), v)), 1 + 8 * r, 8), 16, 10).cast("long")
+
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    hllDistinctOf(ev, "event_type", col("user_id"))
+  }
+
+  /** q155_hll_distinct — per-group DISTINCT-COUNT SKETCH with the exact
+    * audit column: estimate |{v}| per group from a fixed [[HllM]]-register
+    * HyperLogLog and report, next to the exact distinct count, the
+    * register-table state (`v_zero`, `s_scaled`) and the estimate
+    * (Flajolet et al. 2007, incl. the small-range linear-counting branch).
+    *
+    * Why this is the 100 TB distinct-count shape: the sketch aggregate's
+    * state is [[HllM]] bytes per group REGARDLESS of corpus size — each
+    * partition folds its value stream map-side into `max(rho)` per
+    * (group, register), and the merge is registerwise max (idempotent, so
+    * duplicate values need no pre-distinct: the raw stream and the
+    * distinct table produce the SAME registers). The exact side — a
+    * corpus-scale `count(distinct)` whose state is the value set itself —
+    * exists here as the AUDIT the fixture gate can afford; at production
+    * scale the sketch replaces it entirely.
+    *
+    * Unlike `approx_count_distinct` (whose HLL++ sketch is
+    * engine-internal and not reproducible across engines), every quantity
+    * here is EXACTLY determined: registers are md5-slice buckets (q154
+    * discipline), rho is a string-length bit count (`33 − length(bin(w))`
+    * — `bin` is minimal-width in both engines), and the harmonic sum is
+    * carried as the INTEGER `s_scaled = Σ 2^(33−M_j)` (≤ 64·2^33 ≪ 2^53,
+    * so even its double image is exact). The only floats are the final
+    * one-division estimate and `ln` in the linear-counting branch (the
+    * q109 ln precedent), both rounded to 6 dp on both sides. Sketches
+    * under the hard hash gate, part two.
+    */
+  /** The PRODUCTION register build from a raw (possibly duplicate-bearing)
+    * value stream: scan-local md5 slice, then ONE corpus-scale aggregate —
+    * max(rho) per (group, register), map-side combined to ≤ |groups|×64
+    * rows per partition. The declared row derives the same registers from
+    * the distinct-pair table it must compute for the audit anyway (max is
+    * idempotent — SketchSpec pins duplicate-stream equality), saving the
+    * second corpus-scale pass; a sketch-only deployment runs THIS.
+    */
+  def hllRegistersOf(df: DataFrame, grpName: String, v: Column): DataFrame = {
+    val rho = when(col("w") === 0L, lit(HllRhoMax))
+      .otherwise(lit(HllRhoMax) - length(bin(col("w"))))
+    df.select(col(grpName).as("g"), (hllSlice(0, v) % HllM).as("reg"), hllSlice(1, v).as("w"))
+      .select(col("g"), col("reg"), rho.cast("int").as("rho"))
+      .groupBy(col("g"), col("reg")).agg(max(col("rho")).as("rho"))
+  }
+
+  def hllDistinctOf(df: DataFrame, grpName: String, v: Column): DataFrame = {
+    val spark = df.sparkSession
+    val g = col(grpName)
+    // ONE corpus-scale pass: the distinct (group, value) table feeds both
+    // the exact audit and the registers (idempotence — see hllRegistersOf)
+    // cached: three group-scale aggregates read it (registers, group list,
+    // audit counts); the table is the audit's own working set — the
+    // sketch-only production path (hllRegistersOf on the raw stream)
+    // never materializes it
+    val pairs = df.select(g.as("g"), v.as("v")).distinct().cache()
+    val mx = hllRegistersOf(pairs, "g", col("v"))
+    // densify to the full 64-register table per group (absent register →
+    // M = 0); group count × 64 rows — tiny at any corpus size
+    val full = pairs.select(col("g")).distinct()
+      .crossJoin(broadcast(spark.range(HllM).select(col("id").as("reg"))))
+      .join(mx, Seq("g", "reg"), "left")
+      .select(col("g"), coalesce(col("rho"), lit(0)).as("m"))
+    val st = full.groupBy(col("g")).agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - m)")).as("s_scaled"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"))
+    // exact audit: the corpus-scale distinct the sketch replaces at scale
+    val ex = pairs.groupBy(col("g")).agg(count(lit(1)).as("exact_distinct"))
+    // alpha_64 · m² / Σ 2^(-M_j) = 0.709 · 64² · 2^33 / s_scaled; linear
+    // counting below 2.5m with empty registers present (Flajolet §4)
+    val raw = lit(0.709) * lit(4096.0) * lit(8589934592.0) / col("s_scaled")
+    val est = when(raw <= lit(2.5 * HllM) && col("v_zero") > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero"))).otherwise(raw)
+    ex.join(st, Seq("g"))
+      .select(col("g").as(grpName), col("exact_distinct"), col("v_zero"), col("s_scaled"),
+        round(est, 6).as("hll_estimate"),
+        round((est - col("exact_distinct")) / col("exact_distinct") * 100, 6).as("err_pct"))
+      .orderBy(col(grpName))
+  }
+
+  val q155OracleSql: String =
+    s"""WITH hr AS (
+       |  SELECT event_type,
+       |         CAST(('0x' || substring(md5('hll:' || user_id), 1, 8))::UBIGINT % $HllM AS BIGINT) AS reg,
+       |         CAST(('0x' || substring(md5('hll:' || user_id), 9, 8))::UBIGINT AS BIGINT) AS w
+       |  FROM events
+       |), mx AS (
+       |  SELECT event_type, reg,
+       |         MAX(CASE WHEN w = 0 THEN $HllRhoMax ELSE $HllRhoMax - length(bin(w)) END) AS rho
+       |  FROM hr GROUP BY event_type, reg
+       |), dense AS (
+       |  SELECT et.event_type, r.range AS reg, coalesce(mx.rho, 0) AS m
+       |  FROM (SELECT DISTINCT event_type FROM events) et
+       |  CROSS JOIN range($HllM) r
+       |  LEFT JOIN mx ON mx.event_type = et.event_type AND mx.reg = r.range
+       |), st AS (
+       |  SELECT event_type,
+       |         CAST(SUM(1::BIGINT << ($HllRhoMax - m)) AS BIGINT) AS s_scaled,
+       |         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+       |  FROM dense GROUP BY event_type
+       |), ex AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events GROUP BY event_type
+       |), est AS (
+       |  SELECT ex.event_type, ex.exact_distinct, st.v_zero, st.s_scaled,
+       |         CASE WHEN 0.709e0 * 4096e0 * 8589934592e0 / st.s_scaled <= ${2.5 * HllM}e0
+       |                   AND st.v_zero > 0
+       |              THEN ${HllM}e0 * ln(${HllM}e0 / st.v_zero)
+       |              ELSE 0.709e0 * 4096e0 * 8589934592e0 / st.s_scaled END AS e
+       |  FROM ex JOIN st USING (event_type)
+       |)
+       |SELECT event_type, exact_distinct, v_zero, s_scaled,
+       |       round(e, 6) AS hll_estimate,
+       |       round((e - exact_distinct) / exact_distinct * 100, 6) AS err_pct
+       |FROM est ORDER BY event_type""".stripMargin
+
   val q154OracleSql: String =
     s"""WITH t AS (
        |  SELECT unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents

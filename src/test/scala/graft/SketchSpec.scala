@@ -46,6 +46,53 @@ class SketchSpec extends AnyFunSuite {
     assert(scanSide == derived, "additivity: type-table cells must equal token-stream cells")
   }
 
+  test("q155 fixture run: register state well-formed, estimate inside the HLL error envelope") {
+    val out = Sketch.hllDistinct(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (g, exact, vZero, sScaled, est) =>
+      assert(exact > 0, s"$g: audit distinct must be positive")
+      assert(vZero >= 0 && vZero <= Sketch.HllM, s"$g: v_zero out of register range")
+      assert(sScaled >= Sketch.HllM.toLong
+        && sScaled <= (Sketch.HllM.toLong << Sketch.HllRhoMax), s"$g: s_scaled out of range")
+      // m=64 → standard error ~13%; linear counting tighter. 3σ-ish envelope.
+      assert(math.abs(est - exact) <= 0.5 * exact + 3,
+        s"$g: estimate $est too far from exact $exact for m=${Sketch.HllM}")
+    }
+  }
+
+  test("q155 registers equal a brute-force md5 mirror over the distinct value set") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, TestSpark.Sf0001)
+    val got = Sketch.hllDistinctOf(ev, "event_type", col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    val pairs = ev.select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def slices(v: Long): (Long, Long) = {
+      val hex = md.digest(s"hll:$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % Sketch.HllM,
+        java.lang.Long.parseLong(hex.substring(8, 16), 16))
+    }
+    def rho(w: Long): Int =
+      if (w == 0L) Sketch.HllRhoMax else Sketch.HllRhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    val regs = pairs.map { case (g, u) => val (r, w) = slices(u); (g, r) -> rho(w) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).max }
+    val derived = pairs.map(_._1).distinct.map { g =>
+      val ms = (0L until Sketch.HllM.toLong).map(r => regs.getOrElse((g, r), 0))
+      (g, ms.count(_ == 0).toLong, ms.map(m => 1L << (Sketch.HllRhoMax - m)).sum)
+    }.toSet
+    assert(got == derived, "v_zero/s_scaled must equal the brute-force register table")
+  }
+
+  test("q155 max-idempotence: duplicated input stream yields the identical sketch row set") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, TestSpark.Sf0001)
+    val once = Sketch.hllDistinctOf(ev, "event_type", col("user_id")).collect().toSeq
+    val twice = Sketch.hllDistinctOf(ev.union(ev), "event_type", col("user_id")).collect().toSeq
+    assert(once == twice, "registers are max-folded: duplicates must not move any column")
+  }
+
   test("hand corpus: a collision-free sketch estimates every type exactly") {
     import spark.implicits._
     // with w=256 and 3 types, some hash ROW is collision-free, and the
