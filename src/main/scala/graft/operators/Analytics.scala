@@ -443,4 +443,90 @@ object Analytics {
       |)
       |SELECT CAST(pos AS BIGINT) AS dim, round(w / n, 6) AS loading, round(n, 6) AS eigval
       |FROM w2 CROSS JOIN n2 ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q158_embedding_outliers — per-label diagonal-Mahalanobis OOD audit
+  // ---------------------------------------------------------------------
+
+  /** Outliers reported per label. */
+  val OodTopK = 3
+
+  /** Variance floor: keeps the per-dim denominator positive (population
+    * variance is ≥ 0; the 6-dp rounding of mu/m2 can push the difference
+    * to −3e-6 at worst) and caps the z² contribution of degenerate
+    * zero-variance dims.
+    */
+  val OodEps = 1e-4
+
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingOutliersOf(Tables.embeddings(spark, sfDir), OodTopK)
+
+  /** q158_embedding_outliers — the embedding-space DATA-QUALITY audit: for
+    * each label, the [[OodTopK]] vectors farthest from the label's
+    * distribution under the diagonal-covariance Mahalanobis distance
+    * z² = Σ_d (x_d − μ_d)² / (σ²_d + ε) — mislabeled points, encoder
+    * failures, and contamination surface here BEFORE they poison
+    * centroid training (q101) or k-NN labels (q97). Per-dim μ and σ²
+    * are rounded to 6 dp on BOTH sides (the q101 centroid discipline),
+    * and the rank orders by the ROUNDED score with vec_id tie-break, so
+    * the cut is hash-stable across engines.
+    *
+    * 100 TB: the statistics pass is a (label × dim)-bounded aggregate
+    * with map-side combine; the stat ARRAYS broadcast (labels × dim
+    * doubles — catalog-scale); scoring is a scan-local zip_with/fold
+    * over each vector (one pass, codegen); only (label, score, vec_id)
+    * triples reach the per-label top-k window (label-partitioned, never
+    * a global window — and at extreme label cardinality the window
+    * swaps for the bounded-heap TopK aggregate, the q24 path).
+    */
+  def embeddingOutliersOf(emb: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("x"))
+    val st = e.select(col("label"), posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("mu"),
+        round(avg(col("v") * col("v")), 6).as("m2"))
+      .select(col("label"), col("pos"), col("mu"),
+        (col("m2") - col("mu") * col("mu") + lit(OodEps)).as("den"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mu"), col("den")))).as("sp"))
+      .select(col("label"),
+        transform(col("sp"), s => s.getField("mu")).as("mu_arr"),
+        transform(col("sp"), s => s.getField("den")).as("den_arr"))
+    val scored = e.join(broadcast(st), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(aggregate(
+          zip_with(
+            zip_with(col("x"), col("mu_arr"), (a, m) => (a - m) * (a - m)),
+            col("den_arr"), (d, dn) => d / dn),
+          lit(0.0), (acc, t) => acc + t), 6).as("ood_score"))
+    val w = Window.partitionBy(col("label")).orderBy(col("ood_score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("ood_score"), col("rk"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  val q158OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         unnest(embedding::DOUBLE[]) AS v
+       |  FROM embeddings
+       |), st AS (
+       |  SELECT label, pos, round(avg(v), 6) AS mu, round(avg(v * v), 6) AS m2
+       |  FROM e GROUP BY label, pos
+       |), sc AS (
+       |  SELECT e.vec_id, e.label,
+       |         round(SUM((e.v - st.mu) * (e.v - st.mu)
+       |                   / (st.m2 - st.mu * st.mu + 0.0001e0)), 6) AS ood_score
+       |  FROM e JOIN st ON e.label = st.label AND e.pos = st.pos
+       |  GROUP BY e.vec_id, e.label
+       |)
+       |SELECT CAST(label AS BIGINT) AS label, vec_id, ood_score, rk FROM (
+       |  SELECT label, vec_id, ood_score,
+       |         row_number() OVER (PARTITION BY label ORDER BY ood_score DESC, vec_id) AS rk
+       |  FROM sc)
+       |WHERE rk <= $OodTopK ORDER BY label, rk""".stripMargin
 }

@@ -629,6 +629,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gen == 1, s"one (label, dim) unit-component stream;\n$p")
   }
 
+  test("q158 outliers: stat arrays broadcast, scoring is a scan-local fold — no pair join") {
+    val p = plan(graft.operators.Analytics.embeddingOutliers(spark, TestSpark.Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"the label-stat arrays must broadcast onto the corpus scan;\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair join anywhere in the scoring path;\n$p")
+    assert("Generate posexplode".r.findAllIn(p).length == 1,
+      s"only the stats pass explodes; scoring stays a zip_with fold;\n$p")
+  }
+
   test("q128 domain-kl: vocab-scale joins, broadcast totals, no window") {
     val p = plan(graft.operators.CorpusStats.domainKl(spark, TestSpark.Sf0001))
     assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")

@@ -140,4 +140,40 @@ class ServingOpsSpec extends AnyFunSuite {
     val out = Quality.privacyKanonOf(docs).collect().head
     assert(out.getLong(0) == 2L, "bucket boundary must split deterministically")
   }
+
+  test("q158: the planted far-out vector ranks first in its label") {
+    val tight = (0L to 9L).map(i => (i, Array.fill(4)(1.0f + 0.01f * (i % 3)), 7))
+    val planted = Seq((99L, Array(9f, -9f, 9f, -9f), 7))
+    val emb = (tight ++ planted).toDF("vec_id", "embedding", "label")
+    val top = Analytics.embeddingOutliersOf(emb, 3).collect()
+    assert(top.head.getLong(1) == 99L, "the planted outlier must rank first")
+    assert(top.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L), "ranks dense from 1")
+  }
+
+  test("q158: scores match a brute-force diagonal Mahalanobis on the fixture") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.Sf0001)
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = rows.groupBy(_._3)
+    val expect = byLabel.toSeq.flatMap { case (lbl, vs) =>
+      val dim = vs.head._2.length
+      val mu = (0 until dim).map(d => r6(vs.map(_._2(d)).sum / vs.length))
+      val m2 = (0 until dim).map(d => r6(vs.map(x => x._2(d) * x._2(d)).sum / vs.length))
+      val den = (0 until dim).map(d => m2(d) - mu(d) * mu(d) + Analytics.OodEps)
+      vs.map { case (id, x, _) =>
+        (lbl.toLong, id) -> r6((0 until dim).map(d => (x(d) - mu(d)) * (x(d) - mu(d)) / den(d)).sum)
+      }
+    }.toMap
+    val got = Analytics.embeddingOutliersOf(emb, Analytics.OodTopK).collect()
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(2) - expect(key)) < 1e-6, s"score mismatch at $key")
+    }
+    // and the cut itself: top-k per label by (rounded score desc, vec_id)
+    val wantTop = expect.groupBy(_._1._1).toSeq.flatMap { case (lbl, m) =>
+      m.toSeq.sortBy { case ((_, id), s) => (-s, id) }.take(Analytics.OodTopK).map(_._1)
+    }.toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == wantTop)
+  }
 }
