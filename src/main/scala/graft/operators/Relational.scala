@@ -462,6 +462,83 @@ object Relational {
        |GROUP BY n.n_name
        |ORDER BY revenue DESC, n.n_name""".stripMargin
 
+  /** q159's trading blocs and ship-date window (the q149 years). */
+  val Q7SuppRegion = "ASIA"
+  val Q7CustRegion = "EUROPE"
+
+  /** q159_volume_shipping — the TPC-H Q7 shape, generalized from one
+    * nation pair to two TRADING BLOCS: revenue shipped from suppliers of
+    * one region to customers of another, per (supplier nation, customer
+    * nation, ship year) — the cross-bloc trade report whose join graph
+    * (lineitem→orders→customer + lineitem→supplier, nations on BOTH
+    * ends) is the canonical two-sided dimension test: no single join
+    * carries both nation predicates, so join ORDER decides how early
+    * each side prunes. Extends the relational ladder: Q1 (q26), Q10
+    * (q27), Q3 (q146), Q5 (q149), Q7 (here). Revenue aggregates in
+    * FIXED POINT (the q66/q146/q149 discipline); the ship-date window
+    * pushes into the lineitem scan.
+    *
+    * 100 TB: the supplier side (region-pruned to one bloc, with nation
+    * name attached) broadcasts FIRST — it cuts lineitem by ~|bloc|/25
+    * before the only fact-fact shuffle (orderkey join against the
+    * column-pruned orders projection); the customer side carries NO
+    * hint (the q149/VERDICT-r13 lesson: customer is fact-proportional,
+    * AQE arbitrates broadcast-vs-shuffle by measured size — at bench
+    * scale it picks broadcast, at true TPC-H scale it falls back to a
+    * custkey shuffle instead of OOMing a pinned hint). The final
+    * aggregate is (nation × nation × year)-scale.
+    */
+  def volumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val start = java.sql.Timestamp.valueOf(s"$Q5Start 00:00:00")
+    val end   = java.sql.Timestamp.valueOf(s"$Q5End 00:00:00")
+    def blocNations(region: String) = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(blocNations(Q7SuppRegion)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(blocNations(Q7CustRegion)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(start) && col("l_shipdate") < lit(end))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_e4"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // no hint on cust: AQE arbitrates by measured size (q149 lesson)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_e4")).as("rev_e4"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q159OracleSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       |       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+       |                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+       |         / 10000.0 AS revenue
+       |FROM lineitem l
+       |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+       |JOIN region r1  ON n1.n_regionkey = r1.r_regionkey
+       |JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+       |JOIN region r2  ON n2.n_regionkey = r2.r_regionkey
+       |WHERE r1.r_name = '$Q7SuppRegion' AND r2.r_name = '$Q7CustRegion'
+       |  AND l.l_shipdate >= TIMESTAMP '$Q5Start 00:00:00'
+       |  AND l.l_shipdate <  TIMESTAMP '$Q5End 00:00:00'
+       |GROUP BY n1.n_name, n2.n_name, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** The q124 column pairs. The fixture generator draws the raw
     * measures INDEPENDENTLY (measured: every raw-raw correlation is
     * |r| < 0.007), so the matrix pairs the derived revenue column

@@ -122,4 +122,45 @@ class CalibRelationalSpec extends AnyFunSuite {
     assert(out("A") == ((3L, 13L, 2L, 8L, 1.625)))
     assert(out("B") == ((1L, 2L, 1L, 2L, 1.0)))
   }
+
+  test("q159: fixture revenue matches a collected brute-force of the 8-table join") {
+    val sf = TestSpark.Sf0001
+    def m(name: String, k: String, v: String) = spark.read.parquet(s"$sf/$name.parquet")
+      .collect().map(r => r.getAs[Any](k).toString.toLong -> r.getAs[Any](v)).toMap
+    val natName  = m("nation", "n_nationkey", "n_name").map { case (k, v) => k -> v.toString }
+    val natReg   = m("nation", "n_nationkey", "n_regionkey").map { case (k, v) => k -> v.toString.toLong }
+    val regName  = m("region", "r_regionkey", "r_name").map { case (k, v) => k -> v.toString }
+    val suppNat  = m("supplier", "s_suppkey", "s_nationkey").map { case (k, v) => k -> v.toString.toLong }
+    val custNat  = m("customer", "c_custkey", "c_nationkey").map { case (k, v) => k -> v.toString.toLong }
+    val ordCust  = m("orders", "o_orderkey", "o_custkey").map { case (k, v) => k -> v.toString.toLong }
+    val start = java.time.LocalDateTime.parse(s"${Relational.Q5Start}T00:00:00")
+    val end   = java.time.LocalDateTime.parse(s"${Relational.Q5End}T00:00:00")
+    val acc = scala.collection.mutable.Map.empty[(String, String, Long), Long]
+    spark.read.parquet(s"$sf/lineitem.parquet").collect().foreach { r =>
+      // the fixture's physical type has shipped as both NTZ and TZ (see
+      // Tables.events) — normalize whatever surfaces to a LocalDateTime
+      val ship = r.getAs[Any]("l_shipdate") match {
+        case t: java.sql.Timestamp    => t.toLocalDateTime
+        case d: java.time.LocalDateTime => d
+      }
+      if (!ship.isBefore(start) && ship.isBefore(end)) {
+        val sn = suppNat(r.getAs[Long]("l_suppkey"))
+        val cn = custNat(ordCust(r.getAs[Long]("l_orderkey")))
+        if (regName(natReg(sn)) == Relational.Q7SuppRegion
+          && regName(natReg(cn)) == Relational.Q7CustRegion) {
+          val cents = math.round(r.getAs[Double]("l_extendedprice") * 100)
+          val disc  = math.round(r.getAs[Double]("l_discount") * 100)
+          val year  = ship.getYear.toLong
+          val k = (natName(sn), natName(cn), year)
+          acc(k) = acc.getOrElse(k, 0L) + cents * (100 - disc)
+        }
+      }
+    }
+    val got = Relational.volumeShipping(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet == acc.keySet)
+    acc.foreach { case (k, e4) =>
+      assert(got(k) == e4.toDouble / 10000.0, s"revenue mismatch at $k")
+    }
+  }
 }

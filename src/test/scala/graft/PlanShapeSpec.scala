@@ -823,6 +823,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the order-date window must reach the orders scan;\n$p")
   }
 
+  test("q159 volume shipping: pushed ship-date window, broadcast supplier bloc, AQE-arbitrated customer") {
+    val p = plan(graft.operators.Relational.volumeShipping(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"the ship-date window must reach the lineitem scan;\n$p")
+    // customer carries NO hint (the q149 lesson): this pin proves the
+    // planner still broadcasts it BY SIZE at fixture scale
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"supplier bloc + customer side broadcast by size at fixture scale;\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"at most the orderkey fact-fact join may shuffle;\n$p")
+  }
+
   test("q152 serving: ranks from tf artifact + index points, corpus text never in the serving plan") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val dir = graft.operators.Serving.buildServingArtifacts(spark, docs)
