@@ -63,6 +63,21 @@ object EventStream {
     */
   private val declaredRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** The file SOURCE requires a directory (basePath): small fixtures ship
+    * the table as one bare parquet file — expose it through a temp-dir
+    * symlink; multi-part fixture dirs (sf1+) stream in place, one
+    * micro-batch per part file.
+    */
+  private def declaredStreamPath(path: String, tmpPrefix: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory(tmpPrefix)
+      java.nio.file.Files.createSymbolicLink(d.resolve(f.getName), f.toPath.toAbsolutePath)
+      d.toString
+    }
+  }
+
   /** q151_stream_window_stats — the STREAMING execution mode declared
     * under the batch oracle (VERDICT r13 item 5, the q66/q67 equivalence
     * pattern): the events fixture is ingested through the Structured
@@ -91,22 +106,9 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    // the file SOURCE requires a directory (basePath): small fixtures ship
-    // the table as one bare parquet file — expose it through a temp-dir
-    // symlink; multi-part fixture dirs (sf1+) stream in place, one
-    // micro-batch per part file
-    val f = new java.io.File(path)
-    val streamPath =
-      if (f.isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_q151_src")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(f.getName), f.toPath.toAbsolutePath)
-        d.toString
-      }
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamPath)
+      .parquet(declaredStreamPath(path, "graft_q151_src"))
     val events = graft.Tables.normalizeEventTs(spark, raw)
     val name = s"graft_q151_run_${declaredRuns.incrementAndGet()}"
     val query = windowedEventCounts(events).writeStream
@@ -269,6 +271,106 @@ object EventStream {
     * timestamp.
     */
   case class UserEvent(user_id: Long, us: Long, event_id: Long)
+
+  /** Per-user AUDIT state for [[sessionAuditStream]]: the open session's
+    * id/count plus the running totals batch q28 reports. Still O(1) per
+    * user — five longs.
+    */
+  case class SessAuditState(
+      session_id: Long, last_us: Long, cur_events: Long,
+      total_events: Long, max_closed: Long)
+
+  /** Per-user audit snapshot — column-compatible with batch q28's output
+    * (the open session counts toward the max, as it does at the end of a
+    * batch pass).
+    */
+  case class SessAuditSnapshot(
+      user_id: Long, n_events: Long, n_sessions: Long, max_session_events: Long)
+
+  /** Streaming sessionization carrying the q28 AUDIT totals: same gap
+    * rule and state discipline as [[sessionizeStream]], but the state
+    * also accumulates total events, session count, and the max closed
+    * session, so the LAST snapshot per user is exactly batch q28's row
+    * for that user. Emitted per micro-batch in Update mode; totals are
+    * monotone per user, so the final table is a max-struct per key.
+    *
+    * Correctness requires per-user event order to be preserved ACROSS
+    * micro-batches (within a batch the fold sorts): satisfied when the
+    * ingest files are entity-partitioned — each user's history in one
+    * file, the GenScale fixture layout and the common log-shipping
+    * arrangement — or time-ordered. Feed neither, and sessionization is
+    * not a streaming-state problem at all: re-sessionize per entity in
+    * batch (q28) instead.
+    */
+  def sessionAuditStream(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      gapUs: Long = SessionGapUs): org.apache.spark.sql.Dataset[SessAuditSnapshot] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long]              = Encoders.scalaLong
+    implicit val stEnc: org.apache.spark.sql.Encoder[SessAuditState]     = Encoders.product[SessAuditState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessAuditSnapshot] = Encoders.product[SessAuditSnapshot]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAuditState, SessAuditSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[SessAuditState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(SessAuditState(0L, Long.MinValue, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            st =
+              if (st.last_us == Long.MinValue || e.us - st.last_us > gapUs)
+                SessAuditState(st.session_id + 1, e.us, 1L,
+                  st.total_events + 1, math.max(st.max_closed, st.cur_events))
+              else SessAuditState(st.session_id, e.us, st.cur_events + 1,
+                st.total_events + 1, st.max_closed)
+          }
+          state.update(st)
+          if (sorted.nonEmpty)
+            Iterator.single(SessAuditSnapshot(user, st.total_events, st.session_id,
+              math.max(st.max_closed, st.cur_events)))
+          else Iterator.empty
+      }
+  }
+
+  /** q160_stream_sessionize — STATEFUL streaming execution declared under
+    * the batch oracle (the q151 pattern, moved from a windowed aggregate
+    * to `flatMapGroupsWithState` custom state): the events fixture
+    * replays through the file source, each user's per-batch events fold
+    * into O(1) session state ([[sessionAuditStream]]), and the final
+    * per-user snapshot table — last Update-mode emission per user, a
+    * max-struct since totals are monotone — is hash-checked against
+    * batch q28's own DuckDB oracle. A green hash proves the CUSTOM-STATE
+    * streaming path (not just the built-in windowed aggregate) computes
+    * the batch answer.
+    */
+  def streamSessionize(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(declaredStreamPath(s"$sfDir/events.parquet", "graft_q160_src"))
+    implicit val evEnc: org.apache.spark.sql.Encoder[UserEvent] = Encoders.product[UserEvent]
+    val events = graft.Tables.normalizeEventTs(spark, raw)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[UserEvent]
+    val name = s"graft_q160_run_${declaredRuns.incrementAndGet()}"
+    val query = sessionAuditStream(events).toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_sessions"), col("max_session_events"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.n_sessions").as("n_sessions"),
+        col("s.max_session_events").as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
 
   /** Per-user state carried across micro-batches. */
   case class SessState(session_id: Long, last_us: Long, n_events: Long)

@@ -92,6 +92,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q160 audit state: multi-batch replay reproduces batch q28's totals per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000L
+
+    val input = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.sessionAuditStream(input.toDS()).writeStream
+      .format("memory").queryName("stream_sess_audit").outputMode("update").start()
+    try {
+      // user 1: sessions of 2 and 1 events split across batches; user 2:
+      // a 3-event session whose members straddle the batch boundary
+      input.addData(Seq(
+        EventStream.UserEvent(1L, 10 * min, 100L),
+        EventStream.UserEvent(1L, 12 * min, 101L),
+        EventStream.UserEvent(2L, 11 * min, 200L),
+        EventStream.UserEvent(2L, 13 * min, 201L)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStream.UserEvent(1L, 50 * min, 102L),  // >30 min: new session
+        EventStream.UserEvent(2L, 20 * min, 202L))) // within gap: extends
+      q.processAllAvailable()
+      val fin = spark.table("stream_sess_audit")
+        .as[EventStream.SessAuditSnapshot].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      assert(fin(1L) == EventStream.SessAuditSnapshot(1L, 3L, 2L, 2L),
+        "user 1: 3 events over sessions of 2+1, max 2")
+      assert(fin(2L) == EventStream.SessAuditSnapshot(2L, 3L, 1L, 3L),
+        "user 2: one session extended across the batch boundary to 3 events")
+    } finally q.stop()
+  }
+
+  test("q160 declared run equals batch q28 row-for-row on the fixture") {
+    val stream = EventStream.streamSessionize(spark, TestSpark.Sf0001).collect().toSeq
+    val batch = graft.operators.Relational.sessionize(spark, TestSpark.Sf0001).collect().toSeq
+    assert(stream == batch, "the streaming custom-state path must compute the batch answer")
+  }
+
   test("streaming dedup drops re-arrivals within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
