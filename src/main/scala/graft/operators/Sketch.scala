@@ -254,6 +254,123 @@ object Sketch {
        |       round((e - exact_distinct) / exact_distinct * 100, 6) AS err_pct
        |FROM est ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q161_quantile_sketch — fixed-grid histogram quantiles + exact audit
+  // ---------------------------------------------------------------------
+
+  /** Histogram buckets (the sketch's entire state per group). */
+  val QsBuckets = 256
+
+  /** Bucket width over the PINNED value domain [0, 512): a production
+    * sketch pins its domain like any other serving artifact (the q54/q86
+    * pinned-constant convention); out-of-domain values clamp into the
+    * edge bucket and the audit column would expose the resulting error.
+    */
+  val QsWidth = 2.0
+
+  /** Quantiles reported. */
+  val QsQuantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame =
+    quantileSketchOf(Tables.events(spark, sfDir))
+
+  /** q161_quantile_sketch — per-group QUANTILE ESTIMATION from a fixed
+    * [[QsBuckets]]-cell equi-width histogram, next to the exact quantile
+    * and the signed error — the sketch family's third member (q154
+    * frequency, q155 distinct, here rank), same audit shape.
+    *
+    * Why this is the 100 TB quantile shape: exact quantiles need a sort
+    * or a full multiset; the histogram is a 256-INTEGER state per group
+    * — scan-local bucketing (one divide + clamp, codegen), map-side
+    * combined cell counts, cellwise-additive merge — and the estimate
+    * (cumulative walk + linear interpolation inside the target cell) is
+    * group×bucket-scale arithmetic. The exact side (a per-group sort to
+    * the explicit rank) is the AUDIT the fixture affords; at production
+    * scale the histogram replaces it.
+    *
+    * The audit is the DISCRETE quantile — the data value at rank
+    * ⌈q·N⌉, computed from an EXPLICIT row_number on both sides (never
+    * the engines' quantile functions, whose rank conventions differ:
+    * continuous interpolation can also land arbitrarily far from any
+    * data value in a sparse tail, voiding any width bound). With the
+    * rank pinned, the guarantee is by construction: the selected cell
+    * CONTAINS the rank-⌈q·N⌉ value, both est and exact lie within one
+    * cell, |err| ≤ [[QsWidth]] always (SketchSpec pins it).
+    *
+    * Everything is either integer (cell counts, cumulative sums, ranks)
+    * or the IDENTICAL IEEE expression tree on both engines (bucket =
+    * floor(v / width) clamped; estimate = width·(b + (qN − cum_before) /
+    * c_b)), rounded at 6 dp — deterministic under the hash gate, no
+    * t-digest/KLL engine internals anywhere.
+    */
+  def quantileSketchOf(ev: DataFrame): DataFrame = {
+    val bucket = least(floor(col("value") / QsWidth), lit((QsBuckets - 1).toDouble)).cast("long")
+    // the production sketch: one scan → (group × bucket) integer cells
+    val cells = ev.select(col("event_type"), bucket.as("b"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    // each quantile's target rank falls in exactly one occupied cell
+    val qs = cum.crossJoin(broadcast(
+      ev.sparkSession.range(1).select(explode(
+        array(QsQuantiles.map(lit): _*)).as("qtile"))))
+      .withColumn("target", col("qtile") * col("n"))
+      .filter(col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .select(col("event_type"), col("qtile"),
+        round((col("b") + (col("target") - (col("cum") - col("cnt"))) / col("cnt"))
+          * QsWidth, 6).as("est_value"))
+    // exact audit: the per-group sort to the explicit rank ⌈q·N⌉ — the
+    // pass the sketch replaces at scale
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val exact = ev.select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .crossJoin(broadcast(ev.sparkSession.range(1).select(explode(
+        array(QsQuantiles.map(lit): _*)).as("qtile"))))
+      .filter(col("rn") === ceil(col("qtile") * col("n")))
+      .select(col("event_type"), col("qtile"), round(col("value"), 6).as("exact_value"))
+    qs.join(exact, Seq("event_type", "qtile"))
+      .select(col("event_type"), col("qtile"), col("est_value"), col("exact_value"),
+        round(col("est_value") - col("exact_value"), 6).as("err"))
+      .orderBy(col("event_type"), col("qtile"))
+  }
+
+  val q161OracleSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type,
+       |         CAST(least(floor(value / ${QsWidth}e0), ${QsBuckets - 1}e0) AS BIGINT) AS b,
+       |         COUNT(*) AS cnt
+       |  FROM events GROUP BY event_type, b
+       |), cum AS (
+       |  SELECT event_type, b, cnt,
+       |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM cells
+       |), est AS (
+       |  SELECT c.event_type, q.qtile,
+       |         round((c.b + (q.qtile * c.n - (c.cum - c.cnt)) / c.cnt) * ${QsWidth}e0, 6) AS est_value
+       |  FROM cum c CROSS JOIN (VALUES (0.5e0), (0.9e0), (0.99e0)) q(qtile)
+       |  WHERE c.cum >= q.qtile * c.n AND (c.cum - c.cnt) < q.qtile * c.n
+       |), ranked AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |), exact AS (
+       |  SELECT event_type, q.qtile, round(value, 6) AS exact_value
+       |  FROM ranked CROSS JOIN (VALUES (0.5e0), (0.9e0), (0.99e0)) q(qtile)
+       |  WHERE rn = CAST(ceil(q.qtile * n) AS BIGINT)
+       |)
+       |SELECT e.event_type, e.qtile, e.est_value, x.exact_value,
+       |       round(e.est_value - x.exact_value, 6) AS err
+       |FROM est e JOIN exact x ON e.event_type = x.event_type AND e.qtile = x.qtile
+       |ORDER BY e.event_type, e.qtile""".stripMargin
+
   val q154OracleSql: String =
     s"""WITH t AS (
        |  SELECT unnest(regexp_extract_all(text, '(\\w+|[^\\w\\s]+)', 1)) AS token FROM documents

@@ -93,6 +93,36 @@ class SketchSpec extends AnyFunSuite {
     assert(once == twice, "registers are max-folded: duplicates must not move any column")
   }
 
+  test("q161 fixture run: every estimate inside the width-driven error bound") {
+    val out = Sketch.quantileSketch(spark, TestSpark.Sf0001).collect()
+    assert(out.length >= 3)
+    out.foreach { r =>
+      val (g, q, err) = (r.getString(0), r.getDouble(1), r.getDouble(4))
+      assert(math.abs(err) <= Sketch.QsWidth,
+        s"$g q=$q: histogram error $err exceeds the bucket-width bound")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3) - err) < 1e-9, s"$g q=$q: err column")
+    }
+  }
+
+  test("q161 hand corpus: estimate, discrete-rank audit, and error are the hand-computed values") {
+    import spark.implicits._
+    // values one per bucket; q=0.5 → target rank ⌈2⌉: exact = 3.0 (the
+    // rank-2 value), est = bucket-1 end (frac (2−1)/1 = 1) = 4.0, err 1.0
+    val ev = Seq(1.0, 3.0, 5.0, 7.0).map(v => ("t", v)).toDF("event_type", "value")
+    val row = Sketch.quantileSketchOf(ev).collect().find(_.getDouble(1) == 0.5).get
+    assert(row.getDouble(2) == 4.0 && row.getDouble(3) == 3.0 && row.getDouble(4) == 1.0)
+  }
+
+  test("q161 domain clamp: out-of-range values land in the edge bucket, never off-grid") {
+    import spark.implicits._
+    val ev = Seq(100000.0, 99999.0, 3.0).map(v => ("t", v)).toDF("event_type", "value")
+    val out = Sketch.quantileSketchOf(ev).collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) <= Sketch.QsBuckets * Sketch.QsWidth,
+        "estimates must stay inside the pinned domain")
+    }
+  }
+
   test("hand corpus: a collision-free sketch estimates every type exactly") {
     import spark.implicits._
     // with w=256 and 3 types, some hash ROW is collision-free, and the
