@@ -539,6 +539,114 @@ object Relational {
        |GROUP BY n1.n_name, n2.n_name, l_year
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** q162's excluded priority class (TPC-H Q13's NOT LIKE analogue on the
+    * fixture's columns).
+    */
+  val Q13Excluded = "1-URGENT"
+
+  /** q162_customer_distribution — the TPC-H Q13 shape: how many customers
+    * placed exactly k qualifying orders, INCLUDING k = 0 — the
+    * left-outer-join + double-aggregation pattern (the join predicate
+    * carries the order filter, so non-matching customers survive with
+    * count 0; a WHERE would silently drop them — the classic outer-join
+    * bug this query exists to test).
+    *
+    * 100 TB: customer and orders are BOTH fact-proportional, so this is
+    * the one relational shape where a shuffle join is simply CORRECT —
+    * both sides hash-partition on custkey (orders' natural secondary
+    * key), the per-customer count partial-aggregates map-side after the
+    * join, and the distribution aggregate is k-scale (≤ max orders per
+    * customer). No broadcast anywhere, deliberately; AQE handles skew if
+    * a mega-customer appears.
+    */
+  def customerDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    customerDistributionOf(
+      Tables.customer(spark, sfDir).select(col("c_custkey")),
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") =!= Q13Excluded)
+        .select(col("o_custkey"), col("o_orderkey")))
+
+  /** Composable core for ANY (c_custkey) × (o_custkey, o_orderkey) pair —
+    * the order filter belongs to the CALLER (it must ride the join
+    * predicate or a pre-filter, never a post-join WHERE, which would
+    * drop the zero-order customers this query exists to count).
+    */
+  def customerDistributionOf(cust: DataFrame, ord: DataFrame): DataFrame =
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q162OracleSql: String =
+    s"""SELECT c_count, COUNT(*) AS custdist FROM (
+       |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+       |  FROM customer c LEFT OUTER JOIN orders o
+       |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '$Q13Excluded'
+       |  GROUP BY c.c_custkey
+       |)
+       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q163's key-histogram buckets: power of two, orderkey-dense. */
+  val JcBuckets = 1024L
+
+  /** q163_join_cardinality — OPTIMIZER-STATISTICS AUDIT: estimate the
+    * orders⋈lineitem output size from two bounded KEY HISTOGRAMS (count
+    * per `orderkey % 1024` bucket — the equi-height-ish sketch a CBO
+    * keeps per join column) as Σ_b nA_b·nB_b, next to the exact join
+    * cardinality and the inflation ratio est/exact — how much the
+    * bucket-level upper bound overshoots on this key distribution
+    * (collision-free buckets ⇒ exact; skewed keys ⇒ the overshoot a
+    * planner must haircut). The q64/q154 audit pattern pointed at the
+    * JOIN PLANNER instead of an index.
+    *
+    * 100 TB: each histogram is ONE scan-local bucket aggregate (1,024
+    * integer cells per side, map-side combined — never a shuffle); the
+    * estimate is a 1,024-row broadcast join of the two grids. The exact
+    * side (the real fact-fact join, counted) is the audit the fixture
+    * affords — at production scale it is precisely the thing you want
+    * the estimate to AVOID running blind.
+    */
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame =
+    joinCardinalityOf(
+      Tables.orders(spark, sfDir).select(col("o_orderkey").as("k")),
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("k")))
+
+  /** Composable core for ANY two (k)-keyed frames. */
+  def joinCardinalityOf(left: DataFrame, right: DataFrame): DataFrame = {
+    val oh = left.groupBy((col("k") % JcBuckets).as("b")).agg(count(lit(1)).as("n_o"))
+    val lh = right.groupBy((col("k") % JcBuckets).as("b")).agg(count(lit(1)).as("n_l"))
+    val totals = oh.agg(sum(col("n_o")).as("n_orders"))
+      .crossJoin(lh.agg(sum(col("n_l")).as("n_lineitems")))
+    val est = totals.crossJoin(
+      oh.join(lh, Seq("b")).agg(sum(col("n_o") * col("n_l")).as("est_join")))
+    val exact = left.join(right, Seq("k")).agg(count(lit(1)).as("exact_join"))
+    est.crossJoin(exact)
+      .select(col("n_orders"), col("n_lineitems"), col("est_join"), col("exact_join"),
+        round(col("est_join").cast("double") / col("exact_join"), 6).as("inflation"))
+  }
+
+  val q163OracleSql: String =
+    s"""WITH oh AS (
+       |  SELECT o_orderkey % $JcBuckets AS b, CAST(COUNT(*) AS BIGINT) AS n_o
+       |  FROM orders GROUP BY b
+       |), lh AS (
+       |  SELECT l_orderkey % $JcBuckets AS b, CAST(COUNT(*) AS BIGINT) AS n_l
+       |  FROM lineitem GROUP BY b
+       |), est AS (
+       |  SELECT (SELECT CAST(SUM(n_o) AS BIGINT) FROM oh) AS n_orders,
+       |         (SELECT CAST(SUM(n_l) AS BIGINT) FROM lh) AS n_lineitems,
+       |         CAST(SUM(n_o * n_l) AS BIGINT) AS est_join
+       |  FROM oh JOIN lh USING (b)
+       |), exact AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |)
+       |SELECT n_orders, n_lineitems, est_join, exact_join,
+       |       round(CAST(est_join AS DOUBLE) / exact_join, 6) AS inflation
+       |FROM est CROSS JOIN exact""".stripMargin
+
   /** The q124 column pairs. The fixture generator draws the raw
     * measures INDEPENDENTLY (measured: every raw-raw correlation is
     * |r| < 0.007), so the matrix pairs the derived revenue column

@@ -123,6 +123,31 @@ class CalibRelationalSpec extends AnyFunSuite {
     assert(out("B") == ((1L, 2L, 1L, 2L, 1.0)))
   }
 
+  test("q162: zero-order customers survive the outer join into the k=0 bucket") {
+    import spark.implicits._
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val ord = Seq((2L, 10L), (2L, 11L), (3L, 12L)).toDF("o_custkey", "o_orderkey")
+    val out = Relational.customerDistributionOf(cust, ord).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L),
+      "customer 1 (no orders) must appear in the k=0 bucket")
+  }
+
+  test("q163: collision-free buckets estimate exactly; colliding keys overshoot") {
+    import spark.implicits._
+    // keys 1..4 distinct mod 1024: est = exact
+    val a = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val b = Seq(1L, 1L, 2L).toDF("k")
+    val r1 = Relational.joinCardinalityOf(a, b).collect().head
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 3L && r1.getDouble(4) == 1.0)
+    // keys 5 and 5+1024 collide: bucket product 2*1 counts the phantom pair
+    val a2 = Seq(5L, 5L + 1024L).toDF("k")
+    val b2 = Seq(5L).toDF("k")
+    val r2 = Relational.joinCardinalityOf(a2, b2).collect().head
+    assert(r2.getLong(2) == 2L && r2.getLong(3) == 1L && r2.getDouble(4) == 2.0,
+      "bucket collisions must show as inflation > 1")
+  }
+
   test("q159: fixture revenue matches a collected brute-force of the 8-table join") {
     val sf = TestSpark.Sf0001
     def m(name: String, k: String, v: String) = spark.read.parquet(s"$sf/$name.parquet")
