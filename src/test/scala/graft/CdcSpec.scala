@@ -46,6 +46,20 @@ class CdcSpec extends AnyFunSuite {
       s"expected full realignment after the first boundary; shared $shared of ${d1.tail.length}")
   }
 
+  test("q165: the prefix edit reuses every chunk after the first boundary; a rewrite reuses none") {
+    import spark.implicits._
+    val base = Tables.documents(spark, TestSpark.Sf0001)
+      .orderBy(col("n_chars").desc).select(col("text")).head().getString(0)
+    val olds = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val news = Seq((1L, "v2 " + base), (2L, base.reverse)).toDF("doc_id", "text")
+    val out = Cdc.deltaStorageOf(olds, news).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    val (n1, reused1, pct1) = out(1L)
+    assert(reused1 >= n1 - 1, s"prefix edit: all but the first chunk must dedup ($reused1/$n1)")
+    assert(pct1 > 50.0)
+    assert(out(2L)._2 == 0L, "a full rewrite shares no chunk")
+  }
+
   test("within-doc repetition surfaces as n_unique < n_chunks on a repeated segment") {
     import spark.implicits._
     val base = Tables.documents(spark, TestSpark.Sf0001)
