@@ -629,6 +629,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gen == 1, s"one (label, dim) unit-component stream;\n$p")
   }
 
+  test("q156 z-order: scan-local bit math, no shuffle before the file-stats aggregate") {
+    val p = plan(graft.operators.Layout.zorderLayout(spark, TestSpark.Sf0001))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window;\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"one aggregate exchange (plus AQE read) — the z code must compute in the scan;\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"no join anywhere;\n$p")
+  }
+
+  test("q157 compaction: the prefix-sum window partitions by source, never globally") {
+    val p = plan(graft.operators.Layout.compactionPlan(spark, TestSpark.Sf0001))
+    assert(p.contains("Window"), "the prefix sum is a window")
+    assert(p.contains("hashpartitioning(source"),
+      s"the window must partition by source — a global window is one reducer at any scale;\n$p")
+  }
+
+  test("q161 quantile sketch: cells come off one scan; only the audit sorts") {
+    val p = plan(graft.operators.Sketch.quantileSketch(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct"), s"no cartesian (the 3-quantile probe broadcasts);\n$p")
+    // the sketch side must partial-aggregate map-side: a HashAggregate pair
+    // around the cell exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"cell counts must map-side combine;\n$p")
+  }
+
+  test("q164 cdc: chunking is scan-local — the only exchange feeds the final sort") {
+    val p = plan(graft.operators.Cdc.cdcChunking(spark, TestSpark.Sf0001))
+    assert(p.contains("graft_cdc_cuts"),
+      s"the boundary scan must be the native expression, not the HOF chain;\n$p")
+    assert(!p.contains("Join"), s"no join in the per-doc summary;\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"scan-local chunking;\n$p")
+  }
+
   test("q158 outliers: stat arrays broadcast, scoring is a scan-local fold — no pair join") {
     val p = plan(graft.operators.Analytics.embeddingOutliers(spark, TestSpark.Sf0001))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
