@@ -354,6 +354,113 @@ object Behavior {
        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Micros per day / days per week for the integer calendar both engines
+    * share (no timezone/date-function semantics in the hash path).
+    */
+  private val DayUs = 86400000000L
+
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, sfDir))
+
+  /** q167_cohort_retention — the COHORT RETENTION MATRIX: users grouped
+    * by first-seen DAY, and for each (cohort day, days since) the
+    * distinct users still active plus the retention share — the
+    * canonical product-analytics report, and the behavioral family's
+    * missing classic next to funnel (q113), RFM (q114), and transitions
+    * (q122). Days are integer `epoch_us div 86400e6` on both engines —
+    * no date/timezone functions in the hash path. Day grain because the
+    * fixture spans one month (week grain collapses to a single cohort);
+    * the grain is the caller's divisor, nothing else changes.
+    *
+    * 100 TB: first-seen is one min-aggregate per user (map-side
+    * combined); the activity join is user-keyed (co-partitioned with
+    * the per-user aggregate's shuffle); the distinct collapses to
+    * (cohort × day × user) BEFORE the matrix aggregate, so the output
+    * path is horizon²-scale. No windows anywhere.
+    */
+  def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val day = expr(s"unix_micros(ts) div $DayUs")
+    val act = events.select(col("user_id"), day.as("day"))
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cohortSize = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    val cells = act.join(first, Seq("user_id"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("days_since"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("days_since"))
+      .agg(count(lit(1)).as("n_active"))
+    cells.join(broadcast(cohortSize), Seq("cohort_day"))
+      .select(col("cohort_day"), col("days_since"), col("n_cohort"), col("n_active"),
+        round(col("n_active") / col("n_cohort").cast("double") * 100, 6).as("retention_pct"))
+      .orderBy(col("cohort_day"), col("days_since"))
+  }
+
+  val q167OracleSql: String =
+    s"""WITH act AS (
+       |  SELECT user_id, CAST(epoch_us(ts) // $DayUs AS BIGINT) AS day FROM events
+       |), first AS (
+       |  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+       |), size_ AS (
+       |  SELECT cohort_day, COUNT(*) AS n_cohort FROM first GROUP BY cohort_day
+       |), cells AS (
+       |  SELECT cohort_day, days_since, COUNT(*) AS n_active FROM (
+       |    SELECT DISTINCT f.cohort_day, a.day - f.cohort_day AS days_since, a.user_id
+       |    FROM act a JOIN first f USING (user_id))
+       |  GROUP BY cohort_day, days_since
+       |)
+       |SELECT c.cohort_day, c.days_since, s.n_cohort, c.n_active,
+       |       round(c.n_active / CAST(s.n_cohort AS DOUBLE) * 100, 6) AS retention_pct
+       |FROM cells c JOIN size_ s USING (cohort_day)
+       |ORDER BY cohort_day, days_since""".stripMargin
+
+  def activeStreaks(spark: SparkSession, sfDir: String): DataFrame =
+    activeStreaksOf(Tables.events(spark, sfDir))
+
+  /** q168_active_streaks — GAPS-AND-ISLANDS per user: longest run of
+    * consecutive active DAYS, active-day count, and island count — the
+    * engagement-streak report, and the canonical gaps-and-islands SQL
+    * pattern (island key = day − row_number over the per-user day
+    * sequence: constant within a run, distinct across gaps) as a
+    * declared, hash-checked operator.
+    *
+    * 100 TB: the stream collapses to DISTINCT (user, day) first — the
+    * only corpus-scale step, one exchange with map-side partials — and
+    * every window after that partitions by user over that user's
+    * ACTIVE-DAY rows (≤ days-in-horizon per user, not events), so the
+    * window input is bounded by users × horizon regardless of traffic.
+    */
+  def activeStreaksOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = expr(s"unix_micros(ts) div $DayUs")
+    val days = events.select(col("user_id"), day.as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val q168OracleSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // $DayUs AS BIGINT) AS day FROM events
+       |), isl AS (
+       |  SELECT user_id,
+       |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+       |  FROM days
+       |), runs AS (
+       |  SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY user_id, island
+       |)
+       |SELECT user_id,
+       |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       |       COUNT(*) AS n_streaks,
+       |       MAX(len) AS max_streak
+       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val q123OracleSql: String =
     """WITH o AS (
       |  SELECT user_id, event_type, ts, event_id,

@@ -216,4 +216,32 @@ class BehaviorSpec extends AnyFunSuite {
     assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) ==
       (("purchase", 2L, 15.0, 15.0, 19.0)))
   }
+
+  test("q167: a hand cohort retains exactly the users who return") {
+    import spark.implicits._
+    val day = 86400000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * day / 1000)
+    // users 1,2 first seen day 0; user 2 returns day 1; user 3 first seen day 1
+    val ev = Seq((1L, ts(0)), (2L, ts(0)), (2L, ts(1)), (3L, ts(1)))
+      .toDF("user_id", "ts")
+    val out = graft.operators.Behavior.cohortRetentionOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val d0 = out.keys.map(_._1).min
+    assert(out((d0, 0L)) == ((2L, 2L, 100.0)), "cohort day 0: both users active at offset 0")
+    assert(out((d0, 1L)) == ((2L, 1L, 50.0)), "only user 2 returns on day 1")
+    assert(out((d0 + 1, 0L)) == ((1L, 1L, 100.0)), "user 3 forms the day-1 cohort")
+  }
+
+  test("q168: islands split exactly at the missing day") {
+    import spark.implicits._
+    val day = 86400000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * day / 1000)
+    // user 1 active days 0,1,2, 4,5 -> streaks 3 and 2; user 2 one day
+    val ev = (Seq(0L, 1L, 2L, 4L, 5L).map(d => (1L, ts(d))) :+ ((2L, ts(3L))))
+      .toDF("user_id", "ts")
+    val out = graft.operators.Behavior.activeStreaksOf(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((5L, 2L, 3L)), "5 active days in 2 streaks, longest 3")
+    assert(out(2L) == ((1L, 1L, 1L)))
+  }
 }
