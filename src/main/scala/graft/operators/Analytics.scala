@@ -444,6 +444,51 @@ object Analytics {
       |SELECT CAST(pos AS BIGINT) AS dim, round(w / n, 6) AS loading, round(n, 6) AS eigval
       |FROM w2 CROSS JOIN n2 ORDER BY dim""".stripMargin
 
+  def movingAverage(spark: SparkSession, sfDir: String): DataFrame =
+    movingAverageOf(Tables.events(spark, sfDir))
+
+  /** q170_moving_average — the RANGE-frame window exemplar: per
+    * event_type, hourly event counts and value sums with a trailing
+    * 3-hour moving average computed over a RANGE frame on the integer
+    * hour index — RANGE, not ROWS, deliberately: an hour with no events
+    * has no row, and the range frame correctly averages only the hours
+    * that exist within [h−2, h] instead of reaching back to whatever row
+    * happens to precede (the off-by-a-gap bug ROWS frames hide). Hours
+    * are integer `epoch_us div 3600e6` (the q167 calendar discipline);
+    * hourly sums round at 6 dp BEFORE the moving average, and the
+    * average of ≤ 3 rounded values rounds again.
+    *
+    * 100 TB: the corpus-scale step is the hourly aggregate (map-side
+    * combined, keyed by type × hour); the window runs over the
+    * BUCKET-scale table (types × hours in horizon), partitioned by type
+    * — window input is bounded by the calendar, never by traffic.
+    */
+  def movingAverageOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"),
+        col("value"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rangeBetween(-2, 0)
+    hourly
+      .withColumn("ma3", round(avg(col("sum_value")).over(w), 6))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q170OracleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         round(SUM(value), 6) AS sum_value
+      |  FROM events GROUP BY event_type, hour
+      |)
+      |SELECT event_type, hour, n_events, sum_value,
+      |       round(AVG(sum_value) OVER (PARTITION BY event_type ORDER BY hour
+      |                                  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+      |FROM hourly ORDER BY event_type, hour""".stripMargin
+
   // ---------------------------------------------------------------------
   // q158_embedding_outliers — per-label diagonal-Mahalanobis OOD audit
   // ---------------------------------------------------------------------

@@ -647,6 +647,90 @@ object Relational {
        |       round(CAST(est_join AS DOUBLE) / exact_join, 6) AS inflation
        |FROM est CROSS JOIN exact""".stripMargin
 
+  /** q169's cumulative-share class boundaries (the classic 80/95 ABC). */
+  val AbcA = 0.80
+  val AbcB = 0.95
+
+  /** q169_nation_abc — PARETO/ABC CLASSIFICATION within each nation:
+    * customers ranked by order revenue, classed A/B/C at 80%/95%
+    * cumulative revenue share, reported per (nation, class) with
+    * populations, revenue, and share — the inventory-management classic
+    * ("which 20% of customers carry 80% of revenue"), partitioned the
+    * way the scalable version must be: the cumulative window runs WITHIN
+    * each nation (the q69/q77 sharding argument — partition count grows
+    * with the corpus; a global ABC would be one reducer, and its
+    * scalable form is the same computation after a range repartition).
+    * Revenue is fixed-point cents (q66 discipline); the class cut
+    * compares integer cumulative cents against integer thresholds
+    * (cum·100 ≤ ⌊total·share·100⌋ avoided — instead cum ≤ total·0.80
+    * evaluated as exact integer × double literal, identical both
+    * engines). A customer straddling the boundary belongs to the class
+    * its cumulative END falls in (inclusive ≤), ties in revenue broken
+    * by custkey.
+    *
+    * 100 TB: one custkey aggregate over orders (map-side combined), a
+    * nation-keyed window over the customer-scale frame, and a
+    * (nation × 3)-scale report.
+    */
+  def nationAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val rev = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("cents"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col("n_name"))
+    rev
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("total", sum(col("cents")).over(tot))
+      .withColumn("abc_class",
+        when(col("cum") <= col("total") * AbcA, "A")
+          .when(col("cum") <= col("total") * AbcB, "B")
+          .otherwise("C"))
+      .groupBy(col("n_name"), col("abc_class"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("cents"),
+        min(col("total")).as("total"))
+      .select(col("n_name"), col("abc_class"), col("n_cust"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        round(col("cents") / col("total").cast("double") * 100, 6).as("revenue_share"))
+      .orderBy(col("n_name"), col("abc_class"))
+  }
+
+  val q169OracleSql: String =
+    s"""WITH rev AS (
+       |  SELECT n.n_name, c.c_custkey,
+       |         CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  GROUP BY n.n_name, c.c_custkey
+       |), cum AS (
+       |  SELECT n_name, c_custkey, cents,
+       |         SUM(cents) OVER (PARTITION BY n_name ORDER BY cents DESC, c_custkey
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         SUM(cents) OVER (PARTITION BY n_name) AS total
+       |  FROM rev
+       |), classed AS (
+       |  SELECT n_name,
+       |         CASE WHEN cum <= total * $AbcA THEN 'A'
+       |              WHEN cum <= total * $AbcB THEN 'B'
+       |              ELSE 'C' END AS abc_class,
+       |         cents, total
+       |  FROM cum
+       |)
+       |SELECT n_name, abc_class,
+       |       COUNT(*) AS n_cust,
+       |       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+       |       round(SUM(cents) / CAST(MIN(total) AS DOUBLE) * 100, 6) AS revenue_share
+       |FROM classed GROUP BY n_name, abc_class
+       |ORDER BY n_name, abc_class""".stripMargin
+
   /** The q124 column pairs. The fixture generator draws the raw
     * measures INDEPENDENTLY (measured: every raw-raw correlation is
     * |r| < 0.007), so the matrix pairs the derived revenue column

@@ -232,6 +232,22 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out((d0 + 1, 0L)) == ((1L, 1L, 100.0)), "user 3 forms the day-1 cohort")
   }
 
+  test("q170: the RANGE frame skips calendar gaps a ROWS frame would bridge") {
+    import spark.implicits._
+    val hour = 3600000000L
+    def ts(h: Long) = new java.sql.Timestamp(h * hour / 1000)
+    // hours 0, 1, 5: hour 5's trailing [3,5] range holds ONLY hour 5 —
+    // a ROWS(2) frame would wrongly reach back to hours 0 and 1
+    val ev = Seq((ts(0), 10.0), (ts(1), 20.0), (ts(5), 40.0))
+      .map { case (t, v) => ("click", t, v) }.toDF("event_type", "ts", "value")
+    val out = graft.operators.Analytics.movingAverageOf(ev).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val h0 = out.keys.min
+    assert(out(h0) == 10.0)
+    assert(out(h0 + 1) == 15.0, "hour 1 averages hours 0..1")
+    assert(out(h0 + 5) == 40.0, "hour 5 must NOT see hours 0/1 across the gap")
+  }
+
   test("q168: islands split exactly at the missing day") {
     import spark.implicits._
     val day = 86400000000L

@@ -148,6 +148,21 @@ class CalibRelationalSpec extends AnyFunSuite {
       "bucket collisions must show as inflation > 1")
   }
 
+  test("q169: cumulative boundaries are inclusive — 80/15/5 splits into one A, one B, one C") {
+    val sf = TestSpark.Sf0001
+    val out = Relational.nationAbc(spark, sf).collect()
+    // fixture-level invariants: shares sum to 100 per nation, classes ordered
+    out.groupBy(_.getString(0)).foreach { case (nation, rows) =>
+      val share = rows.map(_.getDouble(4)).sum
+      assert(math.abs(share - 100.0) < 1e-4, s"$nation: shares must sum to 100 (got $share)")
+      val classes = rows.map(_.getString(1)).toSeq
+      assert(classes == classes.sorted && classes.distinct == classes, s"$nation: $classes")
+    }
+    // and the A class must be a strict minority of customers with a
+    // majority of revenue in at least one nation (the Pareto point)
+    assert(out.exists(r => r.getString(1) == "A" && r.getDouble(4) >= 50.0))
+  }
+
   test("q159: fixture revenue matches a collected brute-force of the 8-table join") {
     val sf = TestSpark.Sf0001
     def m(name: String, k: String, v: String) = spark.read.parquet(s"$sf/$name.parquet")
