@@ -163,6 +163,35 @@ class CalibRelationalSpec extends AnyFunSuite {
     assert(out.exists(r => r.getString(1) == "A" && r.getDouble(4) >= 50.0))
   }
 
+  test("q171: the sweep keeps exactly the non-dominated rows, ties on both dims together") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10.0, 5L), (2L, 10.0, 5L), // tie on both dims: both survive
+      (3L, 9.0, 3L),                  // cheapest: survives
+      (4L, 11.0, 9L),                 // larger than every cheaper row
+      (5L, 12.0, 1L),                 // dominated by 4
+      (6L, 10.0, 4L)                  // same price as 1/2, smaller: dominated
+    ).toDF("id", "price", "size")
+    val got = graft.operators.Skyline.skylineOf(rows).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("q172: a hand basket set yields the exact association numbers") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L)).toDF("basket", "item")
+    val out = graft.operators.Basket.marketBasketOf(rows).collect()
+    assert(out.length == 1, "only pair (1,2) reaches the min co-count")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 2L, 3L, 3L, 3L)))
+    assert(r.getDouble(5) == 0.75 && r.getDouble(6) == 1.0)
+    assert(math.abs(r.getDouble(7) - 1.333333) < 1e-9, "lift = 3*4/(3*3) at 6 dp")
+  }
+
   test("q159: fixture revenue matches a collected brute-force of the 8-table join") {
     val sf = TestSpark.Sf0001
     def m(name: String, k: String, v: String) = spark.read.parquet(s"$sf/$name.parquet")
