@@ -81,14 +81,18 @@ object HashRing {
       .cast("long")
     // ONE corpus pass into the N×N transition grid (≤ 25 rows); every
     // report column derives from the grid — the naive three-aggregate
-    // form re-ran the successor scan per aggregate (3× the work)
-    val grid = keys
+    // form re-ran the successor scan per aggregate (3× the work). The
+    // grid is materialized to the DRIVER and replanted as a local
+    // relation (the Hybrid.localized pattern): the corpus scan runs
+    // exactly once, the three derivations read 25 in-memory rows, and
+    // there is no cache-manager entry to leak (ADVICE r14; the earlier
+    // .cache() was never unpersisted).
+    val grid = Hybrid.localized(keys
       .select(col("doc_id"), keyPos.as("kp"))
       .select(
         assignCol(NodesBefore, col("kp")).as("a4"),
         assignCol(NodesAfter, col("kp")).as("a5"))
-      .groupBy(col("a4"), col("a5")).agg(count(lit(1)).as("n"))
-      .cache() // ≤ N² rows; three derivations read it
+      .groupBy(col("a4"), col("a5")).agg(count(lit(1)).as("n")))
     val domain = broadcast(spark.range(NodesAfter).select(col("id").as("node")))
     val n4 = grid.groupBy(col("a4").as("node")).agg(sum(col("n")).as("n_keys4"))
     val n5 = grid.groupBy(col("a5").as("node")).agg(sum(col("n")).as("n_keys5"))

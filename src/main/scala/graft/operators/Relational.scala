@@ -591,22 +591,40 @@ object Relational {
   /** q163's key-histogram buckets: power of two, orderkey-dense. */
   val JcBuckets = 1024L
 
+  /** q163's exact-audit key stratum: 1-in-[[JcStratumMod]] of DISTINCT
+    * join keys via the md5 bucket (q154 discipline) — NOT a raw
+    * `k % 64`, because TPC-H orderkeys are SPARSE (8 live keys per 32:
+    * dense low-3-bit blocks), so a raw-modulo stratum holds 1/16 of live
+    * keys, not 1/64, and the ×64 extrapolation would overshoot ×4. The
+    * md5 bucket samples distinct keys uniformly on ANY key layout.
+    */
+  val JcStratumMod = 64L
+
   /** q163_join_cardinality — OPTIMIZER-STATISTICS AUDIT: estimate the
     * orders⋈lineitem output size from two bounded KEY HISTOGRAMS (count
     * per `orderkey % 1024` bucket — the equi-height-ish sketch a CBO
-    * keeps per join column) as Σ_b nA_b·nB_b, next to the exact join
-    * cardinality and the inflation ratio est/exact — how much the
+    * keeps per join column) as Σ_b nA_b·nB_b, next to a SAMPLE-GATED
+    * exact audit and the inflation ratio est/audit — how much the
     * bucket-level upper bound overshoots on this key distribution
     * (collision-free buckets ⇒ exact; skewed keys ⇒ the overshoot a
     * planner must haircut). The q64/q154 audit pattern pointed at the
     * JOIN PLANNER instead of an index.
     *
+    * The audit arm (VERDICT r14 item 2 — the r14 row ran the BLIND
+    * 15M⋈60M exact join at sf10, 48.3 s, exactly the cost the estimator
+    * exists to avoid) joins only the keys of one hash stratum
+    * (md5-bucket ∈ {0} of [[JcStratumMod]]) and extrapolates ×mod:
+    * key-strata partition the join output exactly, so the scaled count
+    * is the textbook hash-stratified estimator, and the emitted
+    * `stratum_mod`/`stratum_exact` columns keep the audit's resolution
+    * inspectable next to its extrapolation.
+    *
     * 100 TB: each histogram is ONE scan-local bucket aggregate (1,024
     * integer cells per side, map-side combined — never a shuffle); the
-    * estimate is a 1,024-row broadcast join of the two grids. The exact
-    * side (the real fact-fact join, counted) is the audit the fixture
-    * affords — at production scale it is precisely the thing you want
-    * the estimate to AVOID running blind.
+    * estimate is a 1,024-row broadcast join of the two grids; the audit
+    * joins 1/64 of the key space (scan-local md5 filter on both sides,
+    * then a stratum-sized shuffle). Nothing in the row touches the full
+    * fact⋈fact join.
     */
   def joinCardinality(spark: SparkSession, sfDir: String): DataFrame =
     joinCardinalityOf(
@@ -621,10 +639,19 @@ object Relational {
       .crossJoin(lh.agg(sum(col("n_l")).as("n_lineitems")))
     val est = totals.crossJoin(
       oh.join(lh, Seq("b")).agg(sum(col("n_o") * col("n_l")).as("est_join")))
-    val exact = left.join(right, Seq("k")).agg(count(lit(1)).as("exact_join"))
+    def stratum(df: DataFrame): DataFrame = df.filter(
+      conv(substring(md5(concat(lit("jc:"), col("k"))), 1, 8), 16, 10).cast("long")
+        % JcStratumMod === 0)
+    val exact = stratum(left).join(stratum(right), Seq("k"))
+      .agg(count(lit(1)).as("stratum_exact"))
     est.crossJoin(exact)
-      .select(col("n_orders"), col("n_lineitems"), col("est_join"), col("exact_join"),
-        round(col("est_join").cast("double") / col("exact_join"), 6).as("inflation"))
+      .select(col("n_orders"), col("n_lineitems"), col("est_join"),
+        lit(JcStratumMod).as("stratum_mod"), col("stratum_exact"),
+        (col("stratum_exact") * JcStratumMod).as("exact_scaled"),
+        // an empty stratum (only possible on toy inputs) reads NULL, not ∞
+        when(col("stratum_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(col("est_join").cast("double")
+            / (col("stratum_exact") * JcStratumMod), 6)).as("inflation"))
   }
 
   val q163OracleSql: String =
@@ -639,12 +666,19 @@ object Relational {
        |         (SELECT CAST(SUM(n_l) AS BIGINT) FROM lh) AS n_lineitems,
        |         CAST(SUM(n_o * n_l) AS BIGINT) AS est_join
        |  FROM oh JOIN lh USING (b)
+       |), so AS (
+       |  SELECT o_orderkey AS k FROM orders
+       |  WHERE ('0x' || substring(md5('jc:' || o_orderkey), 1, 8))::UBIGINT % $JcStratumMod = 0
+       |), sl AS (
+       |  SELECT l_orderkey AS k FROM lineitem
+       |  WHERE ('0x' || substring(md5('jc:' || l_orderkey), 1, 8))::UBIGINT % $JcStratumMod = 0
        |), exact AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join
-       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS stratum_exact FROM so JOIN sl USING (k)
        |)
-       |SELECT n_orders, n_lineitems, est_join, exact_join,
-       |       round(CAST(est_join AS DOUBLE) / exact_join, 6) AS inflation
+       |SELECT n_orders, n_lineitems, est_join,
+       |       CAST($JcStratumMod AS BIGINT) AS stratum_mod, stratum_exact,
+       |       stratum_exact * $JcStratumMod AS exact_scaled,
+       |       round(CAST(est_join AS DOUBLE) / nullif(stratum_exact * $JcStratumMod, 0), 6) AS inflation
        |FROM est CROSS JOIN exact""".stripMargin
 
   /** q169's cumulative-share class boundaries (the classic 80/95 ABC). */
@@ -810,4 +844,153 @@ object Relational {
        |  $arms
        |) ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** q173's brand scope: 5 of the 25 fixture brands — the Q17
+    * selectivity class (TPC-H filters part 1/25 × 1/40; the fixture has
+    * no p_container, so brand alone carries the cut) that keeps every
+    * part-side table comfortably under broadcast size at any sf.
+    */
+  val Q17Brands: Seq[String] =
+    Seq("Brand#3", "Brand#7", "Brand#12", "Brand#19", "Brand#23")
+
+  /** q173_small_qty_revenue — the TPC-H Q17 CORRELATED-SCALAR-SUBQUERY
+    * shape: revenue sitting in line items whose quantity is below 20% of
+    * their part's own average quantity (`l_quantity < (SELECT
+    * 0.2*avg(l_quantity) FROM lineitem WHERE l_partkey = p_partkey)`) —
+    * the per-row correlated aggregate class the relational family had
+    * zero declared rows for (VERDICT r14 gap 1). Extends the TPC-H
+    * ladder: Q1 (q26), Q3 (q146), Q5 (q149), Q10 (q27), Q13 (q162),
+    * Q17 here.
+    *
+    * In Spark the subquery DECORRELATES to aggregate-then-join (the
+    * textbook Catalyst rewrite): one per-part aggregate over the
+    * brand-scoped line items, joined back onto the same scope — never a
+    * per-row re-scan of lineitem. The threshold compares in INTEGERS
+    * (5·ql·cnt < sum ⟺ ql < 0.2·avg for positive integers — l_quantity
+    * is integral), so the boundary case can never float apart across
+    * engines; revenue is fixed-point cents (q66/q146 discipline), and
+    * the Q17 `/7.0` yearly average is ONE IEEE division at the end.
+    *
+    * 100 TB: the brand filter broadcasts part-side keys into the
+    * lineitem scan (1/5 of brands ⇒ the scoped stream is fact/5); the
+    * per-part aggregate shuffles only (partkey, two longs) partials
+    * map-side combined to part-scale; the join back carries NO pinned
+    * hint — AQE arbitrates by measured size (the q149 customer lesson:
+    * part-scale grows with sf, a pinned broadcast would OOM at 100×
+    * while AQE falls back to the partkey co-shuffle), and at fixture
+    * scale it picks broadcast (plan-pinned). Output is brand-scale.
+    */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    smallQtyRevenueOf(
+      Tables.part(spark, sfDir)
+        .filter(col("p_brand").isin(Q17Brands: _*))
+        .select(col("p_partkey"), col("p_brand")),
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
+
+  /** Composable core: `parts` is the PRE-FILTERED (p_partkey, p_brand)
+    * scope, `liRaw` any (l_partkey, l_quantity, l_extendedprice) frame.
+    */
+  def smallQtyRevenueOf(parts: DataFrame, liRaw: DataFrame): DataFrame = {
+    val li = liRaw
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("ql"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(col("ql")).as("sum_q"), count(lit(1)).as("cnt_q"))
+    li.join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("ql") * col("cnt_q") * 5 < col("sum_q"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), sum(col("cents")).as("revenue_cents"))
+      .select(col("p_brand"), col("n_small"), col("revenue_cents"),
+        round(col("revenue_cents").cast("double") / 700.0, 6).as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q173OracleSql: String = {
+    val brands = Q17Brands.map(b => s"'$b'").mkString(", ")
+    s"""WITH li AS (
+       |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS ql,
+       |         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents, p.p_brand
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE p.p_brand IN ($brands)
+       |), agg AS (
+       |  SELECT l_partkey, CAST(SUM(ql) AS BIGINT) AS sum_q,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt_q
+       |  FROM li GROUP BY l_partkey
+       |)
+       |SELECT li.p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+       |       CAST(SUM(li.cents) AS BIGINT) AS revenue_cents,
+       |       round(CAST(SUM(li.cents) AS DOUBLE) / 700.0, 6) AS avg_yearly
+       |FROM li JOIN agg ON li.l_partkey = agg.l_partkey
+       |WHERE 5 * li.ql * agg.cnt_q < agg.sum_q
+       |GROUP BY li.p_brand
+       |ORDER BY li.p_brand""".stripMargin
+  }
+
+  /** q174's having threshold: order quantity above 250 (fixture order
+    * totals top out near 460; ~1.4% of orders qualify — the Q18
+    * "large-volume customer" cut).
+    */
+  val Q18MinQty = 250L
+
+  /** q174_big_order_customers — the TPC-H Q18 HAVING-IN shape: orders
+    * whose key falls in `(SELECT l_orderkey FROM lineitem GROUP BY 1
+    * HAVING sum(l_quantity) > K)`, reported with their customer and
+    * total quantity — the semi-join-on-aggregate class, completing the
+    * decorrelation pair with q173 (VERDICT r14 item 5).
+    *
+    * The IN-subquery decorrelates to an INNER join against the
+    * post-having aggregate (inner, not semi, because the row carries the
+    * subquery's own sum_qty out — the aggregate IS the subquery result).
+    * Quantities sum as integers; o_totalprice reports in fixed-point
+    * cents (q66 discipline); the top-100 carries a full deterministic
+    * tie-break (cents desc, date, orderkey).
+    *
+    * 100 TB: the lineitem aggregate is the one fact-scale shuffle
+    * ((orderkey, long) partials, map-side combined); the HAVING cut
+    * drops it to ~1% of orders BEFORE any join, so AQE broadcasts it
+    * into orders by measured size (no pinned hint — order-scale grows
+    * with sf), the surviving order rows are join-input-scale for the
+    * customer join, and the top-100 is a TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def bigOrderCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    bigOrderCustomersOf(
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity")),
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")),
+      Q18MinQty)
+
+  /** Composable core for ANY lineitem/orders/customer-shaped triple. */
+  def bigOrderCustomersOf(li: DataFrame, ord: DataFrame, cust: DataFrame,
+                          minQty: Long): DataFrame = {
+    val big = li
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    ord
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("total_cents"), col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q174OracleSql: String =
+    s"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       |       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents, t.sum_qty
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN (
+       |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS BIGINT)) > $Q18MinQty
+       |) t ON o.o_orderkey = t.l_orderkey
+       |ORDER BY total_cents DESC, o.o_orderdate, o.o_orderkey
+       |LIMIT 100""".stripMargin
 }

@@ -187,13 +187,15 @@ object Sketch {
   def hllDistinctOf(df: DataFrame, grpName: String, v: Column): DataFrame = {
     val spark = df.sparkSession
     val g = col(grpName)
-    // ONE corpus-scale pass: the distinct (group, value) table feeds both
-    // the exact audit and the registers (idempotence — see hllRegistersOf)
-    // cached: three group-scale aggregates read it (registers, group list,
-    // audit counts); the table is the audit's own working set — the
-    // sketch-only production path (hllRegistersOf on the raw stream)
-    // never materializes it
-    val pairs = df.select(g.as("g"), v.as("v")).distinct().cache()
+    // ONE logical distinct (group, value) table feeds both the exact
+    // audit and the registers (idempotence — see hllRegistersOf). NOT
+    // cached: the three readers live in one returned plan, so AQE's
+    // exchange reuse shares the distinct's shuffle, and a corpus-scale
+    // cache entry with no unpersist point would leak for the session
+    // (ADVICE r14; the repo's unpersist discipline is try/finally or
+    // nothing). The sketch-only production path (hllRegistersOf on the
+    // raw stream) never materializes this table at all.
+    val pairs = df.select(g.as("g"), v.as("v")).distinct()
     val mx = hllRegistersOf(pairs, "g", col("v"))
     // densify to the full 64-register table per group (absent register →
     // M = 0); group count × 64 rows — tiny at any corpus size
@@ -264,7 +266,9 @@ object Sketch {
   /** Bucket width over the PINNED value domain [0, 512): a production
     * sketch pins its domain like any other serving artifact (the q54/q86
     * pinned-constant convention); out-of-domain values clamp into the
-    * edge bucket and the audit column would expose the resulting error.
+    * NEAREST edge bucket on BOTH sides (bucket 0 below, bucket 255 above
+    * — ADVICE r14 caught the lower edge unclamped) and the audit column
+    * exposes the resulting error.
     */
   val QsWidth = 2.0
 
@@ -304,7 +308,8 @@ object Sketch {
     * t-digest/KLL engine internals anywhere.
     */
   def quantileSketchOf(ev: DataFrame): DataFrame = {
-    val bucket = least(floor(col("value") / QsWidth), lit((QsBuckets - 1).toDouble)).cast("long")
+    val bucket = greatest(lit(0.0),
+      least(floor(col("value") / QsWidth), lit((QsBuckets - 1).toDouble))).cast("long")
     // the production sketch: one scan → (group × bucket) integer cells
     val cells = ev.select(col("event_type"), bucket.as("b"))
       .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("cnt"))
@@ -342,7 +347,7 @@ object Sketch {
   val q161OracleSql: String =
     s"""WITH cells AS (
        |  SELECT event_type,
-       |         CAST(least(floor(value / ${QsWidth}e0), ${QsBuckets - 1}e0) AS BIGINT) AS b,
+       |         CAST(greatest(0e0, least(floor(value / ${QsWidth}e0), ${QsBuckets - 1}e0)) AS BIGINT) AS b,
        |         COUNT(*) AS cnt
        |  FROM events GROUP BY event_type, b
        |), cum AS (

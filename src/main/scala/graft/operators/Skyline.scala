@@ -16,17 +16,35 @@ import graft.Tables
   * per-distinct-price max size, prefix-max over the price order, and a
   * row survives iff it is its price's max AND strictly beats every
   * smaller price's best (ties on both dims survive together: domination
-  * requires one strict inequality). The sweep window runs over the
-  * DISTINCT-PRICE table.
+  * requires one strict inequality).
+  *
+  * The prefix-max is a DISTRIBUTED TWO-LEVEL sweep (VERDICT r14 item 1 —
+  * the earlier `Window.orderBy(price)` was the repo's only unpartitioned
+  * global window, one task holding every distinct price): prices bucket
+  * into [[SkyBucketWidth]]-wide ranges, the strict prefix WITHIN a bucket
+  * is a bucket-partitioned window, and the cross-bucket carry-in is a
+  * bucket-scale running-max fold (the q134/q109 sort_array + lambda
+  * idiom) broadcast back. prefix(p) = max(carry-in of p's bucket, strict
+  * within-bucket prefix) — exact integer maxima, so the decomposition is
+  * bit-identical to the oracle's single plain window.
   *
   * 100 TB: parts are catalog-scale, and the distinct-price table smaller
-  * still — the global prefix window is bounded by price cardinality, not
-  * rows, and broadcasts back onto the scan. For a fact-scale skyline the
-  * same sweep range-partitions by price with per-partition prefixes and
-  * one boundary-max broadcast (the q157 prefix-sum argument); the
-  * declared shape keeps the catalog-scale form honest.
+  * still — but distinct prices GROW with catalog size (TPC-H's price
+  * formula yields ~120k distinct cent values at sf10 and keeps growing),
+  * so the sweep must never serialize on one task: per-bucket windows
+  * split the order across tasks, the fold runs over bucket-count rows
+  * (domain/width — fixed), and the price→verdict table broadcasts back
+  * onto the scan. The width is domain-pinned like Sketch.QsWidth (part
+  * prices live in [900, 2101] → ~76 buckets); other domains pass their
+  * own.
   */
 object Skyline {
+
+  /** Price-range width of one sweep bucket (domain-pinned: ~76 buckets
+    * over the part price domain; each bucket's window sees only its own
+    * distinct prices).
+    */
+  val SkyBucketWidth = 16.0
 
   def skylineParts(spark: SparkSession, sfDir: String): DataFrame =
     skylineOf(Tables.part(spark, sfDir)
@@ -36,10 +54,32 @@ object Skyline {
   /** Composable core for ANY (id, price, size) frame: minimize price,
     * maximize size.
     */
-  def skylineOf(rows: DataFrame): DataFrame = {
+  def skylineOf(rows: DataFrame, bucketWidth: Double = SkyBucketWidth): DataFrame = {
     val pm = rows.groupBy(col("price")).agg(max(col("size")).as("pmax"))
-    val w = Window.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, -1)
-    val pref = pm.withColumn("prefix", max(col("pmax")).over(w))
+      .withColumn("bk", floor(col("price") / bucketWidth).cast("long"))
+    // level 1: strict prefix-max WITHIN a price bucket — partitioned
+    // window, tasks proportional to buckets, never a global order
+    val wb = Window.partitionBy(col("bk")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = pm.withColumn("wpref", max(col("pmax")).over(wb))
+    // level 2: carry-in per bucket = running max of EARLIER buckets'
+    // maxima — one bucket-scale aggregate folded with a lambda (greatest
+    // skips nulls, so the first bucket's carry-in stays null)
+    val offsets = pm.groupBy(col("bk")).agg(max(col("pmax")).as("bmax"))
+      .agg(sort_array(collect_list(struct(col("bk"), col("bmax")))).as("rows"))
+      .select(explode(expr(
+        """aggregate(
+          |  rows,
+          |  named_struct('run', cast(null as bigint),
+          |               'out', cast(array() as array<struct<bk:bigint,off:bigint>>)),
+          |  (acc, x) -> named_struct(
+          |    'run', greatest(acc.run, x.bmax),
+          |    'out', concat(acc.out, array(named_struct('bk', x.bk, 'off', acc.run))))
+          |).out""".stripMargin)).as("r"))
+      .select(col("r.bk").as("bk"), col("r.off").as("boff"))
+    val pref = within.join(broadcast(offsets), Seq("bk"))
+      .select(col("price"), col("pmax"),
+        greatest(col("boff"), col("wpref")).as("prefix"))
     rows.join(broadcast(pref), Seq("price"))
       .filter(col("size") === col("pmax") &&
         (col("prefix").isNull || col("size") > col("prefix")))

@@ -133,19 +133,27 @@ class CalibRelationalSpec extends AnyFunSuite {
       "customer 1 (no orders) must appear in the k=0 bucket")
   }
 
-  test("q163: collision-free buckets estimate exactly; colliding keys overshoot") {
+  test("q163: collision-free buckets estimate exactly; the stratum audit scales by its modulus") {
     import spark.implicits._
-    // keys 1..4 distinct mod 1024: est = exact
+    // keys 1..4 distinct mod 1024: est = true total (3); none of 1..4
+    // falls in the md5 stratum → audit NULL, never a division blow-up
     val a = Seq(1L, 2L, 3L, 4L).toDF("k")
     val b = Seq(1L, 1L, 2L).toDF("k")
     val r1 = Relational.joinCardinalityOf(a, b).collect().head
-    assert(r1.getLong(2) == 3L && r1.getLong(3) == 3L && r1.getDouble(4) == 1.0)
-    // keys 5 and 5+1024 collide: bucket product 2*1 counts the phantom pair
-    val a2 = Seq(5L, 5L + 1024L).toDF("k")
-    val b2 = Seq(5L).toDF("k")
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 64L && r1.getLong(4) == 0L)
+    assert(r1.isNullAt(6), "an empty stratum must yield NULL inflation")
+    // key 84 IS in the md5 stratum (1-in-64 of distinct keys): its two
+    // join pairs count exactly and extrapolate ×64
+    val a2 = Seq(84L, 5L).toDF("k")
+    val b2 = Seq(84L, 84L, 5L).toDF("k")
     val r2 = Relational.joinCardinalityOf(a2, b2).collect().head
-    assert(r2.getLong(2) == 2L && r2.getLong(3) == 1L && r2.getDouble(4) == 2.0,
-      "bucket collisions must show as inflation > 1")
+    assert(r2.getLong(2) == 3L && r2.getLong(4) == 2L && r2.getLong(5) == 128L)
+    assert(math.abs(r2.getDouble(6) - 3.0 / 128) < 1e-5)
+    // keys 5 and 5+1024 collide mod 1024: the bucket product counts the
+    // phantom pair — the overshoot the inflation column exists to expose
+    val r3 = Relational.joinCardinalityOf(
+      Seq(5L, 5L + 1024L).toDF("k"), Seq(5L).toDF("k")).collect().head
+    assert(r3.getLong(2) == 2L, "bucket collisions must overshoot the estimate")
   }
 
   test("q169: cumulative boundaries are inclusive — 80/15/5 splits into one A, one B, one C") {
@@ -174,6 +182,55 @@ class CalibRelationalSpec extends AnyFunSuite {
     ).toDF("id", "price", "size")
     val got = graft.operators.Skyline.skylineOf(rows).collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("q171: the two-level sweep carries the prefix across bucket boundaries") {
+    import spark.implicits._
+    // width 16 → prices 10 / 20 / 40,41 land in buckets 0 / 1 / 2: the
+    // verdicts at 40+ depend ONLY on the cross-bucket carry-in (40 is the
+    // first price of its bucket, so its within-bucket prefix is null)
+    val rows = Seq(
+      (1L, 10.0, 5L),  // cheapest: survives
+      (2L, 20.0, 7L),  // beats bucket-0 carry 5: survives
+      (3L, 40.0, 6L),  // ≤ carry-in 7 from bucket 1: dominated
+      (4L, 40.0, 9L),  // its price's max, beats carry 7: survives
+      (5L, 41.0, 8L)   // within-bucket prefix 9 dominates
+    ).toDF("id", "price", "size")
+    val got = graft.operators.Skyline.skylineOf(rows).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
+
+  test("q173: strict 20%-of-average cut on a hand corpus, boundary row excluded") {
+    import spark.implicits._
+    // part 1: quantities 1/2/27 → sum 30, cnt 3, 0.2·avg = 2: ql=1 passes
+    // (5·1·3 = 15 < 30), ql=2 sits EXACTLY on the boundary (30 < 30 fails
+    // — the integer form can't float apart), 27 fails. part 2: 4/16 →
+    // 0.2·avg = 2: nothing passes.
+    val li = Seq(
+      (1L, 1.0, 7.0), (1L, 2.0, 3.0), (1L, 27.0, 5.0),
+      (2L, 4.0, 9.0), (2L, 16.0, 2.0)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val parts = Seq((1L, "B1"), (2L, "B1")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Relational.smallQtyRevenueOf(parts, li).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "B1" && r.getLong(1) == 1L && r.getLong(2) == 700L)
+    assert(r.getDouble(3) == 1.0, "avg_yearly = 700 cents / 700.0")
+  }
+
+  test("q174: the having cut is strict and the subquery's sum rides out on the row") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("1996-03-01 00:00:00")
+    val li = Seq((10L, 200.0), (10L, 60.0), (11L, 250.0), (12L, 100.0))
+      .toDF("l_orderkey", "l_quantity")
+    val ord = Seq((10L, 1L, ts, 123.45), (11L, 1L, ts, 99.99), (12L, 2L, ts, 11.11))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, "Alice"), (2L, "Bob")).toDF("c_custkey", "c_name")
+    val out = graft.operators.Relational.bigOrderCustomersOf(li, ord, cust, 250L).collect()
+    assert(out.length == 1, "order 11 sums to exactly 250 — strict > excludes it")
+    val r = out.head
+    assert(r.getString(0) == "Alice" && r.getLong(1) == 1L && r.getLong(2) == 10L)
+    assert(r.getLong(4) == 12345L && r.getLong(5) == 260L)
   }
 
   test("q172: a hand basket set yields the exact association numbers") {

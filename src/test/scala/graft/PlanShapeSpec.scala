@@ -890,6 +890,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shuffles carry the 16-byte fingerprint, never text;\n$p")
   }
 
+  test("q171 skyline: no unpartitioned window — every windowspec is bucket-keyed") {
+    val p = plan(graft.operators.Skyline.skylineParts(spark, TestSpark.Sf0001))
+    val specs = """windowspecdefinition\([^),]*""".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"the within-bucket prefix must plan as a window;\n$p")
+    specs.foreach(s => assert(s.startsWith("windowspecdefinition(bk#"),
+      s"the sweep window must PARTITION by the price bucket, never order globally: $s;\n$p"))
+  }
+
+  // AQE plans stringify as final + initial sections; counting operators
+  // over both double-counts every node, so pins read the FINAL one only
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize join strategies before reading the plan
+    plan(df).split("== Initial Plan ==").head
+  }
+
+  test("q173 small-qty revenue: decorrelated aggregate joins back — no cartesian, no per-row re-scan") {
+    val p = finalPlan(graft.operators.Relational.smallQtyRevenue(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the correlated subquery must decorrelate to an equi-join;\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"brand scope AND the per-part aggregate join broadcast at fixture scale " +
+        s"(the aggregate carries no pinned hint — AQE arbitrates by size);\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 4,
+      s"two brand-scoped passes over (lineitem, part) — never a per-row subquery re-scan;\n$p")
+  }
+
+  test("q174 big-order customers: having-aggregate joins broadcast, top-100 merges per-partition") {
+    val p = finalPlan(graft.operators.Relational.bigOrderCustomers(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must compile to TakeOrderedAndProject, not Sort+Limit;\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the post-having aggregate (no pinned hint) and the order rows broadcast by size;\n$p")
+  }
+
+  test("q163 audit arm: both stratum filters sit scan-side, ahead of the exact join") {
+    val p = plan(graft.operators.Relational.joinCardinality(spark, TestSpark.Sf0001))
+    assert("""conv\(substring\(md5""".r.findAllIn(p).size >= 2,
+      s"the md5 stratum gate must filter BOTH fact sides before the audit join;\n$p")
+  }
+
   test("q116 gazetteer: hit-scale explode, no join, no window") {
     val p = plan(graft.operators.Gazetteer.entityTag(spark, TestSpark.Sf0001))
     assert(!p.contains("Join"),

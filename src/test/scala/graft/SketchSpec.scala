@@ -121,6 +121,15 @@ class SketchSpec extends AnyFunSuite {
       assert(r.getDouble(2) <= Sketch.QsBuckets * Sketch.QsWidth,
         "estimates must stay inside the pinned domain")
     }
+    // the LOWER edge clamps too (ADVICE r14: a negative value used to
+    // index bucket floor(v/w) < 0 — off the grid, negative est_value)
+    val neg = Seq(-50.0, -3.0, 5.0).map(v => ("t", v)).toDF("event_type", "value")
+    val nout = Sketch.quantileSketchOf(neg).collect()
+    assert(nout.length >= 3, "negative values must still land in an occupied cell")
+    nout.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= Sketch.QsBuckets * Sketch.QsWidth,
+        "estimates from below-domain values must clamp into bucket 0")
+    }
   }
 
   test("hand corpus: a collision-free sketch estimates every type exactly") {
