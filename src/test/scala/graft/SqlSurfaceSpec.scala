@@ -32,6 +32,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(self.length == 3 && self.forall(_.getDouble(2) == 1.0))
   }
 
+  test("q01's declared implementation routes through spark.sql and matches the DataFrame core") {
+    import org.apache.spark.sql.functions.col
+    val sqlOut = graft.operators.Knn.knnTopkCosine(spark, TestSpark.Sf0001).collect()
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val dfOut = graft.operators.Knn.topK(
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb.select(col("vec_id"), col("embedding")), 5).collect()
+    assert(sqlOut.length == 50 && sqlOut.toSeq == dfOut.toSeq,
+      "the SQL route must be row-identical to the bounded-heap DataFrame core")
+  }
+
   test("graft_l2_normalize is callable from SQL and emits unit vectors") {
     GraftFunctions.ensureRegistered(spark)
     val row = spark.sql(
