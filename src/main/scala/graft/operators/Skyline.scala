@@ -87,6 +87,58 @@ object Skyline {
       .orderBy(col("price"), col("id"))
   }
 
+  /** d=3 SKYLINE (spec-level, not declared — VERDICT r14 item 7): points
+    * (id, x, y, z) not dominated under (x ↓, y ↑, z ↑) — q dominates p
+    * iff q.x ≤ p.x ∧ q.y ≥ p.y ∧ q.z ≥ p.z with one strict.
+    *
+    * The BLOCKED DOMINANCE JOIN, never the O(n²) corpus pair join:
+    *  - x buckets as in [[skylineOf]];
+    *  - per bucket, the (y,z) PARETO FRONT via the 2-D sweep (bucket-
+    *    partitioned window — the q171 shape turned sideways): any
+    *    earlier-bucket dominator is itself (y,z)-dominated by a front
+    *    member of its bucket, which then also dominates p (its x is
+    *    strictly smaller by bucket disjointness), so fronts are a
+    *    sufficient cross-bucket test set;
+    *  - cross-bucket test: anti-join against the BROADCAST front table
+    *    (front-scale, i.e. skyline-scale — the 2-D fronts bound the
+    *    candidate set the way LSH bands bound q16's);
+    *  - same-bucket test: an equi-join on the bucket key with the
+    *    dominance predicate — the fan-out is bucket²-bounded, the q172
+    *    basket discipline.
+    *
+    * All-dim ties survive together on both tests (domination needs one
+    * strict). Spec-pinned against the brute-force all-pairs verdict on
+    * the sf0.001 catalog (q55's brute-force-pin discipline).
+    */
+  def skyline3Of(rows: DataFrame, bucketWidth: Double = SkyBucketWidth): DataFrame = {
+    val pts = rows.withColumn("bk", floor(col("x") / bucketWidth).cast("long"))
+    // per-bucket (y,z) front: per distinct y max z, strict prefix-max of
+    // z over y DESC within the bucket — survive iff z is its y's max and
+    // beats every larger-y z (ties on (y,z) all kept: harmless dupes in
+    // a dominance TEST set)
+    val ym = pts.groupBy(col("bk"), col("y")).agg(max(col("z")).as("ymax"))
+    val wz = Window.partitionBy(col("bk")).orderBy(col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = ym.withColumn("zpref", max(col("ymax")).over(wz))
+      .filter(col("zpref").isNull || col("ymax") > col("zpref"))
+      .select(col("bk").as("f_bk"), col("y").as("f_y"), col("ymax").as("f_z"))
+    // cross-bucket: any earlier-bucket front point with y ≥, z ≥
+    // dominates outright (x strictly smaller by bucket disjointness)
+    val crossSafe = pts.join(broadcast(front),
+      col("f_bk") < col("bk") && col("f_y") >= col("y") && col("f_z") >= col("z"),
+      "left_anti")
+    // same-bucket: bucket-keyed pair test, bucket²-bounded
+    val rhs = pts.select(col("bk").as("q_bk"), col("x").as("q_x"),
+      col("y").as("q_y"), col("z").as("q_z"))
+    crossSafe.join(rhs,
+      col("q_bk") === col("bk") &&
+        col("q_x") <= col("x") && col("q_y") >= col("y") && col("q_z") >= col("z") &&
+        (col("q_x") < col("x") || col("q_y") > col("y") || col("q_z") > col("z")),
+      "left_anti")
+      .select(col("id"), col("x"), col("y"), col("z"))
+      .orderBy(col("x"), col("id"))
+  }
+
   val q171OracleSql: String =
     """WITH rows_ AS (
       |  SELECT p_partkey AS id, p_retailprice AS price, CAST(p_size AS BIGINT) AS size FROM part

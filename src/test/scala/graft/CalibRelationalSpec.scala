@@ -200,6 +200,34 @@ class CalibRelationalSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 4L))
   }
 
+  test("q171 extension: d=3 blocked dominance skyline matches brute force on the sf0.001 catalog") {
+    import spark.implicits._
+    // hand frame: all-dim ties (1,2) survive together; 4 loses on strict
+    // x; 5 loses to 7 within its bucket (same x,y — strict z); 6 loses
+    // to 7 across x; 8 loses CROSS-bucket to the bucket-0 front
+    val hand = Seq(
+      (1L, 10.0, 5L, 5L), (2L, 10.0, 5L, 5L), (3L, 10.0, 6L, 4L),
+      (4L, 11.0, 5L, 5L), (5L, 40.0, 9L, 9L), (6L, 41.0, 9L, 9L),
+      (7L, 40.0, 9L, 10L), (8L, 40.0, 5L, 5L)
+    ).toDF("id", "x", "y", "z")
+    val got = graft.operators.Skyline.skyline3Of(hand).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 7L))
+
+    // q55's brute-force-pin discipline: the blocked join must equal the
+    // all-pairs dominance verdict on a real catalog-scale frame
+    val parts = spark.read.parquet(s"${TestSpark.Sf0001}/part.parquet")
+      .selectExpr("p_partkey AS id", "p_retailprice AS x",
+        "CAST(p_size AS BIGINT) AS y", "CAST(p_partkey % 7 AS BIGINT) AS z")
+    val fast = graft.operators.Skyline.skyline3Of(parts).collect().map(_.getLong(0)).toSet
+    val rows = parts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val brute = rows.filter { case (_, x, y, z) =>
+      !rows.exists { case (_, qx, qy, qz) =>
+        qx <= x && qy >= y && qz >= z && (qx < x || qy > y || qz > z) }
+    }.map(_._1).toSet
+    assert(fast == brute, s"blocked join diverged from brute force: " +
+      s"extra=${(fast -- brute).take(5)} missing=${(brute -- fast).take(5)}")
+  }
+
   test("q173: strict 20%-of-average cut on a hand corpus, boundary row excluded") {
     import spark.implicits._
     // part 1: quantities 1/2/27 → sum 30, cnt 3, 0.2·avg = 2: ql=1 passes
