@@ -5,7 +5,7 @@ oracle SQL in DuckDB over the fixture tables and diff values.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import numpy as np
 import pyarrow.parquet as pq
@@ -49,6 +49,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # DuckDB's default thread count on this box degrades to ~1-core
+    # progress on the largest sf10 aggregates (q172's 120M-pair group-by
+    # ran 5x faster pinned at 16 threads); opt-in knob, default untouched
+    # so the driver-mimicking behavior is unchanged.
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads TO {int(thr)}")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():

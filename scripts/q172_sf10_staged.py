@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""q172 sf10 certification via MATERIALIZED-STAGE decomposition.
+
+The monolithic q172 oracle SQL runs >70 CPU-minutes at sf10 in DuckDB
+(the inlined `items` CTE is recomputed per reference and the 120M-pair
+aggregate pipeline degrades to ~1-core progress), while the identical
+query decomposed into materialized temp-table stages finishes in
+minutes. Each stage below is the corresponding CTE of
+`Basket.q172OracleSql` VERBATIM (same expressions, same HAVING, same
+final SELECT) — only the materialization boundaries are explicit, which
+cannot change the result set. The q86 bucketed-digest precedent: when
+the oracle ENGINE hits a resource ceiling, restate the same computation
+in a form it can execute, and sanity-pin the restatement at a small sf
+against the plain oracle.
+
+Usage: q172_sf10_staged.py <sfDir> <verifyOutDir>
+Prints the same OK/FAIL line shape as scripts/check.py.
+"""
+import sys, time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+MIN_PAIR_COUNT = 2
+TOP_PAIRS = 50
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    p = Path(sf_dir) / "lineitem.parquet"
+    pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{pat}')")
+
+    t0 = time.time()
+    con.execute(
+        "CREATE TEMP TABLE items AS "
+        "SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem")
+    con.execute("CREATE TEMP TABLE nb AS SELECT COUNT(DISTINCT basket) AS n FROM items")
+    con.execute("CREATE TEMP TABLE ic AS SELECT item, COUNT(*) AS cnt FROM items GROUP BY item")
+    con.execute(
+        "CREATE TEMP TABLE pairs AS "
+        "SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_count "
+        "FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item "
+        "GROUP BY a.item, b.item "
+        f"HAVING COUNT(*) >= {MIN_PAIR_COUNT}")
+    duck = con.execute(
+        "SELECT p.item_a, p.item_b, p.pair_count, "
+        "       ca.cnt AS cnt_a, cb.cnt AS cnt_b, "
+        "       round(p.pair_count / CAST(nb.n AS DOUBLE), 6) AS support, "
+        "       round(p.pair_count / CAST(ca.cnt AS DOUBLE), 6) AS confidence, "
+        "       round(p.pair_count * CAST(nb.n AS DOUBLE) / (ca.cnt * cb.cnt), 6) AS lift "
+        "FROM pairs p "
+        "JOIN ic ca ON ca.item = p.item_a "
+        "JOIN ic cb ON cb.item = p.item_b "
+        "CROSS JOIN nb "
+        "ORDER BY p.pair_count DESC, lift DESC, p.item_a, p.item_b "
+        f"LIMIT {TOP_PAIRS}").fetchdf()
+    elapsed = time.time() - t0
+
+    spark = pq.read_table(str(Path(out_dir) / "q172_market_basket")).to_pandas()
+    cols = sorted(spark.columns)
+    s = spark.reindex(cols, axis=1).sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    d = duck.reindex(cols, axis=1).sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    if list(s.columns) != list(d.columns) or len(s) != len(d):
+        print(f"FAIL q172_market_basket: shape spark={s.shape} duck={d.shape}")
+        sys.exit(1)
+    for c in cols:
+        sv, dv = s[c].values, d[c].values
+        ok = (np.allclose(sv.astype(float), dv.astype(float), rtol=1e-9, atol=1e-9)
+              if s[c].dtype.kind == "f" else bool((sv == dv).all()))
+        if not ok:
+            print(f"FAIL q172_market_basket: values differ in col {c}")
+            sys.exit(1)
+    print(f"OK   q172_market_basket: {len(s)} rows, {len(cols)} cols "
+          f"(staged oracle, {elapsed:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
