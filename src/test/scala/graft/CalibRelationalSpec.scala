@@ -246,6 +246,24 @@ class CalibRelationalSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0, "avg_yearly = 700 cents / 700.0")
   }
 
+  test("q175: integer cross-multiplied threshold — boundary excluded, negatives outside the average, anti-join applied") {
+    import spark.implicits._
+    // positive balances {90, 60, 30} → sum 18000¢, n 3, avg exactly
+    // 6000¢: the 60.00 customer sits EXACTLY on the average (strict >
+    // excludes them — 6000·3 = 18000); the −10.00 balance must not
+    // drag the average; the 90.00 customer with orders is anti-joined out
+    val cust2 = Seq(
+      (1L, 0, 90.0), (2L, 0, 60.0), (3L, 1, 30.0), (4L, 1, -10.0)
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val ord = Seq(Tuple1(3L)).toDF("o_custkey")
+    val out = Relational.idleRichCustomersOf(cust2, ord).collect()
+    assert(out.length == 1, s"only the 90.00 no-order customer survives; got ${out.toSeq}")
+    assert(out.head.getInt(0) == 0 && out.head.getLong(1) == 1L && out.head.getLong(2) == 9000L)
+    // and when the above-average customer HAS orders, the result is empty
+    val out2 = Relational.idleRichCustomersOf(cust2, Seq(Tuple1(1L)).toDF("o_custkey")).collect()
+    assert(out2.isEmpty, "the anti-join must remove the only above-average customer")
+  }
+
   test("q174: the having cut is strict and the subquery's sum rides out on the row") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("1996-03-01 00:00:00")

@@ -925,6 +925,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the post-having aggregate (no pinned hint) and the order rows broadcast by size;\n$p")
   }
 
+  test("q175 idle-rich customers: one-row threshold broadcasts, NOT EXISTS plans as LeftAnti") {
+    val p = finalPlan(graft.operators.Relational.idleRichCustomers(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct"), s"the scalar subquery must broadcast, not cartesian;\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the (sum, count) threshold row joins as a broadcast nested loop — one row, zero shuffle;\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate to an anti join;\n$p")
+  }
+
   test("q163 audit arm: both stratum filters sit scan-side, ahead of the exact join") {
     val p = plan(graft.operators.Relational.joinCardinality(spark, TestSpark.Sf0001))
     assert("""conv\(substring\(md5""".r.findAllIn(p).size >= 2,
