@@ -70,8 +70,16 @@ def main():
         sys.exit(1)
     for c in cols:
         sv, dv = s[c].values, d[c].values
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        # check.py discipline (VERDICT r6): a float on one side and an
+        # int on the other is dtype drift (e.g. DuckDB HUGEINT→float64),
+        # not a value match — reject before comparing values.
+        if (sk == "f") != (dk == "f"):
+            print(f"FAIL q172_market_basket: dtype kind mismatch in col {c} "
+                  f"(spark={s[c].dtype}, duck={d[c].dtype})")
+            sys.exit(1)
         ok = (np.allclose(sv.astype(float), dv.astype(float), rtol=1e-9, atol=1e-9)
-              if s[c].dtype.kind == "f" else bool((sv == dv).all()))
+              if sk == "f" else bool((sv == dv).all()))
         if not ok:
             print(f"FAIL q172_market_basket: values differ in col {c}")
             sys.exit(1)

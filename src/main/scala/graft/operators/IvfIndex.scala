@@ -670,6 +670,101 @@ object IvfIndex {
     probe(spark, indexDir, queries, k = 3, nprobe = 2)
   }
 
+  /** q176's re-upsert stratum: every 20th id gets re-sent with a
+    * deterministically modified embedding (REVERSED — element reversal
+    * is exact in float32 and in the oracle's float64 image, unlike any
+    * arithmetic transform), so the appended batch moves real vectors to
+    * possibly different lists.
+    */
+  val UpsertStratumMod = 20L
+
+  /** q176_upsert_search — the reference's literal demo loop as ONE
+    * declared, oracle-checked row (VERDICT r15 item 3; reference:
+    * vector_db.py:93-106 batch upsert → vector_db_query.py:78-82
+    * immediate search): build the persisted index, [[append]] a
+    * re-upsert batch of EXISTING ids with modified (reversed) embeddings
+    * — last-writer-wins, catalog-versioned — then [[maintain]] with a
+    * debt ratio of 1.0 so the pass actually [[compact]]s the superseded
+    * rows away, and finally [[probe]] the compacted live layout with the
+    * original first-10 query vectors. Until this row, the
+    * append/compact/maintain path was spec-level only; a hash match here
+    * proves the WHOLE ingest lifecycle — assignment of the modified
+    * vectors to their nearest EXISTING centroid (no retrain), version
+    * reservation, LWW resolution across lists, the crash-safe layout
+    * swap — loses nothing vs the algebraic recomputation.
+    *
+    * 100 TB: identical scan economics to q38 (the probe never reads
+    * outside the routed lists; compaction is one LWW pass over the
+    * layout, the same job any LSM store runs); the append batch itself
+    * shuffles only batch-scale rows against the broadcast centroid
+    * table.
+    */
+  def upsertSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_upsert").toString
+    build(spark, emb, indexDir)
+    val modified = emb.filter(col("vec_id") % UpsertStratumMod === 0)
+      .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding"))
+    append(spark, modified, indexDir)
+    // ratio 1.0: ANY superseded row is debt — the demo-scale policy that
+    // makes this declared row exercise compact + the post-compact probe
+    maintain(spark, indexDir, debtRatio = 1.0)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    probe(spark, indexDir, queries, k = 3, nprobe = 1)
+  }
+
+  /** q176 oracle: q38's routing/scoring/ranking lines over the LIVE
+    * corpus — original embeddings except the re-upsert stratum, which
+    * carries the reversed vector; centroids stay the ORIGINAL per-label
+    * means (append never retrains), and assignment is recomputed for the
+    * live vectors against those frozen centroids, exactly [[doAppend]]'s
+    * nearest-existing-centroid rule.
+    */
+  val q176OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), cdims AS (
+       |  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+       |), cent AS (
+       |  SELECT label, list(round(a, 6) ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, avg(x) AS a FROM cdims GROUP BY label, pos)
+       |  GROUP BY label
+       |), live AS (
+       |  SELECT vec_id, label,
+       |         CASE WHEN vec_id % $UpsertStratumMod = 0 THEN list_reverse(v) ELSE v END AS v
+       |  FROM e
+       |), asg AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT l.vec_id, c.label AS list_id,
+       |           row_number() OVER (PARTITION BY l.vec_id ORDER BY
+       |             ${cosSql("l.v", "c.centroid")} DESC, c.label ASC) AS rn
+       |    FROM live l CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 10
+       |), probe AS (
+       |  SELECT qid, qvec, label AS probe_list
+       |  FROM (
+       |    SELECT q.qid, q.qvec, c.label,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             ${cosSql("q.qvec", "c.centroid")} DESC, c.label ASC) AS rn
+       |    FROM q CROSS JOIN cent c
+       |  ) WHERE rn <= 1
+       |), scored AS (
+       |  SELECT p.qid, CAST(p.probe_list AS BIGINT) AS probe_list, l.vec_id,
+       |         ${cosSql("p.qvec", "l.v")} AS score
+       |  FROM probe p
+       |  JOIN asg a ON a.list_id = p.probe_list
+       |  JOIN live l ON l.vec_id = a.vec_id
+       |)
+       |SELECT qid, probe_list, vec_id, score, rank
+       |FROM (SELECT qid, probe_list, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   /** q64_recall_audit — the lossy ANN regime's driver-visible number
     * (VERDICT r5 item 4): per-query recall@10 of the partition-pruned
     * probe at nprobe 1 and 2 against the EXACT brute-force top-10, both

@@ -79,8 +79,8 @@ object Knn {
        |), t AS (
        |  SELECT qid, $TopK5Name(id, score) AS top FROM s GROUP BY qid
        |)
-       |SELECT qid, s.id AS vec_id, s.score AS score, CAST(pos + 1 AS BIGINT) AS rank
-       |FROM t LATERAL VIEW posexplode(top) pe AS pos, s
+       |SELECT qid, nb.id AS vec_id, nb.score AS score, CAST(pos + 1 AS BIGINT) AS rank
+       |FROM t LATERAL VIEW posexplode(top) pe AS pos, nb
        |ORDER BY qid, rank""".stripMargin
 
   /** q01_knn_topk_cosine — top-5 neighbors for each of the first 10 vectors
@@ -97,8 +97,13 @@ object Knn {
   def knnTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     ensureTopk5(spark)
+    // The view exists only for the duration of analysis: spark.sql
+    // resolves the view into the returned plan eagerly, so dropping it
+    // immediately leaves no catalog mutation behind (ADVICE r15 — a
+    // fixed global view name must not clobber session state for good).
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_q01_embeddings")
-    spark.sql(q01SqlText)
+    try spark.sql(q01SqlText)
+    finally spark.catalog.dropTempView("graft_q01_embeddings")
   }
 
   val q01OracleSql: String =

@@ -847,8 +847,10 @@ object Relational {
 
   /** q173's brand scope: 5 of the 25 fixture brands — the Q17
     * selectivity class (TPC-H filters part 1/25 × 1/40; the fixture has
-    * no p_container, so brand alone carries the cut) that keeps every
-    * part-side table comfortably under broadcast size at any sf.
+    * no p_container, so brand alone carries the cut). The scoped part
+    * side is 1/5 of parts — small at fixture/moderate sf but still
+    * sf-growing, so the joins below carry no pinned broadcast hint
+    * (ADVICE r15; the q149 lesson): AQE arbitrates by measured size.
     */
   val Q17Brands: Seq[String] =
     Seq("Brand#3", "Brand#7", "Brand#12", "Brand#19", "Brand#23")
@@ -871,14 +873,14 @@ object Relational {
     * engines; revenue is fixed-point cents (q66/q146 discipline), and
     * the Q17 `/7.0` yearly average is ONE IEEE division at the end.
     *
-    * 100 TB: the brand filter broadcasts part-side keys into the
-    * lineitem scan (1/5 of brands ⇒ the scoped stream is fact/5); the
+    * 100 TB: the brand cut drops the part side to 1/5 of parts — still
+    * sf-growing, so NEITHER join carries a pinned hint (the q149
+    * customer lesson: a pinned broadcast of an sf-growing table OOMs at
+    * 100× while AQE falls back to the partkey co-shuffle). AQE
+    * arbitrates both by measured size and picks broadcast at fixture /
+    * moderate sf (plan-pinned ≥2 BroadcastHashJoin at sf0.001); the
     * per-part aggregate shuffles only (partkey, two longs) partials
-    * map-side combined to part-scale; the join back carries NO pinned
-    * hint — AQE arbitrates by measured size (the q149 customer lesson:
-    * part-scale grows with sf, a pinned broadcast would OOM at 100×
-    * while AQE falls back to the partkey co-shuffle), and at fixture
-    * scale it picks broadcast (plan-pinned). Output is brand-scale.
+    * map-side combined to part-scale. Output is brand-scale.
     */
   def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame =
     smallQtyRevenueOf(
@@ -895,7 +897,7 @@ object Relational {
     val li = liRaw
       .select(col("l_partkey"), col("l_quantity").cast("long").as("ql"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
     val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
       .agg(sum(col("ql")).as("sum_q"), count(lit(1)).as("cnt_q"))
     li.join(perPart, col("l_partkey") === col("agg_partkey"))
@@ -1070,4 +1072,97 @@ object Relational {
        |      AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff 00:00:00')
        |GROUP BY c.c_nationkey
        |ORDER BY c.c_nationkey""".stripMargin
+
+  /** q178's scope constants: PROMO parts (1/6 of the catalog — the Q20
+    * `forest%` part cut), shipments from 1999 on as "recent" (~40% of
+    * the fixture's 1995–2001 span), EUROPE suppliers (1/5 of nations —
+    * the Q20 `CANADA` nation cut widened to a region so the sf0.001
+    * fixture, 10 suppliers total, still yields rows).
+    */
+  val Q20PartType = "PROMO"
+  val Q20RecentCutoff = "1999-01-01"
+  val Q20Region = "EUROPE"
+
+  /** q178_promo_stock_suppliers — the TPC-H Q20 NESTED-SEMI-JOIN shape
+    * (VERDICT r15 item 5), the last decorrelation class after Q17
+    * (q173), Q18 (q174), Q22 (q175): suppliers in a region whose key
+    * falls in a subquery that itself nests a part-scope IN and a
+    * correlated per-(supplier, part) aggregate threshold. The fixture
+    * has no partsupp/availqty, so the Q20 "stock exceeds half of what
+    * was shipped" correlated comparison is re-expressed on shipments
+    * alone: a (supplier, part) pair QUALIFIES when its recent shipped
+    * quantity is the strict majority of its all-time shipped quantity
+    * (2·recent > total, integers — l_quantity is integral) across ≥ 2
+    * shipments. The row carries the per-supplier count of qualifying
+    * parts out (the q174 discipline: the subquery's aggregate IS part of
+    * the answer, making the hash cover it).
+    *
+    * Decorrelation: the IN-inside-IN collapses to (part-scope SEMI-JOIN
+    * into the fact scan) → ONE per-(suppkey, partkey) aggregate → HAVING
+    * cut → a supplier-scale count → join to the region-cut supplier dim.
+    * Never a per-supplier re-scan of lineitem.
+    *
+    * 100 TB: the part scope carries no pinned hint (sf-growing — the
+    * q149/q173 lesson; AQE picks broadcast at fixture scale); the one
+    * fact-scale shuffle is the (suppkey, partkey) aggregate, map-side
+    * combined; everything after the HAVING cut is supplier-scale; the
+    * nation/region dims broadcast (fixed 25/5 rows).
+    */
+  def promoStockSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    promoStockSuppliersOf(
+      Tables.part(spark, sfDir).filter(col("p_type") === Q20PartType)
+        .select(col("p_partkey")),
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"), col("l_shipdate")),
+      Tables.supplier(spark, sfDir)
+        .join(Tables.nation(spark, sfDir),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, sfDir),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === Q20Region)
+        .select(col("s_suppkey"), col("s_name")))
+
+  /** Composable core: `partScope` is the (p_partkey) scope, `liRaw` any
+    * (l_suppkey, l_partkey, l_quantity, l_shipdate) frame, `supp` the
+    * PRE-CUT (s_suppkey, s_name) supplier dimension.
+    */
+  def promoStockSuppliersOf(partScope: DataFrame, liRaw: DataFrame,
+                            supp: DataFrame): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf(s"$Q20RecentCutoff 00:00:00")
+    val sp = liRaw
+      .join(partScope, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("ql"),
+        when(col("l_shipdate") >= lit(cutoff), col("l_quantity").cast("long"))
+          .otherwise(0L).as("rq"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("ql")).as("total_q"), sum(col("rq")).as("recent_q"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("recent_q") * 2 > col("total_q"))
+    val perSupp = sp.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+    supp.join(perSupp, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q178OracleSql: String =
+    s"""WITH sp AS (
+       |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_shipments
+       |  FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = '$Q20PartType')
+       |  GROUP BY l_suppkey, l_partkey
+       |  HAVING COUNT(*) >= 2
+       |     AND 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '$Q20RecentCutoff 00:00:00'
+       |                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+       |         > SUM(CAST(l_quantity AS BIGINT))
+       |), cnt AS (
+       |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts FROM sp GROUP BY l_suppkey
+       |)
+       |SELECT s.s_suppkey, s.s_name, cnt.n_parts
+       |FROM supplier s
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |JOIN cnt ON cnt.l_suppkey = s.s_suppkey
+       |WHERE r.r_name = '$Q20Region'
+       |ORDER BY s.s_suppkey""".stripMargin
 }

@@ -87,7 +87,20 @@ object Skyline {
       .orderBy(col("price"), col("id"))
   }
 
-  /** d=3 SKYLINE (spec-level, not declared — VERDICT r14 item 7): points
+  /** q177_skyline_3d — the d=3 front DECLARED (VERDICT r15 item 4):
+    * parts not dominated under (price ↓, size ↑, name-length ↑) — the
+    * "cheapest, largest, most-descriptive" three-objective shortlist,
+    * the d=3 instance of q171's Pareto operator over the same catalog.
+    * z = length(p_name) is the fixture's only third numeric axis; both
+    * engines count identical characters on the ASCII part names.
+    */
+  def skyline3Parts(spark: SparkSession, sfDir: String): DataFrame =
+    skyline3Of(Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("id"), col("p_retailprice").as("x"),
+        col("p_size").cast("long").as("y"),
+        length(col("p_name")).cast("long").as("z")))
+
+  /** d=3 SKYLINE (declared as q177 since round 16): points
     * (id, x, y, z) not dominated under (x ↓, y ↑, z ↑) — q dominates p
     * iff q.x ≤ p.x ∧ q.y ≥ p.y ∧ q.z ≥ p.z with one strict.
     *
@@ -138,6 +151,25 @@ object Skyline {
       .select(col("id"), col("x"), col("y"), col("z"))
       .orderBy(col("x"), col("id"))
   }
+
+  /** q177 oracle: the direct dominance NOT EXISTS — deliberately the
+    * naive O(n²) definition, INDEPENDENT of the blocked decomposition it
+    * checks (the q171 oracle's plain-window precedent). Fine at the
+    * driver's sf0.01 gate (2k parts); the sf1/sf10 certification path
+    * reuses the bucketed pre-filter staged form (q172 discipline).
+    */
+  val q177OracleSql: String =
+    """WITH r AS (
+      |  SELECT p_partkey AS id, p_retailprice AS x,
+      |         CAST(p_size AS BIGINT) AS y, CAST(length(p_name) AS BIGINT) AS z
+      |  FROM part
+      |)
+      |SELECT id, x, y, z FROM r p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM r q
+      |  WHERE q.x <= p.x AND q.y >= p.y AND q.z >= p.z
+      |    AND (q.x < p.x OR q.y > p.y OR q.z > p.z))
+      |ORDER BY x, id""".stripMargin
 
   val q171OracleSql: String =
     """WITH rows_ AS (

@@ -341,4 +341,30 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(IvfIndex.pointsPath(dir))
       .select("list_id").distinct().count() <= (1L << dim))
   }
+
+  test("q176 upsert-search: the re-upsert visibly changes the result and the probe reads a compacted layout") {
+    import org.apache.spark.sql.functions._
+    // the declared row end-to-end: its result must DIFFER from the
+    // never-upserted q38 probe (the modified stratum includes corpus
+    // points near the queries), proving the LWW append is live in the
+    // answer, not a no-op
+    val upserted = IvfIndex.upsertSearch(spark, TestSpark.Sf0001)
+      .select("qid", "vec_id", "score").collect().toSet
+    val fresh = IvfIndex.ivfIndexProbe(spark, TestSpark.Sf0001)
+      .select("qid", "vec_id", "score").collect().toSet
+    assert(upserted != fresh, "the re-upserted stratum must change the probe result")
+    // and the maintain(debtRatio = 1.0) pass must have compacted: a
+    // fresh replica of the lifecycle ends with zero compaction debt
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q176_spec").toString
+    IvfIndex.build(spark, emb, dir)
+    IvfIndex.append(spark,
+      emb.filter(col("vec_id") % IvfIndex.UpsertStratumMod === 0)
+        .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding")), dir)
+    val report = IvfIndex.maintain(spark, dir, debtRatio = 1.0)
+    assert(report.compacted, "debtRatio 1.0 must trigger compact after any re-upsert")
+    val post = spark.read.parquet(IvfIndex.pointsPath(dir))
+      .agg(count(lit(1)), countDistinct(col("vec_id"))).head()
+    assert(post.getLong(0) == post.getLong(1), "post-compact layout must hold exactly the live rows")
+  }
 }

@@ -933,6 +933,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate to an anti join;\n$p")
   }
 
+  test("q177 skyline 3d: bucket-keyed front window, anti-joins never a cartesian blowup") {
+    val p = plan(graft.operators.Skyline.skyline3Parts(spark, TestSpark.Sf0001))
+    val specs = """windowspecdefinition\([^),]*""".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"the per-bucket (y,z) front must plan as a window;\n$p")
+    specs.foreach(s => assert(s.startsWith("windowspecdefinition(bk#"),
+      s"the front window must PARTITION by the x bucket, never order globally: $s;\n$p"))
+    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
+    // the cross-bucket test probes the BROADCAST front table (front-scale),
+    // and the same-bucket pair test is an equi-join on the bucket key
+    assert("LeftAnti".r.findAllIn(p).size >= 2,
+      s"both dominance tests must plan as anti joins;\n$p")
+  }
+
+  test("q178 promo-stock suppliers: one fact-scale aggregate, part scope is a semi-join, no re-scan") {
+    val p = finalPlan(graft.operators.Relational.promoStockSuppliers(spark, TestSpark.Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the nested IN must decorrelate to equi-joins;\n$p")
+    assert(p.contains("LeftSemi"), s"the part scope must plan as a semi-join;\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 5,
+      s"one pass over each of (lineitem, part, supplier, nation, region) — never a per-supplier re-scan;\n$p")
+  }
+
   test("q163 audit arm: both stratum filters sit scan-side, ahead of the exact join") {
     val p = plan(graft.operators.Relational.joinCardinality(spark, TestSpark.Sf0001))
     assert("""conv\(substring\(md5""".r.findAllIn(p).size >= 2,
