@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The SQL SURFACE for the textbook relational rows (VERDICT r15 item 7,
+  * extending the q01 pattern): each declared query here is the literal
+  * `spark.sql` TEXT a SQL-only user would type, run over short-lived
+  * fixture views — same expressions, same fixed-point discipline, same
+  * hints as the DataFrame cores in [[Relational]], so Catalyst compiles
+  * BOTH forms to one physical plan (SqlSurfaceSpec pins plan identity
+  * modulo expression ids, and the driver's hash gate now sits on the SQL
+  * route).
+  *
+  * The views exist only for the duration of analysis: `spark.sql`
+  * resolves them into the returned plan eagerly, and the registrar drops
+  * them in a finally block (the q01 convention — no catalog mutation
+  * survives the call).
+  */
+object RelationalSql {
+
+  /** Fixture views the SQL texts read. Prefixed to keep collisions with
+    * user views implausible; dropped after analysis either way.
+    */
+  private val views: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "graft_lineitem" -> ((s, d) => Tables.lineitem(s, d)),
+    "graft_orders"   -> ((s, d) => Tables.orders(s, d)),
+    "graft_customer" -> ((s, d) => Tables.customer(s, d)),
+    "graft_part"     -> ((s, d) => Tables.part(s, d)))
+
+  /** Register the fixture views, analyze `sqlText`, drop the views. */
+  def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
+    views.foreach { case (name, load) =>
+      load(spark, sfDir).createOrReplaceTempView(name)
+    }
+    try spark.sql(sqlText)
+    finally views.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+  }
+
+  /** q26's SQL text — TPC-H Q1. `1.0D`: the DOUBLE literal, deliberately
+    * — a bare `1.0` parses as DECIMAL(2,1) in SQL and would route the
+    * whole sum through decimal arithmetic, off the DataFrame core's
+    * (and the oracle's) double path.
+    */
+  val q26SqlText: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0D - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       count(1) AS count_order
+      |FROM graft_lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q146's SQL text — TPC-H Q3. The BROADCAST hint on the segment-cut
+    * customer side mirrors the DataFrame core's pinned hint; revenue
+    * sums in fixed-point e4 units (cents × discount-complement cents)
+    * with ONE final double division, exactly the core's expression.
+    */
+  val q146SqlText: String = {
+    import Relational.{ShipCutoff, ShipSegment}
+    s"""SELECT /*+ BROADCAST(c) */ l.l_orderkey,
+       |       CAST(SUM(l.rev_e4) AS DOUBLE) / 10000.0D AS revenue,
+       |       o.o_orderdate, o.o_orderpriority
+       |FROM (SELECT l_orderkey,
+       |             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+       |               * (100L - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+       |      FROM graft_lineitem
+       |      WHERE l_shipdate > TIMESTAMP '$ShipCutoff 00:00:00') l
+       |JOIN (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+       |      FROM graft_orders
+       |      WHERE o_orderdate < TIMESTAMP '$ShipCutoff 00:00:00') o
+       |  ON l.l_orderkey = o.o_orderkey
+       |JOIN (SELECT c_custkey FROM graft_customer
+       |      WHERE c_mktsegment = '$ShipSegment') c
+       |  ON o.o_custkey = c.c_custkey
+       |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+       |LIMIT 10""".stripMargin
+  }
+
+  /** q162's SQL text — TPC-H Q13. The priority cut is a pre-filter on
+    * the orders side of the LEFT JOIN (the core's shape: a post-join
+    * WHERE would drop the zero-order customers the query exists to
+    * count).
+    */
+  val q162SqlText: String = {
+    import Relational.Q13Excluded
+    s"""SELECT c_count, count(1) AS custdist FROM (
+       |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+       |  FROM graft_customer c
+       |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM graft_orders
+       |             WHERE o_orderpriority != '$Q13Excluded') o
+       |    ON c.c_custkey = o.o_custkey
+       |  GROUP BY c.c_custkey
+       |)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+  }
+
+  /** q173's SQL text — TPC-H Q17, decorrelated exactly like the core:
+    * brand-scoped fact stream, one per-part aggregate, integer
+    * cross-multiplied threshold, fixed-point cents. No join hints — AQE
+    * arbitrates (the core dropped its pinned broadcast in round 16).
+    */
+  val q173SqlText: String = {
+    val brands = Relational.Q17Brands.map(b => s"'$b'").mkString(", ")
+    s"""WITH li AS (
+       |  SELECT l.l_partkey, l.ql, l.cents, p.p_brand
+       |  FROM (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS ql,
+       |               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+       |        FROM graft_lineitem) l
+       |  JOIN (SELECT p_partkey, p_brand FROM graft_part
+       |        WHERE p_brand IN ($brands)) p
+       |    ON l.l_partkey = p.p_partkey
+       |), agg AS (
+       |  SELECT l_partkey AS agg_partkey, SUM(ql) AS sum_q, COUNT(1) AS cnt_q
+       |  FROM li GROUP BY l_partkey
+       |)
+       |SELECT p_brand, n_small, revenue_cents,
+       |       round(CAST(revenue_cents AS DOUBLE) / 700.0D, 6) AS avg_yearly
+       |FROM (
+       |  SELECT li.p_brand, COUNT(1) AS n_small, SUM(li.cents) AS revenue_cents
+       |  FROM li JOIN agg ON li.l_partkey = agg.agg_partkey
+       |  WHERE li.ql * agg.cnt_q * 5 < agg.sum_q
+       |  GROUP BY li.p_brand
+       |)
+       |ORDER BY p_brand""".stripMargin
+  }
+
+  /** q174's SQL text — TPC-H Q18: the post-HAVING aggregate joins back
+    * INNER (the subquery's sum rides out on the row), top-100 with the
+    * full deterministic tie-break. No hints — AQE broadcasts the
+    * having-cut side by measured size, like the core.
+    */
+  val q174SqlText: String =
+    s"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       |       o.total_cents, t.sum_qty
+       |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+       |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+       |      FROM graft_orders) o
+       |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       |      FROM graft_lineitem GROUP BY l_orderkey
+       |      HAVING SUM(CAST(l_quantity AS BIGINT)) > ${Relational.Q18MinQty}L) t
+       |  ON o.o_orderkey = t.l_orderkey
+       |JOIN graft_customer c ON o.o_custkey = c.c_custkey
+       |ORDER BY o.total_cents DESC, o.o_orderdate, o.o_orderkey
+       |LIMIT 100""".stripMargin
+
+  /** q175's SQL text — TPC-H Q22: the one-row (sum, count) threshold
+    * broadcast-cross-joins (pinned, like the core), the threshold
+    * compares by integer cross-multiplication, and the recency anti
+    * join is the literal LEFT ANTI JOIN.
+    */
+  val q175SqlText: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+       |  FROM graft_customer
+       |), thr AS (
+       |  SELECT SUM(cents) AS s, COUNT(1) AS n FROM c WHERE cents > 0
+       |), rich AS (
+       |  SELECT /*+ BROADCAST(thr) */ c.c_custkey, c.c_nationkey, c.cents
+       |  FROM c CROSS JOIN thr WHERE c.cents * thr.n > thr.s
+       |)
+       |SELECT r.c_nationkey, COUNT(1) AS numcust, SUM(r.cents) AS totacctbal_cents
+       |FROM rich r
+       |LEFT ANTI JOIN (SELECT o_custkey FROM graft_orders
+       |                WHERE o_orderdate >= TIMESTAMP '${Relational.Q22Cutoff} 00:00:00') o
+       |  ON r.c_custkey = o.o_custkey
+       |GROUP BY r.c_nationkey
+       |ORDER BY r.c_nationkey""".stripMargin
+
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, q26SqlText)
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, q146SqlText)
+  def customerDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, q162SqlText)
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, q173SqlText)
+  def bigOrderCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, q174SqlText)
+  def idleRichCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, q175SqlText)
+}

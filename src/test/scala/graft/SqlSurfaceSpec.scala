@@ -43,6 +43,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "the SQL route must be row-identical to the bounded-heap DataFrame core")
   }
 
+  // AQE-finalized physical plan with expression/plan/codegen-span/query-
+  // stage ids scrubbed — two routes that compile to the same operators
+  // over the same expressions normalize to one string; a real divergence
+  // (extra shuffle, different join strategy or build side, different
+  // aggregate placement) still differs
+  private def normPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=#x\\]", "")
+      .replaceAll("\\*\\(\\d+\\)", "*(n)")
+      .replaceAll("QueryStage \\d+", "QueryStage n")
+      .replaceAll("(?m)\\s+$", "")
+  }
+
+  test("relational rows q26/q146/q162/q173/q174/q175: the SQL text and the DataFrame core compile to one plan") {
+    import graft.operators.{Relational, RelationalSql}
+    val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("q26", RelationalSql.pricingSummary(spark, TestSpark.Sf0001),
+        Relational.pricingSummary(spark, TestSpark.Sf0001)),
+      ("q146", RelationalSql.shippingPriority(spark, TestSpark.Sf0001),
+        Relational.shippingPriority(spark, TestSpark.Sf0001)),
+      ("q162", RelationalSql.customerDistribution(spark, TestSpark.Sf0001),
+        Relational.customerDistribution(spark, TestSpark.Sf0001)),
+      ("q173", RelationalSql.smallQtyRevenue(spark, TestSpark.Sf0001),
+        Relational.smallQtyRevenue(spark, TestSpark.Sf0001)),
+      ("q174", RelationalSql.bigOrderCustomers(spark, TestSpark.Sf0001),
+        Relational.bigOrderCustomers(spark, TestSpark.Sf0001)),
+      ("q175", RelationalSql.idleRichCustomers(spark, TestSpark.Sf0001),
+        Relational.idleRichCustomers(spark, TestSpark.Sf0001)))
+    pairs.foreach { case (name, sqlDf, coreDf) =>
+      assert(sqlDf.columns.toSeq == coreDf.columns.toSeq, s"$name: column names must match")
+      assert(sqlDf.collect().toSeq == coreDf.collect().toSeq,
+        s"$name: the SQL route must be row-identical to the DataFrame core")
+      val (sp, cp) = (normPlan(sqlDf), normPlan(coreDf))
+      assert(sp == cp, s"$name: SQL and DataFrame forms must compile to IDENTICAL physical plans;\nSQL:\n$sp\nCORE:\n$cp")
+    }
+  }
+
   test("graft_l2_normalize is callable from SQL and emits unit vectors") {
     GraftFunctions.ensureRegistered(spark)
     val row = spark.sql(
