@@ -175,10 +175,63 @@ object Bpe {
 
   /** q86_bpe_encode — BPE-segment the fixture corpus with the pinned
     * merge table. Output per doc: token count, piece count, and the
-    * space-joined subword pieces in order.
+    * space-joined subword pieces in order. Routes through
+    * [[bpeEncodeAuto]]: the pinned 12-merge table sits far below the
+    * crossover, so the auto rule picks the scan-local path — same plan,
+    * same hash as the round-8 declaration (spec-pinned).
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
-    bpeEncodeOf(Tables.documents(spark, sfDir))
+    bpeEncodeAuto(Tables.documents(spark, sfDir))
+
+  /** Depth at or below which the scan-local path is chosen without even
+    * sampling: a chain this shallow can never amortize the type path's
+    * reassembly shuffle (the measured depth-12 gap is ×2.9 FOR the
+    * scan-local path, BASELINE.md round 8).
+    */
+  val AutoShallowDepth = 32
+
+  /** The crossover constant K, in merge-step equivalents: the type
+    * path's per-token join + reassembly overhead costs about as much as
+    * K merge steps on that token. Fitted from the round-8 BpeEncodeBench
+    * study (sf1: scan ≈ 4.0 s + 0.057 s/depth, types ≈ 12.5 s flat ⇒
+    * crossover ≈ depth 150); the rule is deliberately coarse — the two
+    * paths are row-identical, so a mis-pick costs time, never
+    * correctness.
+    */
+  val AutoCrossoverK = 150.0
+
+  /** Docs sampled for the duplication-factor estimate — bounded, so the
+    * decision job costs the same at any corpus size.
+    */
+  val AutoSampleDocs = 1000
+
+  /** ONE encode API (VERDICT r15 item 8): derive the scan-local vs
+    * type-factorized choice from the merge-table depth and a CHEAP
+    * duplication-factor estimate instead of a caller knob.
+    *
+    * Cost model (per corpus token): scan-local pays `depth` merge steps
+    * on every INSTANCE; the type path pays `depth` once per TYPE plus a
+    * join/reassembly overhead of [[AutoCrossoverK]] steps per instance.
+    * Scan-local therefore wins iff `depth · (1 − types/instances) <
+    * K`. The ratio is estimated from the first [[AutoSampleDocs]] docs
+    * (one bounded job — never corpus-scale); Heaps' law makes the
+    * sample UNDERestimate the corpus duplication factor, so the rule
+    * errs toward the scan-local path, whose worst case is the measured
+    * ×4, not a shuffle it cannot afford. Depths ≤ [[AutoShallowDepth]]
+    * skip the sample entirely.
+    */
+  def bpeEncodeAuto(docs: DataFrame,
+                    merges: Seq[(String, String)] = PinnedMerges): DataFrame = {
+    val depth = merges.size
+    val useTypes = depth > AutoShallowDepth && {
+      val r = docs.select(tokenArr(col("text")).as("ts")).limit(AutoSampleDocs)
+        .select(explode(col("ts")).as("t"))
+        .agg(count(lit(1)), approx_count_distinct(col("t"))).head()
+      val (inst, typ) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      inst > 0 && typ > 0 && depth.toDouble * (1.0 - typ / inst) > AutoCrossoverK
+    }
+    if (useTypes) bpeEncodeViaTypes(docs, merges) else bpeEncodeOf(docs, merges)
+  }
 
   /** Composable scan-local encode for ANY (doc_id, text, …) corpus: each
     * doc's token array runs through `transform(tokens, tok ->

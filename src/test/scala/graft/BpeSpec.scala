@@ -209,4 +209,31 @@ class BpeSpec extends AnyFunSuite {
     }, "rows must be strictly ordered by (n desc, c1, c2)")
     assert(out.forall(r => r._1.length == 1 && r._2.length == 1))
   }
+
+  test("bpeEncodeAuto crossover: shallow or low-duplication picks scan-local, deep+duplicated picks types") {
+    import spark.implicits._
+    // depth past the shallow gate but the rule must still consult the
+    // duplication estimate: 200 no-op merges on disjoint symbols
+    val deepMerges = (0 until 200).map(i => (s"zz$i", s"qq$i"))
+    val dupDocs = (0L until 50L).map(i => (i, "join join join join join join")).toDF("doc_id", "text")
+    val uniqDocs = (0L until 50L).map(i => (i, (0 until 6).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Join")
+
+    // pinned 12-merge depth: ALWAYS scan-local (no join, no exchange) —
+    // this is q86's declared plan, so the auto route keeps its hash
+    assert(!hasJoin(Bpe.bpeEncodeAuto(dupDocs)), "shallow depth must stay scan-local")
+    // deep chain over a heavily duplicated corpus: the type path
+    assert(hasJoin(Bpe.bpeEncodeAuto(dupDocs, deepMerges)),
+      "deep chain + high duplication must take the type-factorized path")
+    // deep chain over an all-unique-token corpus: type factoring buys
+    // nothing (types ≈ instances), so the rule stays scan-local
+    assert(!hasJoin(Bpe.bpeEncodeAuto(uniqDocs, deepMerges)),
+      "deep chain with no duplication must stay scan-local")
+    // and the auto route is row-identical to the explicit paths either way
+    val auto = Bpe.bpeEncodeAuto(dupDocs, deepMerges).orderBy(col("doc_id")).collect().toSeq
+    val scan = Bpe.bpeEncodeOf(dupDocs, deepMerges).orderBy(col("doc_id")).collect().toSeq
+    assert(auto == scan, "both paths must stay row-identical under the auto rule")
+  }
 }
