@@ -100,31 +100,65 @@ object Skyline {
         col("p_size").cast("long").as("y"),
         length(col("p_name")).cast("long").as("z")))
 
+  /** Rows one same-bucket block should hold: the pair test costs
+    * n²/buckets, so buckets ∝ n keeps it LINEAR (the q62/q148 nlist ∝ n
+    * discipline applied to the skyline). The carry-in redesign (below)
+    * made the cross-bucket side bucket-count-INsensitive, so nothing
+    * pushes back against fine buckets except per-bucket window overhead.
+    */
+  val SkyTargetBucketRows = 1024L
+
+  /** Adaptive bucket width for [[skyline3Of]]: one decision-scale
+    * aggregate (min, max, count) sizes the buckets so each holds about
+    * [[SkyTargetBucketRows]] rows at ANY sf — the round-15 fixed width
+    * (76 buckets over the part price domain) measured super-linear at
+    * sf10 (46 s, exp 1.6) exactly because n²/76 grows quadratically.
+    */
+  def skyBucketWidthFor(rows: DataFrame,
+                        targetRows: Long = SkyTargetBucketRows): Double = {
+    val r = rows.agg(min(col("x")), max(col("x")), count(lit(1))).head()
+    val (lo, hi, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    val buckets = math.max(64L, n / math.max(1L, targetRows))
+    math.max((hi - lo) / buckets.toDouble, 1e-9)
+  }
+
   /** d=3 SKYLINE (declared as q177 since round 16): points
     * (id, x, y, z) not dominated under (x ↓, y ↑, z ↑) — q dominates p
-    * iff q.x ≤ p.x ∧ q.y ≥ p.y ∧ q.z ≥ p.z with one strict.
+    * iff q.x ≤ p.x ∧ q.y ≥ p.y ∧ q.z ≥ p.z with one strict. `y`/`z`
+    * must be integral (cast long); `x` may be any ordered numeric.
     *
     * The BLOCKED DOMINANCE JOIN, never the O(n²) corpus pair join:
-    *  - x buckets as in [[skylineOf]];
+    *  - x buckets as in [[skylineOf]] — width ADAPTIVE via
+    *    [[skyBucketWidthFor]] when the caller passes none, so the
+    *    same-bucket pair test stays n·[[SkyTargetBucketRows]] at any sf
+    *    (the round-15 fixed width measured exp 1.6 at sf10);
     *  - per bucket, the (y,z) PARETO FRONT via the 2-D sweep (bucket-
     *    partitioned window — the q171 shape turned sideways): any
     *    earlier-bucket dominator is itself (y,z)-dominated by a front
     *    member of its bucket, which then also dominates p (its x is
     *    strictly smaller by bucket disjointness), so fronts are a
     *    sufficient cross-bucket test set;
-    *  - cross-bucket test: anti-join against the BROADCAST front table
-    *    (front-scale, i.e. skyline-scale — the 2-D fronts bound the
-    *    candidate set the way LSH bands bound q16's);
+    *  - cross-bucket test: per-bucket CARRY-IN fronts — the q171
+    *    carry-in fold runs over the bucket-level fronts, maintaining the
+    *    merged (y,z) front of all EARLIER buckets (bounded by the
+    *    distinct-y domain, never corpus-scale), and each point tests its
+    *    own bucket's carry-in array SCAN-LOCALLY after a broadcast
+    *    equi-join on the bucket key. No inequality join anywhere on the
+    *    cross side, and finer buckets cost nothing here (round 16 — the
+    *    r15 form's broadcast `f_bk < bk` anti-join made bucket count a
+    *    cross-side penalty, capping how fine the same-bucket blocks
+    *    could go);
     *  - same-bucket test: an equi-join on the bucket key with the
     *    dominance predicate — the fan-out is bucket²-bounded, the q172
-    *    basket discipline.
+    *    basket discipline, and buckets ∝ n keeps it linear.
     *
     * All-dim ties survive together on both tests (domination needs one
     * strict). Spec-pinned against the brute-force all-pairs verdict on
     * the sf0.001 catalog (q55's brute-force-pin discipline).
     */
-  def skyline3Of(rows: DataFrame, bucketWidth: Double = SkyBucketWidth): DataFrame = {
-    val pts = rows.withColumn("bk", floor(col("x") / bucketWidth).cast("long"))
+  def skyline3Of(rows: DataFrame, bucketWidth: Double = -1.0): DataFrame = {
+    val width = if (bucketWidth > 0) bucketWidth else skyBucketWidthFor(rows)
+    val pts = rows.withColumn("bk", floor(col("x") / width).cast("long"))
     // per-bucket (y,z) front: per distinct y max z, strict prefix-max of
     // z over y DESC within the bucket — survive iff z is its y's max and
     // beats every larger-y z (ties on (y,z) all kept: harmless dupes in
@@ -135,11 +169,41 @@ object Skyline {
     val front = ym.withColumn("zpref", max(col("ymax")).over(wz))
       .filter(col("zpref").isNull || col("ymax") > col("zpref"))
       .select(col("bk").as("f_bk"), col("y").as("f_y"), col("ymax").as("f_z"))
-    // cross-bucket: any earlier-bucket front point with y ≥, z ≥
-    // dominates outright (x strictly smaller by bucket disjointness)
-    val crossSafe = pts.join(broadcast(front),
-      col("f_bk") < col("bk") && col("f_y") >= col("y") && col("f_z") >= col("z"),
-      "left_anti")
+    // carry-in fold (the q171 idiom, lifted to 2-D fronts): one
+    // bucket-scale aggregate collects each bucket's front array in
+    // bucket order, the lambda threads the MERGED front of everything
+    // earlier ('acc', re-fronted each step so it stays y-domain-bounded),
+    // and emits (bk, carry) — the exact cross-bucket test set per bucket
+    val carry = front
+      .groupBy(col("f_bk"))
+      .agg(sort_array(collect_list(struct(col("f_y").as("y"), col("f_z").as("z")))).as("fr"))
+      .agg(sort_array(collect_list(struct(col("f_bk").as("bk"), col("fr").as("fr")))).as("rows"))
+      .select(explode(expr(
+        // the single-element transform binds the merged array ONCE per
+        // fold step (SQL lambdas have no let; an unbound form re-evaluates
+        // the concat+distinct inside every exists probe — measured 4× on
+        // the full row)
+        """aggregate(
+          |  rows,
+          |  named_struct(
+          |    'acc', cast(array() as array<struct<y:bigint,z:bigint>>),
+          |    'out', cast(array() as array<struct<bk:bigint,carry:array<struct<y:bigint,z:bigint>>>>)),
+          |  (st, b) -> transform(
+          |    array(array_distinct(concat(st.acc, b.fr))),
+          |    u -> named_struct(
+          |      'acc', filter(u, p ->
+          |               !exists(u, q ->
+          |                 q.y >= p.y AND q.z >= p.z AND (q.y > p.y OR q.z > p.z))),
+          |      'out', concat(st.out, array(named_struct('bk', b.bk, 'carry', st.acc)))))[0]
+          |).out""".stripMargin)).as("r"))
+      .select(col("r.bk").as("bk"), col("r.carry").as("carry"))
+    // cross-bucket: broadcast equi-join on the bucket key, then a
+    // SCAN-LOCAL array test — carry-in points come from strictly earlier
+    // buckets, so x is strictly smaller and (y ≥, z ≥) suffices
+    val crossSafe = pts.join(broadcast(carry), Seq("bk"))
+      .filter(!exists(col("carry"),
+        s => s.getField("y") >= col("y") && s.getField("z") >= col("z")))
+      .drop("carry")
     // same-bucket: bucket-keyed pair test, bucket²-bounded
     val rhs = pts.select(col("bk").as("q_bk"), col("x").as("q_x"),
       col("y").as("q_y"), col("z").as("q_z"))

@@ -126,6 +126,66 @@ object EventStream {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** q179_stream_append_windows — APPEND-mode watermark EMISSION
+    * semantics as a declared, oracle-checked row (VERDICT r15 forward
+    * gap 4): the SAME [[windowedEventCounts]] declaration as q151, but
+    * the sink receives only the windows the watermark FINALIZED — what
+    * an unbounded deployment's downstream actually consumes. q151
+    * proves streaming == batch on the full snapshot (complete mode);
+    * this row pins WHICH windows a finite AvailableNow replay emits:
+    * exactly those whose end the final watermark (max event time − 2 h,
+    * advanced by the trailing no-data micro-batch) has passed. The
+    * trailing windows inside the final watermark horizon are withheld —
+    * the honest semantics of append mode at stream end, now
+    * hash-checked against an oracle that recomputes the watermark cut
+    * from the raw table instead of spec prose.
+    *
+    * Determinism: the final watermark depends only on max(ts) (the
+    * no-data micro-batch, on by default, flushes every window eligible
+    * under it before AvailableNow terminates), so the emitted set is
+    * file-split-independent — micro-batch boundaries decide only WHEN a
+    * window emits, never whether.
+    */
+  def streamAppendWindows(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(declaredStreamPath(path, "graft_q179_src"))
+    val events = graft.Tables.normalizeEventTs(spark, raw)
+    val name = s"graft_q179_run_${declaredRuns.incrementAndGet()}"
+    val query = windowedEventCounts(events).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name).select(
+      col("bucket_start").cast("long").as("bucket_start"),
+      col("event_type"),
+      col("n_events"),
+      round(col("sum_value"), 6).as("sum_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** q179 oracle: q13's hourly windows cut to the FINALIZED set — window
+    * end (bucket + 1 h), in ms, at or below the final watermark
+    * (floor(max event-time µs → ms) − 2 h; Spark tracks watermarks in
+    * whole milliseconds, hence the ms flooring on the oracle side too).
+    */
+  val q179OracleSql: String =
+    """WITH mx AS (SELECT (epoch_us(max(ts)) // 1000) - 7200000 AS wm_ms FROM events)
+      |SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+      |       event_type,
+      |       COUNT(*) AS n_events,
+      |       round(sum(value), 6) AS sum_value
+      |FROM events CROSS JOIN mx
+      |GROUP BY 1, 2, mx.wm_ms
+      |HAVING (CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) + 3600) * 1000 <= mx.wm_ms
+      |ORDER BY 1, 2""".stripMargin
+
   /** Streaming exact dedup — the streaming counterpart of batch q15
     * (TextAnalysis.exactDedup) for an ingest pipeline: fingerprint each
     * document (md5, the same 16-byte key the batch dedup shuffles) and

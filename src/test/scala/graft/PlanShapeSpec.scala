@@ -933,17 +933,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate to an anti join;\n$p")
   }
 
-  test("q177 skyline 3d: bucket-keyed front window, anti-joins never a cartesian blowup") {
+  test("q177 skyline 3d: bucket-keyed front window, scan-local carry-in test, one bucket-keyed anti join") {
     val p = plan(graft.operators.Skyline.skyline3Parts(spark, TestSpark.Sf0001))
     val specs = """windowspecdefinition\([^),]*""".r.findAllIn(p).toList
     assert(specs.nonEmpty, s"the per-bucket (y,z) front must plan as a window;\n$p")
     specs.foreach(s => assert(s.startsWith("windowspecdefinition(bk#"),
       s"the front window must PARTITION by the x bucket, never order globally: $s;\n$p"))
-    assert(!p.contains("CartesianProduct"), s"no cartesian;\n$p")
-    // the cross-bucket test probes the BROADCAST front table (front-scale),
-    // and the same-bucket pair test is an equi-join on the bucket key
-    assert("LeftAnti".r.findAllIn(p).size >= 2,
-      s"both dominance tests must plan as anti joins;\n$p")
+    // the cross-bucket test must be an EQUI join on the bucket key plus a
+    // scan-local array test — never an inequality join (the r15 form's
+    // broadcast f_bk < bk anti-join planned as a nested loop, making
+    // bucket count a cross-side cost and capping block fineness)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no inequality/nested-loop join anywhere — carry-in made the cross test an equi join;\n$p")
+    assert(p.contains("exists("), s"the carry-in dominance test must be the scan-local exists;\n$p")
+    assert("LeftAnti".r.findAllIn(p).size >= 1,
+      s"the same-bucket pair test plans as a bucket-keyed anti join;\n$p")
   }
 
   test("q178 promo-stock suppliers: one fact-scale aggregate, part scope is a semi-join, no re-scan") {

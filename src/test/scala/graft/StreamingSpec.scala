@@ -56,6 +56,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStream.streamWindowStats(spark, TestSpark.Sf0001).count() == batch.size.toLong)
   }
 
+  test("q179 append mode emits exactly the finalized windows of the q151 complete snapshot") {
+    val complete = EventStream.streamWindowStats(spark, TestSpark.Sf0001).collect().toSeq
+    val append = EventStream.streamAppendWindows(spark, TestSpark.Sf0001).collect().toSeq
+    // the final watermark: max event time (ms-floored, Spark's watermark
+    // resolution) minus the 2 h delay — windows whose END it has passed
+    // are emitted, the trailing horizon is withheld
+    val maxTsMs = graft.Tables.events(spark, TestSpark.Sf0001)
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val wmMs = maxTsMs - 2L * 3600 * 1000
+    val finalized = complete.filter(r => (r.getLong(0) + 3600) * 1000 <= wmMs)
+    assert(append.nonEmpty && append.size < complete.size,
+      "append mode must withhold the trailing unfinalized windows")
+    assert(append == finalized,
+      "append-mode emission must be EXACTLY the windows the final watermark passed")
+  }
+
   test("stateful sessionization: keyed state carries sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
