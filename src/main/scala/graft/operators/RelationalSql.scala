@@ -29,13 +29,17 @@ object RelationalSql {
     "graft_customer" -> ((s, d) => Tables.customer(s, d)),
     "graft_part"     -> ((s, d) => Tables.part(s, d)))
 
-  /** Register the fixture views, analyze `sqlText`, drop the views. */
+  /** Register exactly the fixture views `sqlText` reads, analyze it,
+    * drop them — a query must not touch (clobber-then-drop) catalog
+    * names it never references.
+    */
   def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
-    views.foreach { case (name, load) =>
+    val needed = views.filter { case (name, _) => sqlText.contains(name) }
+    needed.foreach { case (name, load) =>
       load(spark, sfDir).createOrReplaceTempView(name)
     }
     try spark.sql(sqlText)
-    finally views.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+    finally needed.foreach { case (name, _) => spark.catalog.dropTempView(name) }
   }
 
   /** q26's SQL text — TPC-H Q1. `1.0D`: the DOUBLE literal, deliberately
