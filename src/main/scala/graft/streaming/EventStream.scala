@@ -325,6 +325,44 @@ object EventStream {
         }
       }
 
+  /** q180_stream_vector_ingest — the STREAMING transport of q176's
+    * lifecycle, declared under the SAME oracle (round 16; reference:
+    * the batch-upsert loop `vector_db.py:93-106` run as a live ingest):
+    * build the index, stage the q176 re-upsert stratum as a TWO-file
+    * replay directory, run it through [[vectorIngest]] (file source →
+    * one `IvfIndex.append` per micro-batch, catalog-versioned — two
+    * version bumps here, so the LWW machinery is exercised across
+    * batches, not just within one), `maintain(debtRatio = 1.0)` to
+    * compact, probe with the original first-10 queries. The live corpus
+    * is exactly q176's (the two batches carry disjoint ids, so replay
+    * order cannot change the LWW outcome), hence the oracle is
+    * `IvfIndex.q176OracleSql` VERBATIM — a green hash proves the
+    * streaming ingest path lands byte-identical to the batch append.
+    */
+  def streamVectorIngest(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_q180_index").toString
+    IvfIndex.build(spark, emb, indexDir)
+    val modified = emb.filter(col("vec_id") % IvfIndex.UpsertStratumMod === 0)
+      .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_q180_src").toString
+    val half = IvfIndex.UpsertStratumMod * 2
+    modified.filter(col("vec_id") % half === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    modified.filter(col("vec_id") % half =!= 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(modified.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q180_ckpt").toString
+    val q = vectorIngest(stream, indexDir, ckpt).start()
+    q.awaitTermination()
+    IvfIndex.maintain(spark, indexDir, debtRatio = 1.0)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    IvfIndex.probe(spark, indexDir, queries, k = 3, nprobe = 1)
+  }
+
   // --- stateful sessionization (custom keyed state) -----------------------
 
   /** Input row for [[sessionizeStream]]: one event with its microsecond

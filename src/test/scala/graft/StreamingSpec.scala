@@ -56,6 +56,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStream.streamWindowStats(spark, TestSpark.Sf0001).count() == batch.size.toLong)
   }
 
+  test("q180 streaming ingest lands byte-identical to the batch upsert lifecycle (q176)") {
+    val streamed = EventStream.streamVectorIngest(spark, TestSpark.Sf0001).collect().toSeq
+    val batch = graft.operators.IvfIndex.upsertSearch(spark, TestSpark.Sf0001).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "the two-batch streaming replay must produce q176's exact probe result")
+  }
+
   test("q179 append mode emits exactly the finalized windows of the q151 complete snapshot") {
     val complete = EventStream.streamWindowStats(spark, TestSpark.Sf0001).collect().toSeq
     val append = EventStream.streamAppendWindows(spark, TestSpark.Sf0001).collect().toSeq
