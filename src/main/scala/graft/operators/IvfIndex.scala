@@ -678,6 +678,15 @@ object IvfIndex {
     */
   val UpsertStratumMod = 20L
 
+  /** THE q176 re-upsert batch, shared by the declared batch row
+    * ([[upsertSearch]]), the streaming transport (q180 — whose "oracle
+    * VERBATIM" equivalence depends on both building the identical
+    * batch), and the lifecycle spec. One definition, no copies.
+    */
+  def upsertStratumOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % UpsertStratumMod === 0)
+      .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding"))
+
   /** q176_upsert_search — the reference's literal demo loop as ONE
     * declared, oracle-checked row (VERDICT r15 item 3; reference:
     * vector_db.py:93-106 batch upsert → vector_db_query.py:78-82
@@ -703,9 +712,7 @@ object IvfIndex {
     val emb = Tables.embeddings(spark, sfDir)
     val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_upsert").toString
     build(spark, emb, indexDir)
-    val modified = emb.filter(col("vec_id") % UpsertStratumMod === 0)
-      .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding"))
-    append(spark, modified, indexDir)
+    append(spark, upsertStratumOf(emb), indexDir)
     // ratio 1.0: ANY superseded row is debt — the demo-scale policy that
     // makes this declared row exercise compact + the post-compact probe
     maintain(spark, indexDir, debtRatio = 1.0)

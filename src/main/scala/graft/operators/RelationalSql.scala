@@ -31,16 +31,22 @@ object RelationalSql {
 
   /** Register exactly the fixture views `sqlText` reads, analyze it,
     * drop them — a query must not touch (clobber-then-drop) catalog
-    * names it never references.
+    * names it never references. The register→analyze→drop critical
+    * section is synchronized JVM-wide: two declared rows analyzing
+    * concurrently in one session would otherwise race on the shared
+    * view names (A's drop between B's register and B's analysis). The
+    * lock scopes ANALYSIS only — execution of the returned plans is
+    * fully concurrent.
     */
-  def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
-    val needed = views.filter { case (name, _) => sqlText.contains(name) }
-    needed.foreach { case (name, load) =>
-      load(spark, sfDir).createOrReplaceTempView(name)
+  def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame =
+    RelationalSql.synchronized {
+      val needed = views.filter { case (name, _) => sqlText.contains(name) }
+      needed.foreach { case (name, load) =>
+        load(spark, sfDir).createOrReplaceTempView(name)
+      }
+      try spark.sql(sqlText)
+      finally needed.foreach { case (name, _) => spark.catalog.dropTempView(name) }
     }
-    try spark.sql(sqlText)
-    finally needed.foreach { case (name, _) => spark.catalog.dropTempView(name) }
-  }
 
   /** q26's SQL text — TPC-H Q1. `1.0D`: the DOUBLE literal, deliberately
     * — a bare `1.0` parses as DECIMAL(2,1) in SQL and would route the

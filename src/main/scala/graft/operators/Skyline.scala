@@ -116,7 +116,12 @@ object Skyline {
     */
   def skyBucketWidthFor(rows: DataFrame,
                         targetRows: Long = SkyTargetBucketRows): Double = {
-    val r = rows.agg(min(col("x")), max(col("x")), count(lit(1))).head()
+    // cast: x may be any ordered numeric (the skyline3Of contract); an
+    // empty or all-null frame yields null bounds — any positive width
+    // works, the downstream plan is empty either way
+    val r = rows.agg(min(col("x").cast("double")), max(col("x").cast("double")),
+      count(col("x"))).head()
+    if (r.isNullAt(0)) return 1.0
     val (lo, hi, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
     val buckets = math.max(64L, n / math.max(1L, targetRows))
     math.max((hi - lo) / buckets.toDouble, 1e-9)
@@ -125,7 +130,10 @@ object Skyline {
   /** d=3 SKYLINE (declared as q177 since round 16): points
     * (id, x, y, z) not dominated under (x ↓, y ↑, z ↑) — q dominates p
     * iff q.x ≤ p.x ∧ q.y ≥ p.y ∧ q.z ≥ p.z with one strict. `y`/`z`
-    * must be integral (cast long); `x` may be any ordered numeric.
+    * must be integral (cast long); `x` may be any ordered numeric. Rows
+    * with a null coordinate are EXCLUDED up front (round 16 — dominance
+    * is undefined on nulls; the r15 form happened to carry null-x rows
+    * through its anti-joins, an accident, not a contract).
     *
     * The BLOCKED DOMINANCE JOIN, never the O(n²) corpus pair join:
     *  - x buckets as in [[skylineOf]] — width ADAPTIVE via
@@ -156,7 +164,9 @@ object Skyline {
     * strict). Spec-pinned against the brute-force all-pairs verdict on
     * the sf0.001 catalog (q55's brute-force-pin discipline).
     */
-  def skyline3Of(rows: DataFrame, bucketWidth: Double = -1.0): DataFrame = {
+  def skyline3Of(rows0: DataFrame, bucketWidth: Double = -1.0): DataFrame = {
+    val rows = rows0.filter(
+      col("x").isNotNull && col("y").isNotNull && col("z").isNotNull)
     val width = if (bucketWidth > 0) bucketWidth else skyBucketWidthFor(rows)
     val pts = rows.withColumn("bk", floor(col("x") / width).cast("long"))
     // per-bucket (y,z) front: per distinct y max z, strict prefix-max of

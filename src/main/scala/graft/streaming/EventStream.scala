@@ -140,20 +140,34 @@ object EventStream {
     * hash-checked against an oracle that recomputes the watermark cut
     * from the raw table instead of spec prose.
     *
-    * Determinism: the final watermark depends only on max(ts) (the
-    * no-data micro-batch, on by default, flushes every window eligible
-    * under it before AvailableNow terminates), so the emitted set is
-    * file-split-independent — micro-batch boundaries decide only WHEN a
-    * window emits, never whether.
+    * Determinism: the replay is STAGED as two TIME-SPLIT files (below /
+    * at-or-above the midpoint timestamp, written in that order), so
+    * batch boundaries respect event-time order — after batch 1 the
+    * watermark (max(file1) − 2 h) sits at least 2 h below every file-2
+    * row, no already-emitted window can receive a late row, and the
+    * trailing no-data micro-batch (on by default) flushes everything
+    * eligible under the final watermark. An UNstaged replay of
+    * arbitrary part files would NOT be deterministic: files overlapping
+    * by more than the delay make mid-stream eviction drop late rows
+    * from already-emitted windows (the fixture's single-file and
+    * entity-partitioned layouts never hit this, but the declared row
+    * must not depend on fixture luck) — exactly the disorder a live
+    * deployment bounds with this same watermark contract, and which a
+    * finite replay must stage away to be oracle-checkable.
     */
   def streamAppendWindows(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema)
+    val batch = graft.Tables.normalizeEventTs(spark, spark.read.parquet(path))
+    val bounds = batch.agg(min(col("ts")), max(col("ts"))).head()
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_q179_src").toString
+    batch.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(srcDir)
+    batch.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(srcDir)
+    val events = spark.readStream.schema(batch.select(col("ts"), col("event_type"), col("value")).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(declaredStreamPath(path, "graft_q179_src"))
-    val events = graft.Tables.normalizeEventTs(spark, raw)
+      .parquet(srcDir)
     val name = s"graft_q179_run_${declaredRuns.incrementAndGet()}"
     val query = windowedEventCounts(events).writeStream
       .format("memory")
@@ -344,8 +358,7 @@ object EventStream {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val indexDir = java.nio.file.Files.createTempDirectory("graft_q180_index").toString
     IvfIndex.build(spark, emb, indexDir)
-    val modified = emb.filter(col("vec_id") % IvfIndex.UpsertStratumMod === 0)
-      .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding"))
+    val modified = IvfIndex.upsertStratumOf(emb)
     val srcDir = java.nio.file.Files.createTempDirectory("graft_q180_src").toString
     val half = IvfIndex.UpsertStratumMod * 2
     modified.filter(col("vec_id") % half === 0)

@@ -228,6 +228,23 @@ class CalibRelationalSpec extends AnyFunSuite {
       s"extra=${(fast -- brute).take(5)} missing=${(brute -- fast).take(5)}")
   }
 
+  test("skyline3Of edge contract: empty input, integer x, null coordinates excluded") {
+    import spark.implicits._
+    // empty: the adaptive width probe must not throw on null bounds
+    val empty = Seq.empty[(Long, Double, Long, Long)].toDF("id", "x", "y", "z")
+    assert(graft.operators.Skyline.skyline3Of(empty).collect().isEmpty)
+    // integer-typed x: "any ordered numeric" per the contract
+    val intX = Seq((1L, 5L, 2L, 2L), (2L, 4L, 1L, 1L), (3L, 6L, 9L, 9L)).toDF("id", "x", "y", "z")
+    assert(graft.operators.Skyline.skyline3Of(intX).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // null coordinate rows are excluded, not silently dropped-or-kept by
+    // join null semantics
+    val withNull = Seq((1L, Option(1.0), 5L, 5L), (2L, Option.empty[Double], 9L, 9L))
+      .toDF("id", "x", "y", "z")
+    assert(graft.operators.Skyline.skyline3Of(withNull).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
   test("q173: strict 20%-of-average cut on a hand corpus, boundary row excluded") {
     import spark.implicits._
     // part 1: quantities 1/2/27 → sum 30, cnt 3, 0.2·avg = 2: ql=1 passes

@@ -358,9 +358,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_q176_spec").toString
     IvfIndex.build(spark, emb, dir)
-    IvfIndex.append(spark,
-      emb.filter(col("vec_id") % IvfIndex.UpsertStratumMod === 0)
-        .select(col("vec_id"), col("label"), reverse(col("embedding")).as("embedding")), dir)
+    IvfIndex.append(spark, IvfIndex.upsertStratumOf(emb), dir)
     val report = IvfIndex.maintain(spark, dir, debtRatio = 1.0)
     assert(report.compacted, "debtRatio 1.0 must trigger compact after any re-upsert")
     val post = spark.read.parquet(IvfIndex.pointsPath(dir))

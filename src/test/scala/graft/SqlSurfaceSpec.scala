@@ -47,9 +47,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
   // stage ids scrubbed — two routes that compile to the same operators
   // over the same expressions normalize to one string; a real divergence
   // (extra shuffle, different join strategy or build side, different
-  // aggregate placement) still differs
-  private def normPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.collect()
+  // aggregate placement) still differs. Callers must have EXECUTED the
+  // frame already (AQE finalizes on action) — reading the plan here
+  // instead of re-collecting keeps the suite at one execution per frame.
+  private def normPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
       .replaceAll("#\\d+L?", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
@@ -57,7 +58,6 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .replaceAll("\\*\\(\\d+\\)", "*(n)")
       .replaceAll("QueryStage \\d+", "QueryStage n")
       .replaceAll("(?m)\\s+$", "")
-  }
 
   test("relational rows q26/q146/q162/q173/q174/q175: the SQL text and the DataFrame core compile to one plan") {
     import graft.operators.{Relational, RelationalSql}
