@@ -221,17 +221,31 @@ object Bpe {
     * skip the sample entirely.
     */
   def bpeEncodeAuto(docs: DataFrame,
-                    merges: Seq[(String, String)] = PinnedMerges): DataFrame = {
-    val depth = merges.size
-    val useTypes = depth > AutoShallowDepth && {
-      val r = docs.select(tokenArr(col("text")).as("ts")).limit(AutoSampleDocs)
-        .select(explode(col("ts")).as("t"))
+                    merges: Seq[(String, String)] = PinnedMerges): DataFrame =
+    if (autoUseTypes(docs, merges.size)) bpeEncodeViaTypes(docs, merges)
+    else bpeEncodeOf(docs, merges)
+
+  /** The auto rule's decision, exposed for the branch-stability spec.
+    * The duplication sample is the first [[AutoSampleDocs]] docs in
+    * `xxhash64(doc_id)` order (doc_id tie-break) — a DETERMINISTIC
+    * bounded stratum (VERDICT r16 item 5: the former bare
+    * `limit(AutoSampleDocs)` let the scan's partition order pick WHICH
+    * docs decide the path, violating the q61/q82 deterministic-gate
+    * discipline even though both paths are row-identical). The hash
+    * order makes the sample a pseudo-random cross-section independent
+    * of file layout, the TakeOrdered heap keeps it one bounded job, and
+    * any partitioning of `docs` yields the same decision.
+    */
+  private[graft] def autoUseTypes(docs: DataFrame, depth: Int): Boolean =
+    depth > AutoShallowDepth && {
+      val r = docs.select(col("doc_id"), col("text"))
+        .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+        .limit(AutoSampleDocs)
+        .select(explode(tokenArr(col("text"))).as("t"))
         .agg(count(lit(1)), approx_count_distinct(col("t"))).head()
       val (inst, typ) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
       inst > 0 && typ > 0 && depth.toDouble * (1.0 - typ / inst) > AutoCrossoverK
     }
-    if (useTypes) bpeEncodeViaTypes(docs, merges) else bpeEncodeOf(docs, merges)
-  }
 
   /** Composable scan-local encode for ANY (doc_id, text, …) corpus: each
     * doc's token array runs through `transform(tokens, tok ->

@@ -1015,4 +1015,160 @@ object IvfIndex {
         lit(meta.map(m => Long.box(m.nextVersion)).orNull).cast("long").as("next_version"))
       .orderBy(col("list_id"))
   }
+
+  // --- SQL surface for the index family (VERDICT r16 item 8) --------------
+
+  /** The routing statement a SQL-only user types — [[route]]'s exact
+    * declaration as text: broadcast the centroid table into a cross
+    * join, rank by the 6-dp-rounded `graft_cosine`, keep the nearest
+    * `nprobe` (ties to the smaller list id).
+    */
+  def routeSqlText(nprobe: Int): String =
+    s"""SELECT qid, qvec, CAST(label AS BIGINT) AS probe_list
+       |FROM (
+       |  SELECT qid, qvec, label,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS rn
+       |  FROM (
+       |    SELECT /*+ BROADCAST(c) */ q.qid, q.qvec, c.label,
+       |           round(graft_cosine(q.qvec, c.centroid), 6) AS cscore
+       |    FROM graft_ivf_queries q CROSS JOIN graft_ivf_centroids c
+       |  )
+       |) WHERE rn <= $nprobe""".stripMargin
+
+  /** The probe statement — [[probe]]'s scan/LWW/score/rank tail as text.
+    * `lists` arrives as a literal IN-list exactly like the core's
+    * driver-side `isin` (the routing decision IS a literal in both
+    * routes — that is what turns it into a static partition filter).
+    */
+  def probeTailSqlText(k: Int, lists: Seq[Long], topkName: String): String = {
+    val cut = if (lists.isEmpty) "FALSE" else s"p.list_id IN (${lists.mkString(", ")})"
+    s"""WITH pts AS (
+       |  SELECT vec_id, embedding, version, list_id
+       |  FROM (
+       |    -- column order mirrors the layout's scan order (version before
+       |    -- the list_id partition column): the core's LWW view keeps it,
+       |    -- and matching it keeps the plans reorder-Project-free
+       |    SELECT p.vec_id, p.embedding, p.version, p.list_id,
+       |           row_number() OVER (PARTITION BY p.vec_id ORDER BY p.version DESC) AS rn
+       |    FROM graft_ivf_points p
+       |    WHERE $cut
+       |  ) WHERE rn = 1
+       |), scored AS (
+       |  SELECT /*+ BROADCAST(r) */ r.qid, r.probe_list, p.vec_id,
+       |         round(graft_cosine(r.qvec, p.embedding), 6) AS score
+       |  FROM pts p JOIN graft_ivf_routed r ON p.list_id = r.probe_list
+       |), tk AS (
+       |  SELECT qid, probe_list, $topkName(vec_id, score) AS top
+       |  FROM scored GROUP BY qid, probe_list
+       |), ex AS (
+       |  SELECT qid, probe_list, s.id AS vec_id, s.score AS score
+       |  FROM tk LATERAL VIEW explode(top) e AS s
+       |)
+       |SELECT qid, probe_list, vec_id, score, rank
+       |FROM (
+       |  SELECT qid, probe_list, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM ex
+       |) WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** [[probe]] through the SQL surface: the persisted layout exposed as
+    * `graft_ivf_centroids` / `graft_ivf_points` temp views (plus the
+    * query batch as `graft_ivf_queries`), the routing statement
+    * materialized as a temp view, the routed list set read back with a
+    * DISTINCT (the collect the core also performs — the decision is
+    * driver-side in both routes), and the probe statement run with the
+    * IN-list interpolated. Same registered functions (`graft_cosine`,
+    * the bounded-heap `graft_topk<k>` aggregate), same collision-guarded
+    * register→analyze→drop discipline as the relational SQL surface;
+    * SqlIndexSpec pins the result plan-identical to [[probe]]'s.
+    */
+  def probeSql(spark: SparkSession, indexDir: String, queries: DataFrame,
+               k: Int = 3, nprobe: Int = 1): DataFrame = RelationalSql.synchronized {
+    GraftFunctions.ensureRegistered(spark)
+    val tkName = Knn.ensureTopk(spark, k)
+    val frames: Seq[(String, DataFrame)] = Seq(
+      "graft_ivf_centroids" -> spark.read.parquet(centroidsPath(indexDir)),
+      "graft_ivf_points"    -> spark.read.parquet(pointsPath(indexDir)),
+      "graft_ivf_queries"   -> queries)
+    (frames.map(_._1) :+ "graft_ivf_routed").foreach { name =>
+      require(!spark.catalog.tableExists(name),
+        s"SQL surface: temp view '$name' already exists in this session — " +
+          "drop or rename it; the graft_-prefixed names are reserved during a declared SQL query")
+    }
+    frames.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    try {
+      spark.sql(routeSqlText(nprobe)).createOrReplaceTempView("graft_ivf_routed")
+      try {
+        val lists = spark
+          .sql("SELECT DISTINCT probe_list FROM graft_ivf_routed ORDER BY probe_list")
+          .collect().map(_.getLong(0)).toSeq
+        spark.sql(probeTailSqlText(k, lists, tkName))
+      } finally spark.catalog.dropTempView("graft_ivf_routed")
+    } finally frames.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+  }
+
+  /** q184_sql_index_probe — q38's lifecycle with the probe THROUGH THE
+    * SQL SURFACE, declared under q38's oracle VERBATIM: build the
+    * persisted index, then route + probe as the two `spark.sql`
+    * statements a SQL-only user types. A green hash puts the SQL-user
+    * path to the persisted index under the driver's gate (the q01/q26
+    * discipline extended to the index family), and the SqlIndexSpec
+    * plan pin proves it costs exactly the DataFrame core's plan — same
+    * partition-pruned scan, same broadcast, same bounded heap.
+    */
+  def sqlIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_sqlprobe").toString
+    build(spark, emb, indexDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    probeSql(spark, indexDir, queries, k = 3, nprobe = 1)
+  }
+
+  /** The describe statement — [[describe]]'s one-scan-one-window counts
+    * as text. The catalog fields (dim/metric/nlist/next_version) are
+    * interpolated as literals: they come from the index CATALOG
+    * (`_meta.json`), not from data, in both routes.
+    */
+  def describeSqlText(meta: Option[IndexMeta]): String = {
+    def lit[A](v: Option[A]): String = v.map(_.toString).getOrElse("NULL")
+    val metricLit = meta.map(m => s"'${m.metric}'").getOrElse("NULL")
+    s"""SELECT CAST(list_id AS BIGINT) AS list_id, live_points, stored_rows,
+       |       CAST(${lit(meta.map(_.dim))} AS INT) AS dim,
+       |       CAST($metricLit AS STRING) AS metric,
+       |       CAST(${lit(meta.map(_.nlist))} AS BIGINT) AS nlist,
+       |       CAST(${lit(meta.map(_.nextVersion))} AS BIGINT) AS next_version
+       |FROM (
+       |  SELECT list_id,
+       |         COUNT(CASE WHEN rn = 1 THEN 1 END) AS live_points,
+       |         COUNT(1) AS stored_rows
+       |  FROM (SELECT list_id, row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) AS rn
+       |        FROM graft_ivf_points)
+       |  GROUP BY list_id
+       |)
+       |ORDER BY list_id""".stripMargin
+  }
+
+  /** [[describe]] through the SQL surface (same view + guard discipline
+    * as [[probeSql]]).
+    */
+  def describeSql(spark: SparkSession, indexDir: String): DataFrame =
+    RelationalSql.synchronized {
+      RelationalSql.registerDropAnalyze(spark, describeSqlText(readMeta(spark, indexDir)),
+        Seq("graft_ivf_points" -> (() => spark.read.parquet(pointsPath(indexDir)))))
+    }
+
+  /** q185_sql_describe — q65's lifecycle with the introspection THROUGH
+    * THE SQL SURFACE, declared under q65's oracle VERBATIM: build, then
+    * DESCRIBE as the `spark.sql` statement a SQL-only user types over
+    * the points view (catalog fields from `_meta.json` as literals).
+    */
+  def sqlDescribe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_sqldescribe").toString
+    build(spark, emb, indexDir)
+    describeSql(spark, indexDir)
+  }
 }

@@ -58,10 +58,20 @@ object Knn {
     * GraftFunctions.registerIfAbsent discipline — re-registering per call
     * would log a `replaced` warning per query).
     */
-  def ensureTopk5(spark: SparkSession): Unit =
+  def ensureTopk5(spark: SparkSession): Unit = { ensureTopk(spark, 5); () }
+
+  /** Generalized registration: `graft_topk<k>` — one registry entry per
+    * distinct k (the name carries the bound, since a UDAF closes over
+    * it). Returns the registered name; shared by the q01 route (k=5) and
+    * the index-probe SQL route (q184, k=3).
+    */
+  def ensureTopk(spark: SparkSession, k: Int): String = {
+    val name = s"graft_topk$k"
     if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(TopK5Name)))
-      spark.udf.register(TopK5Name, TopK.topKUdaf(5))
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      spark.udf.register(name, TopK.topKUdaf(k))
+    name
+  }
 
   /** q01's full SQL text over the `graft_q01_embeddings` view: the same
     * plan the DataFrame core declares — broadcast-hinted query side into

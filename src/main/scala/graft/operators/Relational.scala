@@ -1165,4 +1165,113 @@ object Relational {
        |JOIN cnt ON cnt.l_suppkey = s.s_suppkey
        |WHERE r.r_name = '$Q20Region'
        |ORDER BY s.s_suppkey""".stripMargin
+
+  /** q182's scope constants. The fixture carries no
+    * l_receiptdate/l_commitdate, so Q21's per-lineitem "kept waiting"
+    * predicate (receipt after commit) is re-expressed on the columns it
+    * does have: a lineitem is LATE when it ships more than
+    * [[Q21LateDays]] days after its order's date — the same
+    * re-expression discipline as q178's Q20 adaptation. The supplier cut
+    * is q178's EUROPE region (a single-nation cut yields zero rows at
+    * sf0.001's 10 suppliers).
+    */
+  val Q21LateDays = 90
+  val Q21Region = "EUROPE"
+
+  /** q182_waiting_suppliers — the TPC-H Q21 shape (VERDICT r16 item 3):
+    * suppliers who kept completed orders waiting — for each late
+    * lineitem l1 of a finished ('F') order, count it iff the order has
+    * at least one OTHER supplier (the EXISTS) and NO other supplier was
+    * late on it (the NOT EXISTS) — the double correlated self-join on
+    * lineitem, the hardest classic decorrelation after the
+    * Q17/Q18/Q20/Q22 family.
+    *
+    * Decorrelation: never a per-row re-scan. The two correlated
+    * subqueries collapse into TWO stacked aggregates — per
+    * (orderkey, suppkey): the pair's late-row count; per orderkey over
+    * those pairs: supplier count (EXISTS ⇔ n_supp > 1) and late-supplier
+    * count (NOT EXISTS ⇔ n_late_supp = 1, since l1's own supplier is
+    * late) — then a pair↔order equi-join recovers per-pair
+    * qualification, and numwait(s) = Σ qualifying pairs' late-row counts
+    * (Q21 counts l1 ROWS, not orders — the per-pair count carries that
+    * through the decorrelation).
+    *
+    * 100 TB: ONE fact-scale shuffle pair (lineitem ⋈ F-orders on
+    * orderkey — the status cut prunes the orders side first, and real
+    * Q21 pays the same join); everything after is (order, supplier)-PAIR
+    * scale: the pair aggregate is map-side combined, the order rollup
+    * and the qualification join move only pair rows, and the
+    * supplier/nation/region dims broadcast (no pinned hints — the
+    * q149/q173 lesson, AQE arbitrates).
+    */
+  def waitingSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    waitingSuppliersOf(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")),
+      Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+      Tables.supplier(spark, sfDir)
+        .join(Tables.nation(spark, sfDir),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, sfDir),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === Q21Region)
+        .select(col("s_suppkey"), col("s_name")))
+
+  /** Composable core: `li` any (l_orderkey, l_suppkey, l_shipdate)
+    * frame, `ordF` the PRE-CUT finished orders (o_orderkey,
+    * o_orderdate), `supp` the PRE-CUT (s_suppkey, s_name) dimension.
+    */
+  def waitingSuppliersOf(li: DataFrame, ordF: DataFrame,
+                         supp: DataFrame): DataFrame = {
+    val lf = li
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $Q21LateDays DAYS"), lit(1L))
+          .otherwise(lit(0L)).as("late"))
+    val perPair = lf
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("late")).as("n_late_rows"))
+    val perOrder = perPair
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("n_late_rows") > 0, lit(1))).as("n_late_supp"))
+    val qual = perPair
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_late_rows") > 0 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+    supp.join(qual, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(col("n_late_rows")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  val q182OracleSql: String =
+    s"""WITH lf AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $Q21LateDays DAY
+       |              THEN 1 ELSE 0 END AS late
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.o_orderstatus = 'F'
+       |), ps AS (
+       |  SELECT l_orderkey, l_suppkey, SUM(late) AS n_late_rows
+       |  FROM lf GROUP BY 1, 2
+       |), po AS (
+       |  SELECT l_orderkey, COUNT(*) AS n_supp,
+       |         SUM(CASE WHEN n_late_rows > 0 THEN 1 ELSE 0 END) AS n_late_supp
+       |  FROM ps GROUP BY 1
+       |), qual AS (
+       |  SELECT ps.l_suppkey, ps.n_late_rows
+       |  FROM ps JOIN po USING (l_orderkey)
+       |  WHERE ps.n_late_rows > 0 AND po.n_supp > 1 AND po.n_late_supp = 1
+       |)
+       |SELECT s.s_suppkey, s.s_name, CAST(SUM(q.n_late_rows) AS BIGINT) AS numwait
+       |FROM qual q
+       |JOIN supplier s ON s.s_suppkey = q.l_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = '$Q21Region'
+       |GROUP BY 1, 2
+       |ORDER BY numwait DESC, s.s_suppkey""".stripMargin
 }

@@ -27,7 +27,10 @@ object RelationalSql {
     "graft_lineitem" -> ((s, d) => Tables.lineitem(s, d)),
     "graft_orders"   -> ((s, d) => Tables.orders(s, d)),
     "graft_customer" -> ((s, d) => Tables.customer(s, d)),
-    "graft_part"     -> ((s, d) => Tables.part(s, d)))
+    "graft_part"     -> ((s, d) => Tables.part(s, d)),
+    "graft_supplier" -> ((s, d) => Tables.supplier(s, d)),
+    "graft_nation"   -> ((s, d) => Tables.nation(s, d)),
+    "graft_region"   -> ((s, d) => Tables.region(s, d)))
 
   /** Register exactly the fixture views `sqlText` reads, analyze it,
     * drop them — a query must not touch (clobber-then-drop) catalog
@@ -41,12 +44,31 @@ object RelationalSql {
   def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame =
     RelationalSql.synchronized {
       val needed = views.filter { case (name, _) => sqlText.contains(name) }
-      needed.foreach { case (name, load) =>
-        load(spark, sfDir).createOrReplaceTempView(name)
-      }
-      try spark.sql(sqlText)
-      finally needed.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+      registerDropAnalyze(spark, sqlText,
+        needed.map { case (name, load) => name -> (() => load(spark, sfDir)) })
     }
+
+  /** Shared register→analyze→drop critical section (also used by the
+    * index-family SQL surface): registers each (name, frame), analyzes
+    * `sqlText`, drops the views. FAILS FAST if any view name already
+    * exists in the session (ADVICE r16: createOrReplaceTempView would
+    * silently clobber a user's same-named temp view and the finally-drop
+    * would then destroy it — a collision must be the caller's problem,
+    * not a silent data loss). Callers must hold the
+    * [[RelationalSql]] lock.
+    */
+  private[operators] def registerDropAnalyze(
+      spark: SparkSession, sqlText: String,
+      frames: Seq[(String, () => DataFrame)]): DataFrame = {
+    frames.foreach { case (name, _) =>
+      require(!spark.catalog.tableExists(name),
+        s"SQL surface: temp view '$name' already exists in this session — " +
+          "drop or rename it; the graft_-prefixed names are reserved during a declared SQL query")
+    }
+    frames.foreach { case (name, load) => load().createOrReplaceTempView(name) }
+    try spark.sql(sqlText)
+    finally frames.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+  }
 
   /** q26's SQL text — TPC-H Q1. `1.0D`: the DOUBLE literal, deliberately
     * — a bare `1.0` parses as DECIMAL(2,1) in SQL and would route the
@@ -185,6 +207,46 @@ object RelationalSql {
        |GROUP BY r.c_nationkey
        |ORDER BY r.c_nationkey""".stripMargin
 
+  /** q182's SQL text — TPC-H Q21, decorrelated exactly like the core
+    * ([[Relational.waitingSuppliersOf]]): the EXISTS/NOT-EXISTS double
+    * correlated self-join collapsed to the stacked per-(order, supplier)
+    * / per-order aggregates, the per-pair late-row count carried through
+    * so numwait still counts l1 ROWS. No hints — AQE arbitrates, like
+    * the core.
+    */
+  val q182SqlText: String = {
+    import Relational.{Q21LateDays, Q21Region}
+    s"""WITH lf AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $Q21LateDays DAYS
+       |              THEN 1L ELSE 0L END AS late
+       |  FROM graft_lineitem l
+       |  JOIN (SELECT o_orderkey, o_orderdate FROM graft_orders
+       |        WHERE o_orderstatus = 'F') o
+       |    ON l.l_orderkey = o.o_orderkey
+       |), ps AS (
+       |  SELECT l_orderkey, l_suppkey, SUM(late) AS n_late_rows
+       |  FROM lf GROUP BY l_orderkey, l_suppkey
+       |), po AS (
+       |  SELECT l_orderkey, COUNT(1) AS n_supp,
+       |         COUNT(CASE WHEN n_late_rows > 0 THEN 1 END) AS n_late_supp
+       |  FROM ps GROUP BY l_orderkey
+       |), qual AS (
+       |  SELECT ps.l_suppkey, ps.n_late_rows
+       |  FROM ps JOIN po ON ps.l_orderkey = po.l_orderkey
+       |  WHERE ps.n_late_rows > 0 AND po.n_supp > 1 AND po.n_late_supp = 1
+       |)
+       |SELECT s.s_suppkey, s.s_name, SUM(q.n_late_rows) AS numwait
+       |FROM (SELECT s_suppkey, s_name
+       |      FROM graft_supplier su
+       |      JOIN graft_nation n ON su.s_nationkey = n.n_nationkey
+       |      JOIN graft_region r ON n.n_regionkey = r.r_regionkey
+       |      WHERE r.r_name = '$Q21Region') s
+       |JOIN qual q ON s.s_suppkey = q.l_suppkey
+       |GROUP BY s.s_suppkey, s.s_name
+       |ORDER BY numwait DESC, s.s_suppkey""".stripMargin
+  }
+
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, q26SqlText)
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame =
@@ -197,4 +259,6 @@ object RelationalSql {
     run(spark, sfDir, q174SqlText)
   def idleRichCustomers(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir, q175SqlText)
+  def waitingSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, q182SqlText)
 }

@@ -183,7 +183,21 @@ object Skyline {
     // bucket-scale aggregate collects each bucket's front array in
     // bucket order, the lambda threads the MERGED front of everything
     // earlier ('acc', re-fronted each step so it stays y-domain-bounded),
-    // and emits (bk, carry) — the exact cross-bucket test set per bucket
+    // and emits (bk, carry) — the exact cross-bucket test set per bucket.
+    //
+    // HONEST WORST CASE (ADVICE r16): only the RUNNING acc is y-domain-
+    // bounded. The fold's single task ingests Σ per-bucket |front| rows
+    // (≤ n in the adversarial all-distinct-(y,z)-fronts case — buckets ∝
+    // n makes that Σ grow with n, not with the y domain), and the
+    // emitted `out` holds one carry array PER bucket, each ≤ min(|y
+    // domain|, earlier front mass), so the broadcast is Σ|carry| ≤
+    // buckets × |y domain| structs. On real catalogs fronts are tiny
+    // (the sf10 ladder is flat), but at 100× either bound can bite: the
+    // q171 remedy applies unchanged — fold bucket RANGES first, then
+    // fold the range results (two-level fold), and/or cap the carry
+    // width and fall back to the broadcast anti-join for the overflow.
+    // Measured headroom and the promotion trigger are recorded in
+    // BASELINE.md (round 17).
     val carry = front
       .groupBy(col("f_bk"))
       .agg(sort_array(collect_list(struct(col("f_y").as("y"), col("f_z").as("z")))).as("fr"))

@@ -648,8 +648,15 @@ object TextAnalysis {
     * the distinct (doc, token) pairs, so df is one vocab-scale aggregate
     * (the oracle's own derivation order).
     */
-  private[graft] def bm25QueryTableFromTf(tf: DataFrame): DataFrame = {
-    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+  private[graft] def bm25QueryTableFromTf(tf: DataFrame): DataFrame =
+    bm25QueryTableFromDf(tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+
+  /** [[bm25QueryTableOf]] from a PRE-BUILT (token, df) table — the
+    * artifact-served workload derivation (q183): the vocab-scale df
+    * aggregate is read from the persisted artifact instead of recomputed
+    * per query run.
+    */
+  private[graft] def bm25QueryTableFromDf(dfTab: DataFrame): DataFrame = {
     val top12 = dfTab.filter(col("token").rlike("^[A-Za-z]{3,}$"))
       .orderBy(col("df").desc, col("token").asc).limit(12)
     // rn WITHOUT a window: the 12 limited rows fold into one sorted array
@@ -687,6 +694,18 @@ object TextAnalysis {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).cast("double").as("avgdl"))
+    bm25RankAgainst(tf, dl, stats, queryTable)
+  }
+
+  /** The ranker against FULLY pre-built inputs — (doc, token, tf), doc
+    * lengths, the 1-row (n, avgdl) stats — the q183 artifact-served
+    * scoring core: query-time work is the broadcast query-term cut of
+    * tf, an id-to-id dl join, the 1-row stats broadcast, and the
+    * bounded-heap top-k. Nothing vocab- or corpus-scale is aggregated
+    * at query time.
+    */
+  private[graft] def bm25RankAgainst(tf: DataFrame, dl: DataFrame,
+                                     stats: DataFrame, queryTable: DataFrame): DataFrame = {
     val qtab = queryTable.select(col("qid"), col("token"), col("df"))
     val perTerm = tf
       .join(broadcast(qtab), Seq("token"))
@@ -740,6 +759,60 @@ object TextAnalysis {
       |)
       |SELECT qid, CAST(rnk AS BIGINT) AS rank, doc_id, score
       |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** Build (or rebuild after a corpus snapshot change) the PERSISTED
+    * BM25 index artifacts (VERDICT r16 item 4 — the q54/q38
+    * build-once/serve-many pattern applied to the lexical side): the
+    * per-(doc, token) tf table (ONE corpus tokenization pass), and the
+    * three tables every query run needs derived from it — doc lengths
+    * (dl), document frequencies (df), and the 1-row (n, avgdl) corpus
+    * stats. dl/df/stats derive from the JUST-WRITTEN tf parquet (an
+    * artifact-scale re-read, never a second corpus pass, and no cache
+    * entry to leak). At 100 TB these are maintained per snapshot and
+    * every q95-shaped ranking probes them without touching corpus text
+    * — exactly what q152's serving tier deploys.
+    */
+  def buildBm25Artifacts(docs: DataFrame, dir: String): Unit = {
+    tokenTfOf(docs).write.mode("overwrite").parquet(s"$dir/tf.parquet")
+    val spark = docs.sparkSession
+    val tf = spark.read.parquet(s"$dir/tf.parquet")
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/dl.parquet")
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df.parquet")
+    spark.read.parquet(s"$dir/dl.parquet")
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).cast("double").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats.parquet")
+  }
+
+  /** q95's ranking served ENTIRELY from the persisted artifacts: the
+    * query workload derives from the LOADED df table, scoring probes the
+    * LOADED tf/dl/stats — no corpus text, no vocab-scale or doc-scale
+    * aggregate anywhere in the query-time plan (serve-plan pinned in
+    * LexArtifactSpec).
+    */
+  def bm25ServeFromArtifacts(spark: SparkSession, dir: String): DataFrame =
+    bm25RankAgainst(
+      spark.read.parquet(s"$dir/tf.parquet"),
+      spark.read.parquet(s"$dir/dl.parquet"),
+      spark.read.parquet(s"$dir/stats.parquet"),
+      bm25QueryTableFromDf(spark.read.parquet(s"$dir/df.parquet")))
+
+  /** q183_bm25_artifact_rank — the build-once/serve-many lexical index
+    * as a declared, oracle-checked row (the q38/q54 lifecycle
+    * discipline brought to the BM25 side): build the persisted
+    * artifacts from the fixture corpus into a fresh temp directory,
+    * then rank q95's workload from the LOADED artifacts alone. Declared
+    * under q95's oracle VERBATIM — a green hash proves the persisted
+    * lexical index loses nothing vs the live fit, the same claim q38
+    * makes for the vector side.
+    */
+  def bm25ArtifactRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q183_lex").toString
+    buildBm25Artifacts(Tables.documents(spark, sfDir), dir)
+    bm25ServeFromArtifacts(spark, dir)
+  }
 
   /** RM3 knobs: feedback depth (round-1 docs that define the relevance
     * model), expansion width (terms added per query), and the

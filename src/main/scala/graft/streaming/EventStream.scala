@@ -163,8 +163,9 @@ object EventStream {
     val mid = new java.sql.Timestamp(
       (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
     val srcDir = java.nio.file.Files.createTempDirectory("graft_q179_src").toString
-    batch.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(srcDir)
-    batch.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(srcDir)
+    stageOrdered(srcDir,
+      batch.filter(col("ts") < lit(mid)),
+      batch.filter(col("ts") >= lit(mid)))
     val events = spark.readStream.schema(batch.select(col("ts"), col("event_type"), col("value")).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -182,6 +183,31 @@ object EventStream {
       col("n_events"),
       round(col("sum_value"), 6).as("sum_value"))
       .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** Stage a deterministic two-file replay directory: write each frame as
+    * one part file, IN ORDER, and force the second file's mtime strictly
+    * past the first's (ADVICE r16: the file source orders same-batch
+    * candidates by modification time, and on a coarse-mtime filesystem
+    * two sequential writes can land in one tick — the later time-half
+    * would then be processed FIRST and the earlier half dropped below
+    * the watermark, changing q179's emitted window set
+    * nondeterministically). 2 s of skew covers every mainstream mtime
+    * granularity (FAT's 2 s is the coarsest in practice).
+    */
+  private def stageOrdered(srcDir: String, first: DataFrame, second: DataFrame): Unit = {
+    def parts = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.startsWith("part-")).toSet
+    first.coalesce(1).write.mode("append").parquet(srcDir)
+    val firstParts = parts
+    second.coalesce(1).write.mode("append").parquet(srcDir)
+    val maxFirst = firstParts.map(_.lastModified).max
+    (parts -- firstParts).foreach { f =>
+      if (f.lastModified <= maxFirst) {
+        require(f.setLastModified(maxFirst + 2000),
+          s"stageOrdered: could not advance mtime of $f — replay order would be nondeterministic")
+      }
+    }
   }
 
   /** q179 oracle: q13's hourly windows cut to the FINALIZED set — window
@@ -286,6 +312,73 @@ object EventStream {
         }
         fresh.write.mode("append").parquet(storeDir)
       }
+
+  /** Per-batch incremental-dedup CLASSIFICATION against persisted store
+    * artifacts — the continuous-curation loop's decision stage as a
+    * stream: every micro-batch runs
+    * [[graft.operators.Incremental.incrementalDedupAgainstArtifacts]]
+    * (exact md5 probe + MinHash/LSH band probe into the three
+    * [[graft.operators.Incremental.buildStoreArtifacts]] tables) and
+    * appends its (doc_id, disposition, matched_store_id) verdicts to
+    * `outDir`. The artifacts are FIXED for the stream's lifetime — the
+    * per-snapshot discipline the batch path documents: classification
+    * is per-doc independent, so ANY micro-batch split of a crawl yields
+    * the same verdict set, and the store text is never rescanned.
+    * Admission (appending survivors to the store) stays the separate
+    * concern [[fuzzyDedupAgainstStore]] owns; this writer is the
+    * read-only classifier a pipeline fans out to before deciding.
+    */
+  def classifyAgainstStore(docs: DataFrame, artifactsDir: String, outDir: String,
+                           checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Incremental.incrementalDedupAgainstArtifacts(batch, artifactsDir)
+          .write.mode("append").parquet(outDir)
+      }
+
+  /** q181_stream_dedup_store — the STREAMING transport of q80's
+    * incremental dedup, declared under q80's oracle VERBATIM (VERDICT
+    * r16 item 2; the q180 declaration pattern): build the store
+    * artifacts once from the documents snapshot, stage q80's derived
+    * batch ([[graft.operators.Incremental.batchOf]] — the same exact /
+    * near / novel strata) as a TWO-file replay split on doc_id parity,
+    * run it through the file source → [[classifyAgainstStore]] (one
+    * artifact-probing classification per micro-batch), and read the
+    * appended verdicts back sorted. A green hash proves the
+    * continuous-curation loop — the thing a pipeline team actually
+    * schedules — lands row-identical to the batch classification: the
+    * artifact probes lose nothing, and the batch split cannot change a
+    * verdict (per-doc independence against a FIXED snapshot).
+    *
+    * 100 TB: per-batch cost is the batch's own fingerprinting/shingling
+    * plus equi-join probes into the three persisted artifact tables
+    * (16-byte fp / banded signature shuffles only — q80's audited
+    * shape); the streaming engine adds lifecycle-fixed start/commit
+    * cost like q180, not data-proportional work.
+    */
+  def streamDedupStore(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Incremental
+    val store = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val artifactsDir = java.nio.file.Files.createTempDirectory("graft_q181_art").toString
+    Incremental.buildStoreArtifacts(store, artifactsDir)
+    val batch = Incremental.batchOf(store)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_q181_src").toString
+    stageOrdered(srcDir,
+      batch.filter(col("doc_id") % 2 === 0),
+      batch.filter(col("doc_id") % 2 =!= 0))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_q181_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q181_ckpt").toString
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = classifyAgainstStore(stream, artifactsDir, outDir, ckpt).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("disposition"), col("matched_store_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Streaming vector ingest into the persisted IVF index — the
     * reference's accumulate-and-flush upsert loop (vector_db.py:79-106)

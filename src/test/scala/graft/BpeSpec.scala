@@ -236,4 +236,25 @@ class BpeSpec extends AnyFunSuite {
     val scan = Bpe.bpeEncodeOf(dupDocs, deepMerges).orderBy(col("doc_id")).collect().toSeq
     assert(auto == scan, "both paths must stay row-identical under the auto rule")
   }
+
+  test("the auto decision is deterministic: same branch under any partitioning or physical order") {
+    // VERDICT r16 item 5: the duplication sample is a deterministic
+    // xxhash64(doc_id) stratum, so WHICH docs decide the path cannot
+    // depend on scan/partition order. All three branches of the rule are
+    // exercised: shallow short-circuit, deep+scan-local, deep+types.
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+    assert(!Bpe.autoUseTypes(docs, depth = 12), "shallow depth short-circuits to scan-local")
+    for (depth <- Seq(64, 100000)) {
+      val base = Bpe.autoUseTypes(docs, depth)
+      assert(base == Bpe.autoUseTypes(docs.repartition(7), depth),
+        s"depth $depth: decision must not depend on partitioning")
+      assert(base == Bpe.autoUseTypes(docs.orderBy(col("text")), depth),
+        s"depth $depth: decision must not depend on physical row order")
+    }
+    // at a production-vocab depth the fixture corpus IS duplicated enough
+    // for the type path — the branch the sample exists to find
+    assert(Bpe.autoUseTypes(docs, depth = 100000),
+      "deep chain over the fixture corpus must take the type path")
+  }
 }

@@ -59,7 +59,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .replaceAll("QueryStage \\d+", "QueryStage n")
       .replaceAll("(?m)\\s+$", "")
 
-  test("relational rows q26/q146/q162/q173/q174/q175: the SQL text and the DataFrame core compile to one plan") {
+  test("relational rows q26/q146/q162/q173/q174/q175/q182: the SQL text and the DataFrame core compile to one plan") {
     import graft.operators.{Relational, RelationalSql}
     val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
       ("q26", RelationalSql.pricingSummary(spark, TestSpark.Sf0001),
@@ -73,7 +73,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       ("q174", RelationalSql.bigOrderCustomers(spark, TestSpark.Sf0001),
         Relational.bigOrderCustomers(spark, TestSpark.Sf0001)),
       ("q175", RelationalSql.idleRichCustomers(spark, TestSpark.Sf0001),
-        Relational.idleRichCustomers(spark, TestSpark.Sf0001)))
+        Relational.idleRichCustomers(spark, TestSpark.Sf0001)),
+      ("q182", RelationalSql.waitingSuppliers(spark, TestSpark.Sf0001),
+        Relational.waitingSuppliers(spark, TestSpark.Sf0001)))
     pairs.foreach { case (name, sqlDf, coreDf) =>
       assert(sqlDf.columns.toSeq == coreDf.columns.toSeq, s"$name: column names must match")
       assert(sqlDf.collect().toSeq == coreDf.collect().toSeq,
@@ -81,6 +83,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val (sp, cp) = (normPlan(sqlDf), normPlan(coreDf))
       assert(sp == cp, s"$name: SQL and DataFrame forms must compile to IDENTICAL physical plans;\nSQL:\n$sp\nCORE:\n$cp")
     }
+  }
+
+  test("a pre-existing user temp view on a reserved graft_ name fails fast and is preserved") {
+    // ADVICE r16: createOrReplaceTempView + finally-drop would silently
+    // CLOBBER a user's same-named view and then destroy it — the surface
+    // must fail fast instead, leaving the user's view untouched.
+    spark.range(3).toDF("x").createOrReplaceTempView("graft_lineitem")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.RelationalSql.pricingSummary(spark, TestSpark.Sf0001)
+      }
+      assert(e.getMessage.contains("graft_lineitem"))
+      assert(spark.table("graft_lineitem").count() == 3,
+        "the user's colliding view must survive the failed call unchanged")
+    } finally spark.catalog.dropTempView("graft_lineitem")
   }
 
   test("graft_l2_normalize is callable from SQL and emits unit vectors") {

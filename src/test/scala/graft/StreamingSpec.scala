@@ -63,6 +63,13 @@ class StreamingSpec extends AnyFunSuite {
       "the two-batch streaming replay must produce q176's exact probe result")
   }
 
+  test("q181 streaming classification lands row-identical to batch q80") {
+    val streamed = EventStream.streamDedupStore(spark, TestSpark.Sf0001).collect().toSeq
+    val batch = graft.operators.Incremental.incrementalDedup(spark, TestSpark.Sf0001).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "the two-batch artifact-probing replay must produce q80's exact verdict set")
+  }
+
   test("q179 append mode emits exactly the finalized windows of the q151 complete snapshot") {
     val complete = EventStream.streamWindowStats(spark, TestSpark.Sf0001).collect().toSeq
     val append = EventStream.streamAppendWindows(spark, TestSpark.Sf0001).collect().toSeq
