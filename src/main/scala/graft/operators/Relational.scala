@@ -1187,20 +1187,22 @@ object Relational {
     * Q17/Q18/Q20/Q22 family.
     *
     * Decorrelation: never a per-row re-scan. The two correlated
-    * subqueries collapse into TWO stacked aggregates — per
-    * (orderkey, suppkey): the pair's late-row count; per orderkey over
+    * subqueries collapse into one per-(orderkey, suppkey) aggregate —
+    * the pair's late-row count — plus per-orderkey WINDOW counts over
     * those pairs: supplier count (EXISTS ⇔ n_supp > 1) and late-supplier
     * count (NOT EXISTS ⇔ n_late_supp = 1, since l1's own supplier is
-    * late) — then a pair↔order equi-join recovers per-pair
-    * qualification, and numwait(s) = Σ qualifying pairs' late-row counts
-    * (Q21 counts l1 ROWS, not orders — the per-pair count carries that
-    * through the decorrelation).
+    * late); numwait(s) = Σ qualifying pairs' late-row counts (Q21 counts
+    * l1 ROWS, not orders — the per-pair count carries that through the
+    * decorrelation). The windows replace a groupBy + pair↔order
+    * self-join: same values, one pair-scale shuffle instead of two plus
+    * a join, and no join build side for AQE to arbitrate (the r17
+    * plan-identity pin needs the plan deterministic).
     *
     * 100 TB: ONE fact-scale shuffle pair (lineitem ⋈ F-orders on
     * orderkey — the status cut prunes the orders side first, and real
     * Q21 pays the same join); everything after is (order, supplier)-PAIR
-    * scale: the pair aggregate is map-side combined, the order rollup
-    * and the qualification join move only pair rows, and the
+    * scale: the pair aggregate is map-side combined, the order-window
+    * partitions are bounded by suppliers-per-order, and the
     * supplier/nation/region dims broadcast (no pinned hints — the
     * q149/q173 lesson, AQE arbitrates).
     */
@@ -1233,12 +1235,17 @@ object Relational {
     val perPair = lf
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(sum(col("late")).as("n_late_rows"))
-    val perOrder = perPair
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"),
-        count(when(col("n_late_rows") > 0, lit(1))).as("n_late_supp"))
+    // the per-order EXISTS/NOT-EXISTS counts as WINDOWS over the pair
+    // table, not a groupBy + self-join: one pair-scale shuffle on
+    // l_orderkey (partitions bounded by suppliers-per-order), no join
+    // for AQE to arbitrate — deterministic plan, one fewer exchange
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    // both counts in ONE select → one Window node (chained withColumns
+    // would plan two, with a blocking Project between)
     val qual = perPair
-      .join(perOrder, Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("n_late_rows"),
+        count(lit(1)).over(wOrd).as("n_supp"),
+        count(when(col("n_late_rows") > 0, lit(1))).over(wOrd).as("n_late_supp"))
       .filter(col("n_late_rows") > 0 && col("n_supp") > 1 &&
         col("n_late_supp") === 1)
     supp.join(qual, col("s_suppkey") === col("l_suppkey"))

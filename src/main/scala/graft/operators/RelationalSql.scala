@@ -227,14 +227,15 @@ object RelationalSql {
        |), ps AS (
        |  SELECT l_orderkey, l_suppkey, SUM(late) AS n_late_rows
        |  FROM lf GROUP BY l_orderkey, l_suppkey
-       |), po AS (
-       |  SELECT l_orderkey, COUNT(1) AS n_supp,
-       |         COUNT(CASE WHEN n_late_rows > 0 THEN 1 END) AS n_late_supp
-       |  FROM ps GROUP BY l_orderkey
        |), qual AS (
-       |  SELECT ps.l_suppkey, ps.n_late_rows
-       |  FROM ps JOIN po ON ps.l_orderkey = po.l_orderkey
-       |  WHERE ps.n_late_rows > 0 AND po.n_supp > 1 AND po.n_late_supp = 1
+       |  SELECT l_suppkey, n_late_rows
+       |  FROM (
+       |    SELECT l_orderkey, l_suppkey, n_late_rows,
+       |           COUNT(1) OVER (PARTITION BY l_orderkey) AS n_supp,
+       |           COUNT(CASE WHEN n_late_rows > 0 THEN 1 END)
+       |             OVER (PARTITION BY l_orderkey) AS n_late_supp
+       |    FROM ps
+       |  ) WHERE n_late_rows > 0 AND n_supp > 1 AND n_late_supp = 1
        |)
        |SELECT s.s_suppkey, s.s_name, SUM(q.n_late_rows) AS numwait
        |FROM (SELECT s_suppkey, s_name

@@ -14,10 +14,15 @@ import graft.operators.IvfIndex
 class SqlIndexSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // the SqlSurfaceSpec normalization: AQE-finalized plan with expression/
-  // plan/codegen-span/query-stage ids scrubbed
-  private def normPlan(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  // the SqlSurfaceSpec normalization: the COMPILE-TIME (Initial Plan)
+  // section with expression/plan/codegen-span/query-stage ids scrubbed —
+  // AQE's runtime build-side choices are stats-driven and can differ
+  // between executions of the same compiled plan (see SqlSurfaceSpec)
+  private def normPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val full = df.queryExecution.executedPlan.toString
+    val marker = "== Initial Plan =="
+    val at = full.indexOf(marker)
+    (if (at >= 0) full.substring(at + marker.length) else full)
       .replaceAll("#\\d+L?", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("\\[id=#x\\]", "")
@@ -32,6 +37,7 @@ class SqlIndexSpec extends AnyFunSuite {
       .replaceAll("Some\\(graft_topk\\d+\\)", "None")
       .replaceAll("@[0-9a-f]+", "@x")
       .replaceAll("(?m)\\s+$", "")
+  }
 
   private def freshIndex(): (org.apache.spark.sql.DataFrame, String) = {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
