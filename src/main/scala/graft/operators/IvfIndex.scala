@@ -128,6 +128,33 @@ object IvfIndex {
     writeIndex(emb, centroidsOf(emb), indexDir)
   }
 
+  /** Scan-local nearest-centroid assignment (optimization guide §2.4,
+    * round 17): the centroid table is DECISION-scale (nlist rows — the
+    * same table the old path collected into a broadcast anyway), so the
+    * argmax needs no distributed plan at all. Collect it once, embed it
+    * as ONE array literal, and compute each row's nearest centroid as a
+    * projection: `array_max` over the per-centroid (cs, −cl) structs is
+    * exactly the former `max_by(struct(...), struct(cs, neg))` rule —
+    * cs = round(cosine(embedding, centroid), 6), ties to the smaller
+    * centroid id. The former shape (crossJoin(broadcast) → ×nlist rows →
+    * groupBy(vec_id) max_by) paid an EXCHANGE carrying every embedding
+    * before the layout repartition; at 100 TB that was a second full
+    * corpus shuffle, here the corpus crosses exactly one exchange (the
+    * layout co-location). Returns `df` plus a `list_id` (long) column.
+    */
+  private def withNearestList(spark: SparkSession, df: DataFrame,
+                              indexDir: String): DataFrame = {
+    val cents: Seq[(Long, Seq[Double])] = spark.read.parquet(centroidsPath(indexDir))
+      .select(col("label").cast("long"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, s"withNearestList: empty centroid table at ${centroidsPath(indexDir)}")
+    val centArr = typedLit(cents)
+    val best = array_max(transform(centArr, c => struct(
+      round(GraftFunctions.cosine(col("embedding"), c.getField("_2")), 6).as("cs"),
+      (c.getField("_1") * -1L).as("neg"))))
+    df.withColumn("list_id", (best.getField("neg") * -1L).cast("long"))
+  }
+
   /** Shared write side of [[build]]/[[buildUnsupervised]]: persist the
     * centroid table and the corpus assigned-to-nearest-centroid (by COSINE,
     * the probe's routing metric — assignment and routing must agree or
@@ -143,24 +170,17 @@ object IvfIndex {
     // (compact/maintain read ALL files under one inferred schema)
     val labelCol =
       if (emb.columns.contains("label")) col("label").cast("long") else lit(-1L)
-    val assigned = emb
-      .crossJoin(broadcast(centroids.select(col("label").as("cl"), col("centroid"))))
-      .select(col("vec_id"), labelCol.as("label"), col("embedding"), col("cl"),
-        round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6).as("cs"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("label"), col("embedding"), col("cl"), col("cs")),
-        struct(col("cs"), (col("cl") * -1).as("neg"))).as("p"))
-      .select(col("p.label").as("label"), col("vec_id"),
-        col("p.embedding").as("embedding"), lit(0L).as("version"),
-        col("p.cl").cast("long").as("list_id"))
+    val spark = emb.sparkSession
+    val assigned = withNearestList(spark,
+      emb.select(labelCol.as("label"), col("vec_id"), col("embedding"),
+        lit(0L).as("version")), indexDir)
     // co-locate each list before the partitioned write: one writer task per
     // list instead of tasks x lists small files (at 100 TB, raise the
     // partition count so each list splits across several right-sized files)
     assigned
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(pointsPath(indexDir))
-    writeCatalogFromCentroids(emb.sparkSession, indexDir)
+    writeCatalogFromCentroids(spark, indexDir)
   }
 
   /** Catalog entry LAST, derived from the just-written centroid table
@@ -505,7 +525,6 @@ object IvfIndex {
       writeMeta(spark, indexDir,
         m.copy(nextVersion = math.max(m.nextVersion, version + 1L)))
     }
-    val centroids = spark.read.parquet(centroidsPath(indexDir))
     // tolerate unlabeled vectors, like writeIndex — and normalize label to
     // LONG like writeIndex, so an append can never drift the layout's
     // parquet type (the mixed-type layout fails exactly at the next
@@ -514,17 +533,12 @@ object IvfIndex {
       if (newVectors.columns.contains("label"))
         newVectors.withColumn("label", col("label").cast("long"))
       else newVectors.withColumn("label", lit(-1L))
-    labeled
-      .crossJoin(broadcast(centroids.select(col("label").as("cl"), col("centroid"))))
-      .select(col("vec_id"), col("label"), col("embedding"), col("cl"),
-        round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6).as("cs"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("label"), col("embedding"), col("cl"), col("cs")),
-        struct(col("cs"), (col("cl") * -1).as("neg"))).as("p"))
-      .select(col("p.label").as("label"), col("vec_id"),
-        col("p.embedding").as("embedding"), lit(version).as("version"),
-        col("p.cl").cast("long").as("list_id"))
+    // scan-local assignment against the EXISTING centroid table — the
+    // same [[withNearestList]] rule as the build, so append and build can
+    // never drift (and the batch crosses no assignment exchange)
+    withNearestList(spark,
+      labeled.select(col("label"), col("vec_id"), col("embedding"),
+        lit(version).as("version")), indexDir)
       .write.mode("append").partitionBy("list_id").parquet(pointsPath(indexDir))
   }
 

@@ -52,7 +52,7 @@ object Pq {
     */
   def train(spark: SparkSession, emb: DataFrame, m: Int = 8, k: Int = 16,
             seed: Long = 42L, trainFraction: Double = 1.0,
-            maxTrainRows: Int = 65536): Codebooks = {
+            maxTrainRows: Int = 65536, knownCount: Long = -1L): Codebooks = {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
@@ -65,8 +65,11 @@ object Pq {
     // prefix (ADVICE r5). The 5% margin keeps the expected draw near the
     // cap; the limit() below stays only as the hard bound on the driver's
     // bill. One extra count() job — training is the offline step, and the
-    // sample stays seeded-deterministic for a fixed layout.
-    val n = emb.count()
+    // sample stays seeded-deterministic for a fixed layout. A caller that
+    // already counted the corpus passes `knownCount` so the lifecycle
+    // pays ONE counting pass, not two (guide §1.2: don't recompute what
+    // you already have — at 100 TB each count() is a full scan).
+    val n = if (knownCount >= 0) knownCount else emb.count()
     val expected = n * trainFraction
     val f =
       if (expected > maxTrainRows) {
@@ -361,7 +364,10 @@ object Pq {
     */
   private[graft] def lifecycleTrain(spark: SparkSession, emb: DataFrame): Codebooks = {
     val n = emb.count()
-    train(spark, emb, m = 8, k = 16, trainFraction = math.min(1.0, 4000.0 / n))
+    // knownCount = n: the fraction derivation above already paid the
+    // counting pass; train must not run a second one (guide §1.2)
+    train(spark, emb, m = 8, k = 16, trainFraction = math.min(1.0, 4000.0 / n),
+      knownCount = n)
   }
 
   /** Covering shortlist for [[probeCompressed]]: no PROBED list holds more
