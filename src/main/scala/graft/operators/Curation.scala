@@ -71,7 +71,7 @@ object Curation {
     val survivors = dedupedClean(docs)
     val rebuilt = TextAnalysis.fuzzySentenceDedupPlan(
         survivors, TextAnalysis.sentenceUnits(survivors), DedupExtras.JaccardThreshold)
-      .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
     selectAndPack(deconOf(docs, rebuilt))
   }
@@ -88,8 +88,15 @@ object Curation {
     val survivors0 = dedupedClean(docs)
     val survivors = if (cacheSurvivors) survivors0.cache() else survivors0
     try {
+      // lang lookup against the RAW corpus, not the survivors frame
+      // (round 17): a survivor id is always an ORIGINAL doc_id — a
+      // planted copy (+1000000) can never be its text group's min-id
+      // keeper because its source carries the same text under a smaller
+      // id — and cleaning never touches lang, so the two joins are
+      // row-identical; the raw side is a bare scan while the survivors
+      // side re-ran the whole exact-dedup aggregate just to look up lang
       val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
-        .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
       val decon = deconOf(docs, rebuilt).cache()
       try selectAndPack(decon).localCheckpoint(true)
@@ -98,7 +105,7 @@ object Curation {
   }
 
   /** Stages 1-2: plant dirt + copies, clean, keep exact-dedup survivors. */
-  private def dedupedClean(docs: DataFrame): DataFrame = {
+  private[operators] def dedupedClean(docs: DataFrame): DataFrame = {
     // stage 1 — CLEAN (q85 core): plant deterministic dirt, normalize it
     val raw = docs.select(col("doc_id"), col("lang"),
       when(col("doc_id") % 3 === 0,
@@ -116,7 +123,7 @@ object Curation {
   /** Stage 4 — DECONTAMINATE (q60 core): drop rebuilt docs sharing any
     * 8-gram with the held-out benchmark slice, matched lowercased.
     */
-  private def deconOf(docs: DataFrame, rebuilt: DataFrame): DataFrame = {
+  private[operators] def deconOf(docs: DataFrame, rebuilt: DataFrame): DataFrame = {
     val bench = docs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id"), lower(col("text")).as("text"))
     val corpus = rebuilt.filter(col("doc_id") % 97 =!= 0)
@@ -129,7 +136,7 @@ object Curation {
   /** Stages 5-6: per-lang top-quartile LM selection (q79 core), then the
     * training-loader pack plan (q69 core).
     */
-  private def selectAndPack(decon: DataFrame): DataFrame = {
+  private[operators] def selectAndPack(decon: DataFrame): DataFrame = {
     val sel = TextAnalysis.percentileSelectOf(decon, TextAnalysis.SelectQuantile)
       .select(col("doc_id"))
     TextPipeline.packSequencesOf(decon.join(sel, Seq("doc_id"), "left_semi"))

@@ -178,18 +178,28 @@ object Ranking {
     // q92 multiply-consumed-stage discipline)
     val cand = Hybrid.localized(short)
     // shortlist-member embeddings: broadcast the q×s id list against the
-    // encoder scan — corpus never shuffles, output is shortlist-scale
+    // encoder scan — corpus never shuffles, output is shortlist-scale.
+    // CACHED operator-scoped (round 17, guide §2.4): the a/b sides of the
+    // pair-sims self-join below are two plan branches over this subtree,
+    // and without the cache each branch re-ran the ENCODER SCAN — a third
+    // full corpus encode per call. The cache is shortlist-scale (q×s
+    // rows), materialized while localized(simPairs) executes, released in
+    // the finally; the corpus is now encoded exactly twice (ranking pass
+    // + this lookup pass), the documented floor.
     val shortVecs = dvecs
       .join(broadcast(cand.select(col("qid"), col("doc_id").as("vec_id"))), Seq("vec_id"))
       .select(col("qid"), col("vec_id").as("doc_id"), col("embedding"))
-    val a = shortVecs.select(col("qid"), col("doc_id").as("a_id"), col("embedding").as("va"))
-    val b = shortVecs.select(col("qid"), col("doc_id").as("b_id"), col("embedding").as("vb"))
-    val simPairs = a.join(b, Seq("qid"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("qid"), col("a_id"), col("b_id"),
-        round(GraftFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
-    // query-scale from here on: run the greedy unroll over local relations
-    mmrSelectFrom(cand, Hybrid.localized(simPairs))
+      .cache()
+    try {
+      val a = shortVecs.select(col("qid"), col("doc_id").as("a_id"), col("embedding").as("va"))
+      val b = shortVecs.select(col("qid"), col("doc_id").as("b_id"), col("embedding").as("vb"))
+      val simPairs = a.join(b, Seq("qid"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("qid"), col("a_id"), col("b_id"),
+          round(GraftFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+      // query-scale from here on: run the greedy unroll over local relations
+      mmrSelectFrom(cand, Hybrid.localized(simPairs))
+    } finally shortVecs.unpersist()
   }
 
   /** The greedy selection core over a (qid, doc_id, rel) candidate frame

@@ -101,16 +101,23 @@ object Serving {
     // ---- 3. MMR over the fused list: query-scale local relations ----
     val cand = Hybrid.localized(
       fused.select(col("qid"), col("doc_id"), col("rrf").as("rel")))
+    // cached operator-scoped like q105's shortlist (round 17): the a/b
+    // branches of the pair-sims self-join would otherwise each re-read
+    // the index points layout; the cache is shortlist-scale and released
+    // after localized(simPairs) materializes
     val shortVecs = dvecs
       .join(broadcast(cand.select(col("qid"), col("doc_id").as("vec_id"))), Seq("vec_id"))
       .select(col("qid"), col("vec_id").as("doc_id"), col("embedding"))
-    val a = shortVecs.select(col("qid"), col("doc_id").as("a_id"), col("embedding").as("va"))
-    val b = shortVecs.select(col("qid"), col("doc_id").as("b_id"), col("embedding").as("vb"))
-    val simPairs = a.join(b, Seq("qid"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("qid"), col("a_id"), col("b_id"),
-        round(GraftFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
-    Ranking.mmrSelectFrom(cand, Hybrid.localized(simPairs))
+      .cache()
+    try {
+      val a = shortVecs.select(col("qid"), col("doc_id").as("a_id"), col("embedding").as("va"))
+      val b = shortVecs.select(col("qid"), col("doc_id").as("b_id"), col("embedding").as("vb"))
+      val simPairs = a.join(b, Seq("qid"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("qid"), col("a_id"), col("b_id"),
+          round(GraftFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+      Ranking.mmrSelectFrom(cand, Hybrid.localized(simPairs))
+    } finally shortVecs.unpersist()
   }
 
   /** q96's fusion CTEs + the candidate/sims bridge + q105's unrolled

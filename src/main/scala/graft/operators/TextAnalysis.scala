@@ -1878,15 +1878,24 @@ object TextAnalysis {
     * probe the membership test for nothing — countDistinct downstream
     * already makes duplicates semantically irrelevant, so dropping them
     * map-side is free.
+    *
+    * Assembly is the zip-with-tails trick (the [[DedupExtras.shingleSetsOf]]
+    * discipline, round 17): n shifted slices of ONE projected token array,
+    * zipped and joined per element. The former index-probing lambda —
+    * `slice(t, i, n)` with `t = split(text)` spliced inline — re-ran the
+    * tokenizer PER GRAM once CollapseProject inlined it (plan-verified:
+    * `lambdafunction(concat_ws( , slice(split(text…`), the q108 bug class:
+    * an L-token doc paid L re-splits of its own text. Docs with < n tokens
+    * emit no gram row, exactly as before.
     */
-  private def wordGrams(df: DataFrame, n: Int): DataFrame = {
-    val t = split(col("text"), "\\s+")
-    df.select(col("doc_id"),
-      explode(array_distinct(when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))).as("gram"))
-  }
+  private def wordGrams(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        arrays_zip((0 until n).map(j =>
+          slice(col("toks"), lit(j + 1), size(col("toks")) - (n - 1)).as(s"w$j")): _*),
+        s => concat_ws(" ", (0 until n).map(j => s.getField(s"w$j")): _*))))
+        .as("gram"))
 
   /** Shared presentation tail: per-doc shared-gram counts left-joined back
     * so clean docs emit their explicit zero row.
@@ -2056,16 +2065,28 @@ object TextAnalysis {
     * semi-join on (fp, key) — no window over the corpus — and the rebuild
     * regroups by doc_id. Both shuffles carry sentence-scale rows.
     */
-  def sentenceDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = split(col("text"), "\\s+")
+  /** The derived multi-sentence corpus text shared by q68/q70: the doc's
+    * tokens regrouped 8-per-sentence. Built over a PROJECTED `toks`
+    * attribute (round 17): with `split(text)` spliced inline, the
+    * transform lambda re-ran the split per 8-token group once
+    * CollapseProject inlined it (the q108/wordGrams bug class); over an
+    * attribute each group probe is an array slice.
+    */
+  private def eightTokenSentences(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
     val multi = concat_ws(". ",
-      transform(sequence(lit(0), floor((size(t) - 1) / 8).cast("int")),
-        i => concat_ws(" ", slice(t, i * 8 + 1, lit(8)))))
-    val corpus = Tables.documents(spark, sfDir)
+      transform(sequence(lit(0), floor((size(toks) - 1) / 8).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), multi.as("m"))
+  }
+
+  def sentenceDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = eightTokenSentences(Tables.documents(spark, sfDir))
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 3,
-          concat(multi, lit(". subscribe to our newsletter for updates")))
-          .otherwise(multi).as("text"))
+          concat(col("m"), lit(". subscribe to our newsletter for updates")))
+          .otherwise(col("m")).as("text"))
     sentenceDedupOf(corpus)
   }
 
@@ -2244,13 +2265,9 @@ object TextAnalysis {
     * the SAME NumHashes/Bands/threshold constants as q16's oracle.
     */
   def fuzzySentenceDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = split(col("text"), "\\s+")
-    val multi = concat_ws(". ",
-      transform(sequence(lit(0), floor((size(t) - 1) / 8).cast("int")),
-        i => concat_ws(" ", slice(t, i * 8 + 1, lit(8)))))
-    val corpus = Tables.documents(spark, sfDir)
+    val corpus = eightTokenSentences(Tables.documents(spark, sfDir))
       .select(col("doc_id"),
-        concat(multi,
+        concat(col("m"),
           when(col("doc_id") % 7 === 3,
             lit(". subscribe to our newsletter for updates")).otherwise(lit("")),
           when(col("doc_id") % 11 === 5,
