@@ -42,11 +42,28 @@ class DupClustersSpec extends AnyFunSuite {
     // naive min-propagation needs 1023 rounds here; star contraction is
     // the reason the operator holds at 100 TB component diameters
     val chain = (0L until 1023L).map(i => (i, i + 1)).toDF("u", "v")
-    val (labels, rounds) = DupClusters.ccWithRounds(chain)
+    // localEdgeBound = 0 forces the distributed star rounds: this test pins
+    // the 100 TB path, which the decision-scale union-find cutover would
+    // otherwise absorb (1023 edges < LocalEdgeBound).
+    val (labels, rounds) = DupClusters.ccWithRounds(chain, localEdgeBound = 0)
     assert(rounds <= 12, s"chain took $rounds star rounds; expected O(log2 1024)=~10")
     val lab = labels.as[(Long, Long)].collect().toMap
     assert(lab.size == 1024 && lab.values.forall(_ == 0L),
       "every chain node must label to component min 0")
+  }
+
+  test("driver-local union-find cutover agrees with the distributed star rounds") {
+    import spark.implicits._
+    for ((n, m, seed) <- Seq((60, 80, 11), (300, 260, 12))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("u", "v")
+      val local = DupClusters.ccWithRounds(df)._1.as[(Long, Long)].collect().toMap
+      val dist = DupClusters.ccWithRounds(df, localEdgeBound = 0)._1
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"n=$n m=$m seed=$seed: local cutover diverges from star rounds")
+    }
   }
 
   test("q74 clusters the fixture corpus exactly as union-find over the verified pair set") {
