@@ -344,10 +344,18 @@ object IvfIndex {
     * the probe variants.
     */
   def route(spark: SparkSession, indexDir: String, queries: DataFrame,
-            nprobe: Int, carry: Seq[String] = Nil): DataFrame = {
+            nprobe: Int, carry: Seq[String] = Nil,
+            keepRank: Boolean = false): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val centroids = spark.read.parquet(centroidsPath(indexDir))
     val carryCols = carry.map(col)
+    // keepRank additionally emits the routing rank as `route_rank` so a
+    // caller comparing SEVERAL nprobe settings (q64's recall curve) can
+    // route+scan once at the widest setting and recover each narrower
+    // probe by `route_rank <= np` — the same rows route() would emit at
+    // that nprobe, since row_number over (cscore desc, label asc) is
+    // deterministic and rank-prefix-stable.
+    val rankCols = if (keepRank) Seq(col("rn").cast("long").as("route_rank")) else Nil
     queries
       .crossJoin(broadcast(centroids))
       .select(Seq(col("qid"), col("qvec")) ++ carryCols ++ Seq(col("label"),
@@ -356,7 +364,7 @@ object IvfIndex {
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("cscore").desc, col("label").asc)))
       .filter(col("rn") <= nprobe)
-      .select(Seq(col("qid"), col("qvec")) ++ carryCols :+
+      .select(Seq(col("qid"), col("qvec")) ++ carryCols ++ rankCols :+
         col("label").cast("long").as("probe_list"): _*)
   }
 
@@ -539,6 +547,10 @@ object IvfIndex {
     withNearestList(spark,
       labeled.select(col("label"), col("vec_id"), col("embedding"),
         lit(version).as("version")), indexDir)
+      // co-locate each list before the partitioned write (the writeIndex
+      // discipline): one file per touched list per batch instead of
+      // input-partitions x lists small files
+      .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(pointsPath(indexDir))
   }
 
@@ -574,7 +586,13 @@ object IvfIndex {
     // rename against the wrong filesystem
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest = latestPoints(spark.read.parquet(pointsPath(indexDir)))
-    latest.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    // co-locate each list before the partitioned write (the writeIndex
+    // discipline, round 17): the LWW window leaves rows shuffled by
+    // vec_id, so an unrepartitioned write emits shuffle-partitions x
+    // lists small files — the compacted layout should be exactly as
+    // file-sized as a fresh build's (guide §6)
+    latest.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
     // swap via backup, not delete-then-rename: a crash mid-swap leaves
     // either the old layout live (before the second rename) or a
     // recoverable `_precompact` copy — never a deleted index. The backup
@@ -816,8 +834,27 @@ object IvfIndex {
     val exact = Knn.topK(queries, emb.select(col("vec_id"), col("embedding")), k)
       .select(col("qid"), col("vec_id"))
       .localCheckpoint(true)
+    // ONE routed scan at the widest nprobe with the routing rank carried
+    // (round 17, guide §2.4): the per-nprobe probes previously each re-ran
+    // routing, the lists collect, the pruned scan and the scoring join —
+    // the nprobe=1 probe is by construction the route_rank <= 1 subset of
+    // the nprobe=2 scoring, so score once and rank per nprobe from the
+    // same (query-scale, localCheckpoint'ed) scored frame. Row-identical:
+    // routing rank is deterministic and prefix-stable, and the freshly
+    // built layout is version-unique so the wider LWW scan cannot
+    // resurrect or drop rows vs the per-nprobe scan.
+    val routed = route(spark, indexDir, queries, nprobe = 2, keepRank = true)
+      .localCheckpoint(true)
+    val lists = routed.select(col("probe_list")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val scored = latestPoints(
+      spark.read.parquet(pointsPath(indexDir)).filter(col("list_id").isin(lists: _*)))
+      .join(broadcast(routed), col("list_id") === col("probe_list"))
+      .select(col("qid"), col("route_rank"), col("probe_list"), col("vec_id"),
+        round(GraftFunctions.cosine(col("qvec"), col("embedding")), 6).as("score"))
+      .localCheckpoint(true)
     def hitsAt(np: Int): DataFrame =
-      probe(spark, indexDir, queries, k = k, nprobe = np)
+      rankTopK(scored.filter(col("route_rank") <= np).drop("route_rank"), k)
         .select(col("qid"), col("vec_id"))
         .join(exact, Seq("qid", "vec_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as("hits"))

@@ -76,13 +76,27 @@ object OverlapGraph {
   def overlapPagerankOf(docs: DataFrame): DataFrame =
     pagerankOverEdges(TextAnalysis.winnowMatchesOf(docs, minShared = PrMinShared))
 
+  /** Below this many (directed) ratio edges the fixed point runs as a
+    * DRIVER-LOCAL fold (round 17, guide §1.2): the edge list is
+    * decision-scale by the q91 contract, and each distributed iteration
+    * costs a join + aggregate + localCheckpoint job — pure scheduling
+    * overhead when the whole graph fits in a few MB. Beyond the bound
+    * the per-round distributed loop runs unchanged (the 100 TB path).
+    * Both paths iterate the identical affine map with the identical
+    * [[PrCarryDp]] HALF_UP carry round, which is precisely the grain
+    * that absorbs reduction-order ulp noise — the same contract that
+    * already lets Spark's partition-order sums hash-match DuckDB's.
+    */
+  val LocalEdgeBound = 100000L
+
   /** The fixed-point core over ANY undirected (a_id, b_id, n_shared)
     * edge frame (edge-scale by contract). Checkpointed per round: each
     * iteration's frame feeds the next join, and an unbroken lineage
     * would re-execute the whole prefix per round (the q74 per-round
     * discipline).
     */
-  private[graft] def pagerankOverEdges(matches: DataFrame): DataFrame = {
+  private[graft] def pagerankOverEdges(matches: DataFrame,
+                                       localEdgeBound: Long = LocalEdgeBound): DataFrame = {
     val edges = matches
       .select(col("a_id").as("src"), col("b_id").as("dst"), col("n_shared"))
       .unionByName(matches
@@ -92,6 +106,31 @@ object OverlapGraph {
       .select(col("src"), col("dst"),
         (col("n_shared").cast("double") / col("wsum")).as("r"))
       .localCheckpoint(true)
+    if (ratios.count() <= localEdgeBound) {
+      // deterministic local fold: per-dst in-sums accumulated in sorted
+      // (dst, src) order, the same HALF_UP carry/presentation rounds
+      val rs = ratios.collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+        .sortBy(e => (e._2, e._1))
+      def rnd(v: Double, dp: Int): Double =
+        BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var pr: Map[Long, Double] =
+        rs.iterator.map(_._1).toArray.distinct.map(_ -> 1.0).toMap
+      for (_ <- 1 to PrIters) {
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+        rs.foreach { case (src, dst, r) =>
+          acc(dst) = acc.getOrElse(dst, 0.0) + pr(src) * r
+        }
+        pr = acc.iterator.map { case (d, s) =>
+          d -> rnd(PrBase + PrDamping * s, PrCarryDp) }.toMap
+      }
+      val spark2 = matches.sparkSession
+      import spark2.implicits._
+      return pr.toSeq.map { case (d, v) => (d, rnd(v, 6)) }.sortBy(_._1)
+        .toDF("doc_id", "pr")
+        .orderBy(col("pr").desc, col("doc_id"))
+        .limit(PrTopN)
+    }
     var pr = ratios.select(col("src").as("doc_id")).distinct()
       .withColumn("pr", lit(1.0))
       .localCheckpoint(true)

@@ -104,6 +104,22 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(persisted == direct && persisted.nonEmpty)
   }
 
+  test("route keepRank is prefix-stable: rank<=np subset equals route at nprobe=np") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ranked = IvfIndex.route(spark, indexDir, queries, nprobe = 2, keepRank = true)
+    for (np <- Seq(1, 2)) {
+      val subset = ranked.filter(col("route_rank") <= np)
+        .select($"qid", $"probe_list").collect().map(_.toSeq).toSet
+      val direct = IvfIndex.route(spark, indexDir, queries, nprobe = np)
+        .select($"qid", $"probe_list").collect().map(_.toSeq).toSet
+      assert(subset == direct && direct.nonEmpty,
+        s"nprobe=$np: keepRank prefix must equal the per-nprobe routing (q64's single-scan contract)")
+    }
+  }
+
   test("append upserts supersede on probe; compact removes stale rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_upsert").toString
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)

@@ -35,6 +35,23 @@ class OverlapGraphSpec extends AnyFunSuite {
     assert(p1 == p2, "symmetrization must erase the (a,b) vs (b,a) choice")
   }
 
+  test("q110 core: driver-local fold agrees with the distributed star-round loop") {
+    // random weighted graphs: the local fold (deterministic sorted-order
+    // sums) and the distributed join+agg loop (partition-order sums) must
+    // agree exactly — the PrCarryDp carry round absorbs reduction-order
+    // ulp noise by design (the same contract the DuckDB oracle relies on)
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        (rnd.nextInt(9) + 1).toLong))
+        .filter { case (a, b, _) => a != b }
+        .toDF("a_id", "b_id", "n_shared")
+      val local = OverlapGraph.pagerankOverEdges(edges).collect().toSeq
+      val dist = OverlapGraph.pagerankOverEdges(edges, localEdgeBound = 0).collect().toSeq
+      assert(local == dist, s"seed=$seed: local fold diverges from the distributed loop")
+    }
+  }
+
   test("q111: containment finds the quote-inclusion pair Jaccard banding is blind to") {
     // doc 1 = a 6-token "short post"; doc 0 = a long doc QUOTING doc 1
     // verbatim inside ~60 tokens of its own text: containment(1 in 0) = 1.0
