@@ -79,7 +79,12 @@ object Explain {
                 org.apache.spark.sql.functions.col("lang"),
                 org.apache.spark.sql.functions.col("text")))
         else SparkEntry.queries(n)(spark, sfDir)
-      if (execute) df.write.mode("overwrite").format("noop").save()
+      // execute the df's OWN QueryExecution (a noop write would plan a
+      // separate one, leaving this plan isFinalPlan=false): toRdd
+      // materializes every column of every row without a driver collect,
+      // and the AdaptiveSparkPlan mutates in place so the print below is
+      // what AQE actually ran
+      if (execute) df.queryExecution.toRdd.foreachPartition(_ => ())
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }

@@ -58,16 +58,17 @@ object Hybrid {
 
   /** Composable core of q96 for ANY (doc_id, text, …) corpus. */
   def hybridRrfOf(docs: DataFrame): DataFrame = {
-    // ONE workload derivation feeds both halves: two consumers (the
-    // lexical ranker's term cut, the vector half's query text) would
-    // otherwise each re-run the corpus-scale df aggregate underneath it —
-    // the q92 multiply-consumed-stage discipline.
-    val qtab = localized(TextAnalysis.bm25QueryTableOf(docs))
+    // ONE corpus tokenization feeds the workload derivation AND every
+    // branch of the lexical ranker (the q92 multiply-consumed-stage
+    // discipline, tightened round 17: exchange reuse does not dedup the
+    // tf branches — see TextAnalysis.tokenTfMaterialized).
+    val tf = TextAnalysis.tokenTfMaterialized(docs)
+    val qtab = localized(TextAnalysis.bm25QueryTableFromTf(tf))
     val dvecs = Embed.embedColumn[String](
       docs.select(col("doc_id"), col("text")), "text", "emb",
       Embed.md5CountEncoder(HybridDim))
       .select(col("doc_id").as("vec_id"), col("emb").as("embedding"))
-    fuseWith(qtab, TextAnalysis.bm25RankWith(docs, qtab), dvecs)
+    fuseWith(qtab, TextAnalysis.bm25RankFromTf(tf, qtab), dvecs)
   }
 
   /** Build the SERVING-TIER artifacts for hybrid search (VERDICT r11

@@ -54,7 +54,7 @@ object Ranking {
 
   /** Composable core for ANY (doc_id, text, …) corpus. */
   def ndcgEvalOf(docs: DataFrame): DataFrame = {
-    val tf = TextAnalysis.tokenTfOf(docs)
+    val tf = TextAnalysis.tokenTfMaterialized(docs)
     val qtab = Hybrid.localized(TextAnalysis.bm25QueryTableFromTf(tf))
     val ranked = TextAnalysis.bm25RankFromTf(tf, qtab)
     // graded relevance: tf rows ARE the distinct (doc, token) pairs, so

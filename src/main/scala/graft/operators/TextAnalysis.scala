@@ -644,6 +644,23 @@ object TextAnalysis {
     docs.select(col("doc_id"), explode(tokenArr(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
 
+  /** [[tokenTfOf]] materialized ONCE for the INLINE (live-fit) ranking
+    * paths (round 17, guide §2.4): the tf table feeds 3–7 plan branches
+    * in every ranker (dl, df/cf, stats, the scoring join, q121's
+    * feedback model), and exchange reuse does NOT dedup them — the
+    * scoring branch's broadcast-join pushes `isnotnull(token)` into its
+    * scan, so its exchange subtree is no longer canonically identical to
+    * the dl/df branches' (measured: the executed q95 plan tokenizes the
+    * corpus 4×, q121 7×, zero ReusedExchange). The checkpoint is the
+    * exact boundary the PRODUCTION path persists anyway — q183's
+    * buildBm25Artifacts writes this very table to parquet; at 100 TB the
+    * artifact-served route is the deployed one and this inline
+    * materialization is its single-snapshot rendering. The FromTf
+    * variants stay lazy: their tf is already a parquet artifact scan.
+    */
+  private[graft] def tokenTfMaterialized(docs: DataFrame): DataFrame =
+    tokenTfOf(docs).localCheckpoint(true)
+
   /** [[bm25QueryTableOf]] from a (doc_id, token, tf) table: tf rows ARE
     * the distinct (doc, token) pairs, so df is one vocab-scale aggregate
     * (the oracle's own derivation order).
@@ -674,8 +691,10 @@ object TextAnalysis {
   }
 
   /** Composable core of q95 for ANY (doc_id, text, …) corpus. */
-  def bm25RankOf(docs: DataFrame): DataFrame =
-    bm25RankWith(docs, bm25QueryTableOf(docs))
+  def bm25RankOf(docs: DataFrame): DataFrame = {
+    val tf = tokenTfMaterialized(docs)
+    bm25RankFromTf(tf, bm25QueryTableFromTf(tf))
+  }
 
   /** q95's ranker against a PRE-DERIVED query workload (the
     * [[bm25QueryTableOf]] shape `(qid, rn, token, df)`): q96 derives the
@@ -857,7 +876,7 @@ object TextAnalysis {
 
   /** Composable core of q121 for ANY (doc_id, text, …) corpus. */
   def rm3RankOf(docs: DataFrame): DataFrame = {
-    val tf = tokenTfOf(docs)
+    val tf = tokenTfMaterialized(docs)
     rm3FromTf(tf, bm25QueryTableFromTf(tf))
   }
 
@@ -1026,7 +1045,7 @@ object TextAnalysis {
 
   /** Composable core of q125 for ANY (doc_id, text, …) corpus. */
   def qlRankOf(docs: DataFrame): DataFrame = {
-    val tf = tokenTfOf(docs)
+    val tf = tokenTfMaterialized(docs)
     qlFromTf(tf, bm25QueryTableFromTf(tf))
   }
 
