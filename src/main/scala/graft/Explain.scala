@@ -80,11 +80,13 @@ object Explain {
                 org.apache.spark.sql.functions.col("text")))
         else SparkEntry.queries(n)(spark, sfDir)
       // execute the df's OWN QueryExecution (a noop write would plan a
-      // separate one, leaving this plan isFinalPlan=false): toRdd
-      // materializes every column of every row without a driver collect,
+      // separate one, leaving this plan isFinalPlan=false); consume every
+      // partition iterator so the result stage actually computes its rows
+      // (ADVICE r17: an unconsumed iterator skips final-stage compute),
       // and the AdaptiveSparkPlan mutates in place so the print below is
       // what AQE actually ran
-      if (execute) df.queryExecution.toRdd.foreachPartition(_ => ())
+      if (execute)
+        df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }

@@ -43,8 +43,11 @@ object CurationStageBench {
 
     // pinned stage INPUTS (materialized once, outside any timed region)
     val survivors = Curation.dedupedClean(docs).localCheckpoint(true)
+    // lang lookup joins the RAW docs like the round-17 production
+    // composition (ADVICE r17: rows are identical either way, but the
+    // stage attribution promises the declared arm's exact shape)
     val rebuilt = TextAnalysis.fuzzySentenceDedupOf(survivors)
-      .join(survivors.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("cleaned").as("text"))
       .localCheckpoint(true)
     val decon = Curation.deconOf(docs, rebuilt).localCheckpoint(true)

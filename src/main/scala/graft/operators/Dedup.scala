@@ -74,7 +74,8 @@ object Dedup {
     * never a one-sided claim.
     */
   def nearDupPairsViaIndex(spark: SparkSession, indexDir: String, k: Int = 100): DataFrame = {
-    val pts = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
+    val pts = IvfIndex.latestPointsFor(spark, indexDir,
+      spark.read.parquet(IvfIndex.pointsPath(indexDir)))
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
     val a = pts.select(col("vec_id").as("a_id"), col("label").as("a_label"),
       col("embedding").as("va"), col("list_id"))

@@ -235,7 +235,8 @@ object GraphAnn {
     // probe guard fails safe instead of blessing a graph that silently
     // misses the concurrently-appended rows
     val catalogAtStart = IvfIndex.readMeta(spark, indexDir)
-    val points = IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
+    val points = IvfIndex.latestPointsFor(spark, indexDir,
+      spark.read.parquet(IvfIndex.pointsPath(indexDir)))
       .select(col("vec_id"), col("embedding"), col("list_id")).as[PointRow]
     // groupByKey, NOT repartition(list_id)+mapPartitions: hash
     // partitioning co-locates MANY lists per shuffle partition, and a

@@ -128,6 +128,17 @@ object IvfIndex {
     writeIndex(emb, centroidsOf(emb), indexDir)
   }
 
+  /** Size bound for the scan-local assignment's centroid PLAN LITERAL
+    * (round 18, VERDICT r17 watch item 1): the literal embeds nlist×dim
+    * doubles into every build/append plan — plan serialization, codegen,
+    * and each task binary all carry it. ≤ 10⁶ elements (~8 MB) is
+    * comfortably inside those budgets; a production index beyond it
+    * (nlist 10⁴–10⁵ at dim 2048 would be a 0.1–1 GB literal) falls back
+    * to the former crossJoin(broadcast)+max_by assignment — the same
+    * bounded-cutover discipline as [[DupClusters.LocalEdgeBound]].
+    */
+  val CentroidLiteralBound = 1000000L
+
   /** Scan-local nearest-centroid assignment (optimization guide §2.4,
     * round 17): the centroid table is DECISION-scale (nlist rows — the
     * same table the old path collected into a broadcast anyway), so the
@@ -141,18 +152,46 @@ object IvfIndex {
     * before the layout repartition; at 100 TB that was a second full
     * corpus shuffle, here the corpus crosses exactly one exchange (the
     * layout co-location). Returns `df` plus a `list_id` (long) column.
+    *
+    * Beyond [[CentroidLiteralBound]] elements the assignment runs as the
+    * former broadcast-join shape instead (round 18): same
+    * (cs desc, cl asc) argmax, so the two paths are row-identical
+    * (property-pinned by IvfIndexSpec) — only the plan carrier of the
+    * centroid table differs (literal vs broadcast relation).
     */
-  private def withNearestList(spark: SparkSession, df: DataFrame,
-                              indexDir: String): DataFrame = {
-    val cents: Seq[(Long, Seq[Double])] = spark.read.parquet(centroidsPath(indexDir))
-      .select(col("label").cast("long"), col("centroid"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    require(cents.nonEmpty, s"withNearestList: empty centroid table at ${centroidsPath(indexDir)}")
-    val centArr = typedLit(cents)
-    val best = array_max(transform(centArr, c => struct(
-      round(GraftFunctions.cosine(col("embedding"), c.getField("_2")), 6).as("cs"),
-      (c.getField("_1") * -1L).as("neg"))))
-    df.withColumn("list_id", (best.getField("neg") * -1L).cast("long"))
+  private[graft] def withNearestList(spark: SparkSession, df: DataFrame,
+                                     indexDir: String,
+                                     literalBound: Long = CentroidLiteralBound): DataFrame = {
+    val centDf = spark.read.parquet(centroidsPath(indexDir))
+      .select(col("label").cast("long").as("cl"), col("centroid"))
+    // nlist from the parquet footers (metadata-only count), dim from one row
+    val nlist = centDf.count()
+    require(nlist > 0, s"withNearestList: empty centroid table at ${centroidsPath(indexDir)}")
+    val dim = centDf.select(size(col("centroid"))).head().getInt(0)
+    if (nlist * dim <= literalBound) {
+      val cents: Seq[(Long, Seq[Double])] = centDf
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val centArr = typedLit(cents)
+      val best = array_max(transform(centArr, c => struct(
+        round(GraftFunctions.cosine(col("embedding"), c.getField("_2")), 6).as("cs"),
+        (c.getField("_1") * -1L).as("neg"))))
+      df.withColumn("list_id", (best.getField("neg") * -1L).cast("long"))
+    } else {
+      // broadcast-join fallback: centroid table too large for a plan
+      // literal but still broadcast-relation-sized; each row explodes
+      // ×nlist through the join and the groupBy(vec_id) argmax reduces it
+      // back — one assignment exchange, the pre-round-17 shape
+      val others = df.columns.filterNot(_ == "vec_id")
+      val payload = struct(others.map(col) :+ col("cl").cast("long").as("list_id"): _*)
+      df.crossJoin(broadcast(centDf))
+        .withColumn("cs",
+          round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(payload, struct(col("cs"), (col("cl") * -1L).as("neg"))).as("p"))
+        .select(df.columns.map(c =>
+          if (c == "vec_id") col("vec_id") else col(s"p.$c").as(c)) :+
+          col("p.list_id").as("list_id"): _*)
+    }
   }
 
   /** Shared write side of [[build]]/[[buildUnsupervised]]: persist the
@@ -381,7 +420,7 @@ object IvfIndex {
     // surfaces stale. A re-upsert whose embedding MOVED lists leaves a stale
     // row in the old list until [[compact]] runs — the documented
     // append+compaction contract.
-    val points = latestPoints(
+    val points = latestPointsFor(spark, indexDir,
       spark.read.parquet(pointsPath(indexDir)).filter(col("list_id").isin(lists: _*)))
 
     val scored = points
@@ -466,7 +505,7 @@ object IvfIndex {
     val scanned = spark.read.parquet(pointsPath(indexDir))
       .filter(col("list_id").isin(lists: _*))
     val pushed = if (pushLabelFilter) scanned.filter(col("label").isin(qlabels: _*)) else scanned
-    val points = latestPoints(pushed).filter(col("label").isin(qlabels: _*))
+    val points = latestPointsFor(spark, indexDir, pushed).filter(col("label").isin(qlabels: _*))
 
     val scored = points
       .join(broadcast(routed),
@@ -570,6 +609,23 @@ object IvfIndex {
       .drop("rn")
   }
 
+  /** [[latestPoints]] for a CATALOGED index dir (round 18, guide §2.4
+    * "remove shuffles outright"): when the catalog proves no append was
+    * ever reserved — `nextVersion == 1`, and [[append]] bumps the counter
+    * BEFORE writing, so even a crashed append keeps this sound — the
+    * build wrote each vec_id exactly once (the build-input contract) and
+    * the LWW window is the identity. Skipping it removes a full
+    * shuffle+window from every fresh-index consumer: at 100 TB that is a
+    * corpus-scale exchange a probe of an un-appended index paid for
+    * nothing. Any versioned layout (`nextVersion > 1`, even if since
+    * compacted) and any pre-catalog layout (no meta) runs the window
+    * unchanged.
+    */
+  private[operators] def latestPointsFor(spark: SparkSession, indexDir: String,
+                                         points: DataFrame): DataFrame =
+    if (readMeta(spark, indexDir).exists(_.nextVersion == 1L)) points
+    else latestPoints(points)
+
   /** Compaction: rewrite the points layout keeping only the globally
     * latest version of every id — resolves re-upserts whose embedding
     * moved them to a different list (the one case probe-side LWW cannot
@@ -585,7 +641,7 @@ object IvfIndex {
     // index on s3a/HDFS while defaultFS points elsewhere would otherwise
     // rename against the wrong filesystem
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = latestPoints(spark.read.parquet(pointsPath(indexDir)))
+    val latest = latestPointsFor(spark, indexDir, spark.read.parquet(pointsPath(indexDir)))
     // co-locate each list before the partitioned write (the writeIndex
     // discipline, round 17): the LWW window leaves rows shuffled by
     // vec_id, so an unrepartitioned write emits shuffle-partitions x
@@ -847,7 +903,7 @@ object IvfIndex {
       .localCheckpoint(true)
     val lists = routed.select(col("probe_list")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val scored = latestPoints(
+    val scored = latestPointsFor(spark, indexDir,
       spark.read.parquet(pointsPath(indexDir)).filter(col("list_id").isin(lists: _*)))
       .join(broadcast(routed), col("list_id") === col("probe_list"))
       .select(col("qid"), col("route_rank"), col("probe_list"), col("vec_id"),

@@ -267,8 +267,9 @@ object Pq {
     import spark.implicits._
     // LWW view first: encoding raw point versions would emit duplicate /
     // stale code rows for every re-upserted id, and the ADC scan has no
-    // version column to resolve them
-    IvfIndex.latestPoints(spark.read.parquet(IvfIndex.pointsPath(indexDir)))
+    // version column to resolve them (the catalog-gated helper skips the
+    // window when no append ever happened — the fresh-build lifecycle)
+    IvfIndex.latestPointsFor(spark, indexDir, spark.read.parquet(IvfIndex.pointsPath(indexDir)))
       .select(col("vec_id"), col("list_id"), normalize(toDouble(col("embedding"))).as("u"))
       .as[(Long, Long, Seq[Double])]
       .mapPartitions(rows => rows.map { case (id, lst, u) => ListCodes(id, lst, encodeOne(u, cb)) })
@@ -330,7 +331,7 @@ object Pq {
 
     // exact rerank reads floats only from the pruned lists, only for the
     // shortlist
-    val points = IvfIndex.latestPoints(
+    val points = IvfIndex.latestPointsFor(spark, indexDir,
       spark.read.parquet(IvfIndex.pointsPath(indexDir)).filter(col("list_id").isin(lists: _*)))
     val qside = routed.select(col("qid").as("r_qid"), col("qvec"), col("probe_list")).distinct()
     val reranked = candidates

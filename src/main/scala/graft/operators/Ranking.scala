@@ -202,11 +202,90 @@ object Ranking {
     } finally shortVecs.unpersist()
   }
 
+  /** Below this many candidate/sim rows the greedy unroll folds
+    * DRIVER-LOCALLY (round 18, guide §1.2 — the q110 cutover pattern):
+    * both inputs arrive as already-collected local relations
+    * ([[Hybrid.localized]], query-scale by contract), yet the unrolled
+    * distributed loop still paid ~12 Spark jobs of scheduling overhead
+    * per call (one localized-collect per selected step plus the
+    * aggregates under it). The fold is BIT-identical, not just
+    * tolerance-identical: the only arithmetic is λ·rel − (1−λ)·max(sim)
+    * over already-6dp-rounded doubles with the same HALF_UP 7-dp round
+    * (no reduction-order sums exist — max is order-free), and the argmax
+    * tie rule (mmr desc, doc_id asc) is reproduced verbatim. Beyond the
+    * bound — or for non-(long,long,double)-shaped frames — the unrolled
+    * distributed loop runs unchanged (the 100 TB path); a parity spec
+    * pins local == distributed on random inputs.
+    */
+  private[graft] val MmrLocalBound = 100000L
+
   /** The greedy selection core over a (qid, doc_id, rel) candidate frame
     * and a (qid, a_id, b_id, sim) pairwise-similarity frame (both
     * directions of each pair present). Query-scale by contract.
     */
-  private[graft] def mmrSelectFrom(cand: DataFrame, sims: DataFrame): DataFrame = {
+  private[graft] def mmrSelectFrom(cand: DataFrame, sims: DataFrame,
+                                   localBound: Long = MmrLocalBound): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def shapes(df: DataFrame, want: Seq[org.apache.spark.sql.types.DataType]): Boolean =
+      df.schema.fields.length == want.length &&
+        df.schema.fields.map(_.dataType).sameElements(want)
+    val localEligible =
+      shapes(cand.select(col("qid"), col("doc_id"), col("rel")),
+        Seq(LongType, LongType, DoubleType)) &&
+      shapes(sims.select(col("qid"), col("a_id"), col("b_id"), col("sim")),
+        Seq(LongType, LongType, LongType, DoubleType)) &&
+      cand.count() <= localBound && sims.count() <= localBound
+    if (localEligible) return mmrSelectLocal(cand, sims)
+    mmrSelectDistributed(cand, sims)
+  }
+
+  /** Driver-local greedy fold — see [[MmrLocalBound]]. Same rounding
+    * helper discipline as the q110 pagerank cutover: BigDecimal HALF_UP,
+    * the identical function Spark's `round` applies to doubles.
+    */
+  private def mmrSelectLocal(cand: DataFrame, sims: DataFrame): DataFrame = {
+    def rnd7(v: Double): Double =
+      BigDecimal(v).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val candRows = cand.select(col("qid"), col("doc_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap = sims.select(col("qid"), col("a_id"), col("b_id"), col("sim")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    candRows.map(_._1).distinct.sorted.foreach { q =>
+      val qc = candRows.filter(_._1 == q)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (step <- 1 to MmrSelect) {
+        // argmax by (mmr desc, doc_id asc) — the struct-min rule verbatim
+        var best: Option[(Long, Double)] = None
+        qc.foreach { case (_, d, rel) =>
+          if (!sel.contains(d)) {
+            val mmr =
+              if (step == 1) Some(rnd7(MmrLambda * rel))
+              else {
+                // inner-join semantics: a candidate with NO sim edge to any
+                // selected doc is excluded this step, like the distributed arm
+                val ms = sel.flatMap(b => simMap.get((q, d, b)))
+                if (ms.isEmpty) None else Some(rnd7(MmrLambda * rel - MmrDiv * ms.max))
+              }
+            mmr.foreach { m =>
+              if (best.isEmpty || m > best.get._2 || (m == best.get._2 && d < best.get._1))
+                best = Some((d, m))
+            }
+          }
+        }
+        best.foreach { case (d, m) => out += ((q, step.toLong, d, m)); sel += d }
+      }
+    }
+    val spark2 = cand.sparkSession
+    import spark2.implicits._
+    out.toSeq.toDF("qid", "step", "doc_id", "mmr")
+      .orderBy(col("qid"), col("step"))
+  }
+
+  /** The unrolled distributed greedy loop — the fallback beyond
+    * [[MmrLocalBound]] and the 100 TB path.
+    */
+  private def mmrSelectDistributed(cand: DataFrame, sims: DataFrame): DataFrame = {
     def argmax(scored: DataFrame, step: Int): DataFrame = scored
       .withColumn("k", struct((-col("mmr")).as("neg"), col("doc_id"), col("mmr")))
       .groupBy(col("qid"))

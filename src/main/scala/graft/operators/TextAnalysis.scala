@@ -2132,8 +2132,12 @@ object TextAnalysis {
 
   /** Shared rebuild tail of q68/q70: surviving sentence occurrences regroup
     * into their documents in original order; every corpus doc emits a row.
+    * `corpusIds` carries ONE doc_id row per corpus doc — the only thing
+    * the rebuild needs from the corpus (round 18): docs whose every
+    * sentence was filtered/removed must still emit their zero row, hence
+    * the left joins.
     */
-  private def sentenceRebuild(corpus: DataFrame, sents: DataFrame,
+  private def sentenceRebuild(corpusIds: DataFrame, sents: DataFrame,
                               kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -2141,7 +2145,7 @@ object TextAnalysis {
           transform(array_sort(collect_list(struct(col("pos"), col("sentence")))),
             s => s.getField("sentence"))).as("cleaned"))
     val totals = sents.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"))
-    corpus.select(col("doc_id"))
+    corpusIds
       .join(totals, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -2158,7 +2162,7 @@ object TextAnalysis {
     val sents  = sentenceUnits(corpus)
     val firsts = sents.groupBy(col("fp")).agg(min(col("k")).as("k"))
     val kept   = sents.join(firsts, Seq("fp", "k"), "left_semi")
-    sentenceRebuild(corpus, sents, kept)
+    sentenceRebuild(corpus.select(col("doc_id")), sents, kept)
   }
 
   /** q70's core for ANY corpus — [[sentenceDedupOf]]'s exact pass extended
@@ -2191,13 +2195,31 @@ object TextAnalysis {
     // a dedup PASS's output is exactly what a pipeline persists before
     // fanning out downstream; at real scale the caller writes it to
     // parquet instead and this materialization is that write's scan.
-    val sents = sentenceUnits(corpus).cache()
+    // Cache the UNFILTERED exploded units (round 18): the rebuild tail
+    // needs one doc_id row per corpus doc (zero rows for all-empty docs),
+    // and deriving it from `corpus` re-executed the caller's whole corpus
+    // plan a second time — in q92 that was a full re-run of the
+    // exact-dedup aggregate just to list ids. posexplode_outer keeps ≥1
+    // row per doc (null-text docs included), so BOTH the sentence stream
+    // and the id set now come off this one cache: the corpus plan executes
+    // exactly once. fp is null exactly where the old filter dropped the
+    // row, so `sents` is unchanged.
+    val unitsAll = corpus
+      .select(col("doc_id"), posexplode_outer(split(col("text"), "\\. ")))
+      .toDF("doc_id", "pos", "sentence")
+      .withColumn("fp",
+        when(length(trim(col("sentence"))) > 0, unhex(md5(trim(col("sentence"))))))
+      .withColumn("k",
+        col("doc_id").cast("decimal(20,0)") * lit(1000000000000L) + col("pos"))
+      .cache()
+    val sents = unitsAll.filter(col("fp").isNotNull)
     // the exact-pass survivors feed two consumers (distinct-text minhash
     // build + the final anti-join): cache them too, or the fingerprint
     // shuffle re-runs once per consumer
     val exact = exactSurvivors(sents).cache()
-    try fuzzyTail(corpus, sents, exact, minJaccard).localCheckpoint(true)
-    finally { exact.unpersist(); sents.unpersist() }
+    try fuzzyTail(unitsAll.select(col("doc_id")).distinct(), sents, exact, minJaccard)
+      .localCheckpoint(true)
+    finally { exact.unpersist(); unitsAll.unpersist() }
   }
 
   /** The exact pass: sentence occurrences that are the global first of
@@ -2215,9 +2237,9 @@ object TextAnalysis {
     */
   private[graft] def fuzzySentenceDedupPlan(corpus: DataFrame, sents: DataFrame,
                                             minJaccard: Double): DataFrame =
-    fuzzyTail(corpus, sents, exactSurvivors(sents), minJaccard)
+    fuzzyTail(corpus.select(col("doc_id")), sents, exactSurvivors(sents), minJaccard)
 
-  private def fuzzyTail(corpus: DataFrame, sents: DataFrame, exact: DataFrame,
+  private def fuzzyTail(corpusIds: DataFrame, sents: DataFrame, exact: DataFrame,
                         minJaccard: Double): DataFrame = {
     // one row per DISTINCT sentence text: its first occurrence carries it
     val distinctTexts = exact
@@ -2227,7 +2249,7 @@ object TextAnalysis {
     // first occurrence — the dominated side
     val dominated = pairs.select(col("b_id").as("k")).distinct()
     val kept = exact.join(dominated, Seq("k"), "left_anti")
-    sentenceRebuild(corpus, sents, kept)
+    sentenceRebuild(corpusIds, sents, kept)
   }
 
   val q68OracleSql: String =

@@ -153,6 +153,28 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(hit == (someId, 1.0), s"self-search through the index must hit at 1.0; got $hit")
   }
 
+  test("fuzzy sentence dedup evaluates its corpus plan exactly once (round-18 ids-only rebuild)") {
+    import spark.implicits._
+    // the rebuild tail used to re-derive the caller's corpus a second time
+    // just to list doc_ids (in q92 that re-ran the whole exact-dedup
+    // aggregate); both the sentence stream and the id set must now come
+    // off the one cached explode. A nondeterministic counting UDF cannot
+    // be collapsed or duplicated by the optimizer, so the accumulator
+    // counts true corpus-row evaluations.
+    val evals = spark.sparkContext.longAccumulator("corpus_evals")
+    val countText = udf { (t: String) => evals.add(1L); t }.asNondeterministic()
+    val corpus = (0L until 40L)
+      .map(i => (i, if (i % 5 == 4) "" else s"s${i}a s${i}b s${i}c. t${i}a t${i}b t${i}c"))
+      .toDF("doc_id", "text")
+      .withColumn("text", countText(col("text")))
+    val out = TextAnalysis.fuzzySentenceDedupOf(corpus)
+    assert(evals.value == 40L,
+      s"corpus plan must execute exactly once (40 rows), saw ${evals.value} evaluations")
+    // empty-text docs still emit their zero row through the ids-only rebuild
+    assert(out.count() == 40L)
+    assert(out.filter(col("n_sentences") === 0).count() == 8L)
+  }
+
   test("fuzzy sentence dedup strips boilerplate VARIANTS the exact pass keeps") {
     import spark.implicits._
     val base    = "subscribe to our freshest newsletter for daily updates"

@@ -120,6 +120,32 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("assignment literal and broadcast-join paths agree on random vectors (CentroidLiteralBound cutover)") {
+    import spark.implicits._
+    // random table, fixed seed: ties and near-ties exercised across many
+    // centroids; the bound=0 call forces the broadcast-join fallback
+    val rnd = new scala.util.Random(41)
+    val dim = 8
+    val emb = (0L until 300L).map { i =>
+      (i, i % 7, Seq.fill(dim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+    }.toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cutover").toString
+    IvfIndex.build(spark, emb, dir)
+    val in = emb.select(col("label").cast("long").as("label"), col("vec_id"),
+      col("embedding"), lit(0L).as("version"))
+    def assignments(bound: Long): Map[Long, Long] =
+      IvfIndex.withNearestList(spark, in, dir, literalBound = bound)
+        .select(col("vec_id"), col("list_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lit_ = assignments(IvfIndex.CentroidLiteralBound)
+    val bcast = assignments(0L)
+    assert(lit_.size == 300 && lit_ == bcast,
+      "literal and broadcast-join assignment must be row-identical (same (cs desc, cl asc) argmax)")
+    // the fallback must also preserve every column the literal path does
+    val cols = IvfIndex.withNearestList(spark, in, dir, literalBound = 0L).columns.toSeq
+    assert(cols == Seq("label", "vec_id", "embedding", "version", "list_id"))
+  }
+
   test("append upserts supersede on probe; compact removes stale rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_upsert").toString
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)

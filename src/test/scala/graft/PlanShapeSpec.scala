@@ -22,6 +22,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no window may appear in the k-NN ranking path;\n$p")
   }
 
+  test("materialized-tf rankers never re-tokenize: zero corpus parquet scans past the tf boundary") {
+    // Round 17's biggest win came from discovering that exchange reuse
+    // silently never fires across the tf branches (the scoring branch's
+    // pushed isnotnull(token) de-canonicalizes its subtree), so the corpus
+    // tokenized 4-7x per query. tokenTfMaterialized fixed it; this census
+    // pins the fix: every plan branch past the boundary must read the
+    // checkpointed tf RDD, so the composed plan contains NO parquet scan
+    // at all. A refactor that silently reintroduces a lazy tf re-derivation
+    // fails here, not in a benchmark review.
+    import graft.operators.{Hybrid, Ranking, TextAnalysis}
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val rows: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      ("q95", TextAnalysis.bm25RankOf(docs), 0),
+      ("q121", TextAnalysis.rm3RankOf(docs), 0),
+      ("q125", TextAnalysis.qlRankOf(docs), 0),
+      ("q104", Ranking.ndcgEvalOf(docs), 0),
+      // q96's vector half legitimately encodes the corpus (lexical half
+      // rides the tf boundary): exactly the encoder scans, nothing more
+      ("q96", Hybrid.hybridRrfOf(docs), 2))
+    rows.foreach { case (name, df, maxScans) =>
+      val p = plan(df)
+      val scans = "Scan parquet".r.findAllIn(p).size + "FileScan parquet".r.findAllIn(p).size
+      assert(scans <= maxScans,
+        s"$name: expected <= $maxScans corpus parquet scans past the tf " +
+          s"materialization, found $scans — the 4-7x re-tokenize is back;\n$p")
+    }
+  }
+
   test("q26 pushes the date filter and prunes columns into the parquet scan") {
     val df = Relational.pricingSummary(spark, TestSpark.Sf0001)
     val p  = plan(df)

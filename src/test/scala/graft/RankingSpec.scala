@@ -36,6 +36,29 @@ class RankingSpec extends AnyFunSuite {
     assert(Ranking.mmrSelectFrom(cand, sims).collect().length == 2)
   }
 
+  test("q105 greedy fold: driver-local and distributed paths agree on random inputs") {
+    // the round-18 cutover (MmrLocalBound) must be BIT-identical to the
+    // unrolled distributed loop: same 7-dp HALF_UP round, same
+    // (mmr desc, doc_id asc) argmax, same inner-join exclusion of
+    // candidates without a sim edge to the selected set
+    for (seed <- Seq(3, 17, 92)) {
+      val rnd = new scala.util.Random(seed)
+      val cand = (for (q <- 0L until 4L; d <- 1L to 20L) yield
+        (q, d, math.rint(rnd.nextDouble() * 1e6) / 1e6)).toDF("qid", "doc_id", "rel")
+      // ~80% of ordered pairs present, values 6-dp like the production sims
+      val sims = (for {
+        q <- 0L until 4L; a <- 1L to 20L; b <- 1L to 20L
+        if a != b && rnd.nextDouble() < 0.8
+      } yield (q, a, b, math.rint(rnd.nextDouble() * 1e6) / 1e6))
+        .toDF("qid", "a_id", "b_id", "sim")
+      val local = Ranking.mmrSelectFrom(cand, sims).collect().map(_.toSeq).toSeq
+      val dist = Ranking.mmrSelectFrom(cand, sims, localBound = -1L)
+        .collect().map(_.toSeq).toSeq
+      assert(local == dist, s"seed $seed: local fold diverged from the distributed unroll")
+      assert(local.nonEmpty)
+    }
+  }
+
   test("q104: identical documents make every ranking ideal — ndcg is exactly 1") {
     // every doc holds the same 12 alphabetic terms once → all rel equal,
     // all BM25 scores equal → any top-10 is an ideal ordering
