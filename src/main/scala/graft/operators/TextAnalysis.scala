@@ -1479,6 +1479,28 @@ object TextAnalysis {
     */
   val DupSpanGram = 8
 
+  /** The (doc_id, pos, fp) gram-fingerprint stream shared by q75/q93,
+    * materialized ONCE per query (round 18): the stream feeds two plan
+    * branches — the duplicated-fp aggregate and the semi-join probe side —
+    * and exchange reuse cannot dedup them (the aggregate side's partial
+    * agg de-canonicalizes its exchange subtree, the q95-family failure
+    * mode), so the tokenize + per-gram concat + md5 executed twice per
+    * query. The checkpoint row is 32 bytes of keys/hashes per token
+    * position (guide §8: shuffle proxies, not payloads); at 100 TB the
+    * production shape is the PERSISTED gram-fingerprint artifact and this
+    * in-query materialization is its single-snapshot rendering.
+    */
+  private def dupSpanGramsMaterialized(toks: DataFrame): DataFrame = {
+    val L = DupSpanGram
+    toks
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $L), i -> concat_ws(' ', slice(toks, i + 1, $L)))")))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), unhex(md5(col("gram"))).as("fp"))
+      .localCheckpoint(true)
+  }
+
   /** Composable core of q75 for ANY (doc_id, text, …) corpus. */
   def dupSpanCoverageOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1487,12 +1509,7 @@ object TextAnalysis {
       .select(col("doc_id"), tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
     val base = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-    val grams = toks
-      .filter(size(col("toks")) >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $L), i -> concat_ws(' ', slice(toks, i + 1, $L)))")))
-      .toDF("doc_id", "pos", "gram")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), unhex(md5(col("gram"))).as("fp"))
+    val grams = dupSpanGramsMaterialized(toks)
     val dupFps = grams.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("fp"))
     val marked = grams.join(dupFps, Seq("fp"), "left_semi").select(col("doc_id"), col("pos"))
@@ -1576,12 +1593,7 @@ object TextAnalysis {
     val toks = docs
       .select(col("doc_id"), tokenArr(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-    val grams = toks
-      .filter(size(col("toks")) >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $L), i -> concat_ws(' ', slice(toks, i + 1, $L)))")))
-      .toDF("doc_id", "pos", "gram")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), unhex(md5(col("gram"))).as("fp"))
+    val grams = dupSpanGramsMaterialized(toks)
     val dupFps = grams.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("fp"))
     // every position under any duplicated span, one set-valued row per doc
