@@ -63,6 +63,42 @@ object EventStream {
     */
   private val declaredRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** State-partition count for the declared STATEFUL streaming rows
+    * (q151/q160/q179), derived from the SOURCE size (round 18, guide §2:
+    * scale-adaptive partitioning, never a constant tuned for one mode).
+    * Streaming state partitioning is pinned into the checkpoint at query
+    * start and every state partition pays a delta-file write + fsync PER
+    * MICRO-BATCH — width beyond what the state's size can use is pure
+    * commit-log overhead (measured: the q179 replay spends ~half its
+    * engine time on 32-wide state commits whose aggregate state is a few
+    * hundred rows). One source partition per 32 MB, clamped to
+    * [1, defaultParallelism] — a 100 TB stream saturates at the full
+    * core count, a fixture-scale replay stops paying for empty state
+    * files. Override via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    */
+  private def statePartitionsFor(spark: org.apache.spark.sql.SparkSession,
+                                 srcPath: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(srcPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      val perPartition = 32L * 1024 * 1024
+      val want = ((bytes + perPartition - 1) / perPartition).toInt
+      math.max(1, math.min(spark.sparkContext.defaultParallelism, want))
+    }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` set to `n`, restoring the
+    * session value after — the conf is consumed by the streaming query at
+    * START (and pinned in its checkpoint), so the override never leaks
+    * into any other query. Scoped, not session config.
+    */
+  private def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                                       n: Int)(f: => T): T = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** The file SOURCE requires a directory (basePath): small fixtures ship
     * the table as one bare parquet file — expose it through a temp-dir
     * symlink; multi-part fixture dirs (sf1+) stream in place, one
@@ -111,13 +147,15 @@ object EventStream {
       .parquet(declaredStreamPath(path, "graft_q151_src"))
     val events = graft.Tables.normalizeEventTs(spark, raw)
     val name = s"graft_q151_run_${declaredRuns.incrementAndGet()}"
-    val query = windowedEventCounts(events).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withShufflePartitions(spark, statePartitionsFor(spark, path)) {
+      val query = windowedEventCounts(events).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(name).select(
       col("bucket_start").cast("long").as("bucket_start"),
       col("event_type"),
@@ -170,13 +208,15 @@ object EventStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val name = s"graft_q179_run_${declaredRuns.incrementAndGet()}"
-    val query = windowedEventCounts(events).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withShufflePartitions(spark, statePartitionsFor(spark, srcDir)) {
+      val query = windowedEventCounts(events).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(name).select(
       col("bucket_start").cast("long").as("bucket_start"),
       col("event_type"),
@@ -560,13 +600,15 @@ object EventStream {
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
       .as[UserEvent]
     val name = s"graft_q160_run_${declaredRuns.incrementAndGet()}"
-    val query = sessionAuditStream(events).toDF().writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withShufflePartitions(spark, statePartitionsFor(spark, s"$sfDir/events.parquet")) {
+      val query = sessionAuditStream(events).toDF().writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("n_sessions"), col("max_session_events"))).as("s"))
