@@ -114,26 +114,42 @@ object Incremental {
 
   /** Shared classification tail: exact tag via the fp table, near pass
     * over exact survivors via `nearFn`, disposition + min-id attribution.
+    *
+    * The exact-pass verdicts are cached once, NARROW — (doc_id,
+    * exact_store_id), ids only, never text (round 18, guide §8 proxy
+    * discipline): the tagged frame fed two consumers (the survivor cut
+    * and the final attribution join) and each re-derived the store
+    * fingerprint table — in the inline path (q80) that was a second full
+    * corpus md5 aggregate per call. The result is materialized
+    * (batch-ids scale) before the cache is released, the
+    * fuzzySentenceDedupOf pattern.
     */
   private def classifyWith(batch: DataFrame, storeFp: DataFrame,
                            nearFn: DataFrame => DataFrame): DataFrame = {
-    val tagged = batch
+    val taggedIds = batch
       .withColumn("fp", md5(col("text")))
       .join(storeFp, Seq("fp"), "left")
-    val survivors = tagged.filter(col("exact_store_id").isNull)
-      .select(col("doc_id"), col("text"))
-    val near = nearFn(survivors)
-      .groupBy(col("batch_id"))
-      .agg(min(col("store_id")).as("near_store_id"))
-    tagged
-      .join(near, tagged("doc_id") === near("batch_id"), "left")
-      .select(tagged("doc_id"),
-        when(col("exact_store_id").isNotNull, lit("exact_dup"))
-          .when(col("near_store_id").isNotNull, lit("near_dup"))
-          .otherwise(lit("new")).as("disposition"),
-        coalesce(col("exact_store_id"), col("near_store_id"), lit(-1L))
-          .as("matched_store_id"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("exact_store_id"))
+      .cache()
+    try {
+      val survivors = batch.join(
+        taggedIds.filter(col("exact_store_id").isNull).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      val near = nearFn(survivors)
+        .groupBy(col("batch_id"))
+        .agg(min(col("store_id")).as("near_store_id"))
+      taggedIds
+        .join(near, taggedIds("doc_id") === near("batch_id"), "left")
+        .select(taggedIds("doc_id"),
+          when(col("exact_store_id").isNotNull, lit("exact_dup"))
+            .when(col("near_store_id").isNotNull, lit("near_dup"))
+            .otherwise(lit("new")).as("disposition"),
+          coalesce(col("exact_store_id"), col("near_store_id"), lit(-1L))
+            .as("matched_store_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally taggedIds.unpersist()
   }
 
   /** DuckDB mirror: same batch derivation, same exact pass, and the q16
