@@ -1146,20 +1146,33 @@ object IvfIndex {
     * `lists` arrives as a literal IN-list exactly like the core's
     * driver-side `isin` (the routing decision IS a literal in both
     * routes — that is what turns it into a static partition filter).
+    * `versionUnique` mirrors the core's catalog-gated LWW skip
+    * ([[latestPointsFor]], round 18): like the describe statement's
+    * catalog literals, the no-append fact comes from `_meta.json` in
+    * both routes, so the SQL text drops the window exactly when the
+    * DataFrame core does — SqlIndexSpec pins the two plans identical.
     */
-  def probeTailSqlText(k: Int, lists: Seq[Long], topkName: String): String = {
+  def probeTailSqlText(k: Int, lists: Seq[Long], topkName: String,
+                       versionUnique: Boolean = false): String = {
     val cut = if (lists.isEmpty) "FALSE" else s"p.list_id IN (${lists.mkString(", ")})"
+    val pts =
+      if (versionUnique)
+        s"""  SELECT p.vec_id, p.embedding, p.version, p.list_id
+           |  FROM graft_ivf_points p
+           |  WHERE $cut""".stripMargin
+      else
+        s"""  SELECT vec_id, embedding, version, list_id
+           |  FROM (
+           |    -- column order mirrors the layout's scan order (version before
+           |    -- the list_id partition column): the core's LWW view keeps it,
+           |    -- and matching it keeps the plans reorder-Project-free
+           |    SELECT p.vec_id, p.embedding, p.version, p.list_id,
+           |           row_number() OVER (PARTITION BY p.vec_id ORDER BY p.version DESC) AS rn
+           |    FROM graft_ivf_points p
+           |    WHERE $cut
+           |  ) WHERE rn = 1""".stripMargin
     s"""WITH pts AS (
-       |  SELECT vec_id, embedding, version, list_id
-       |  FROM (
-       |    -- column order mirrors the layout's scan order (version before
-       |    -- the list_id partition column): the core's LWW view keeps it,
-       |    -- and matching it keeps the plans reorder-Project-free
-       |    SELECT p.vec_id, p.embedding, p.version, p.list_id,
-       |           row_number() OVER (PARTITION BY p.vec_id ORDER BY p.version DESC) AS rn
-       |    FROM graft_ivf_points p
-       |    WHERE $cut
-       |  ) WHERE rn = 1
+       |$pts
        |), scored AS (
        |  SELECT /*+ BROADCAST(r) */ r.qid, r.probe_list, p.vec_id,
        |         round(graft_cosine(r.qvec, p.embedding), 6) AS score
@@ -1211,7 +1224,9 @@ object IvfIndex {
         val lists = spark
           .sql("SELECT DISTINCT probe_list FROM graft_ivf_routed ORDER BY probe_list")
           .collect().map(_.getLong(0)).toSeq
-        spark.sql(probeTailSqlText(k, lists, tkName))
+        // same catalog fact, same decision as the core's latestPointsFor
+        val versionUnique = readMeta(spark, indexDir).exists(_.nextVersion == 1L)
+        spark.sql(probeTailSqlText(k, lists, tkName, versionUnique))
       } finally spark.catalog.dropTempView("graft_ivf_routed")
     } finally frames.foreach { case (name, _) => spark.catalog.dropTempView(name) }
   }
